@@ -1,0 +1,65 @@
+"""Explicit numerics configuration.
+
+The reference relies on process-global GPflow state
+(``gpflow.config.set_default_float`` / ``set_default_jitter`` /
+``set_default_positive_minimum`` — reference paper_cli_uci.py:57-61).  JAX has
+no such mutable dtype config worth relying on, so we carry an explicit,
+hashable :class:`Config` object instead and thread it through model factories.
+A module-level default exists only as a CLI convenience and is never read
+inside jitted code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Numerics knobs, mirroring the reference's three global settings.
+
+    Attributes:
+        dtype_name: "float32" or "float64" (reference ``default_float()``).
+            float64 requires ``jax.config.update("jax_enable_x64", True)`` and
+            is intended for CPU parity runs; TPU runs use float32 (optionally
+            with compensated dot products inside CG).
+        jitter: diagonal jitter added by ``Kuu`` builders when requested
+            (reference ``default_jitter()``); the CG models deliberately build
+            ``Kuu`` with jitter 0 (reference models.py:300).
+        positive_minimum: lower bound of the positive bijector (reference
+            ``set_default_positive_minimum(1e-9)``, paper_cli_uci.py:61).
+    """
+
+    dtype_name: str = "float64"
+    jitter: float = 1e-6
+    positive_minimum: float = 0.0
+
+    @property
+    def dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype_name)
+
+    def with_updates(self, **kwargs) -> "Config":
+        return dataclasses.replace(self, **kwargs)
+
+
+_DEFAULT = Config()
+
+
+def default_config() -> Config:
+    return _DEFAULT
+
+
+def set_default_config(config: Config) -> None:
+    global _DEFAULT
+    _DEFAULT = config
+
+
+def enable_x64_if_needed(config: Config) -> None:
+    """Flip the global x64 flag when a float64 config is requested."""
+    if np.dtype(config.dtype_name) == np.float64:
+        jax.config.update("jax_enable_x64", True)

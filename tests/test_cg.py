@@ -1,0 +1,174 @@
+"""CG oracle tests: solution AND gradient parity vs dense solves.
+
+Mirrors the reference test strategy (cg_test.py:12-46): solve a kernel system
+with multiple RHS, compare against the dense solver, and compare gradients of
+a scalar functional w.r.t. the kernel parameters between the CG
+custom-VJP path and dense-solve autodiff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cggp_tpu.ops import (
+    BlockPreconditioner,
+    ConjugateGradient,
+    EyePreconditioner,
+    NystromPreconditioner,
+    SquaredExponential,
+    add_diagonal,
+    conjugate_gradient,
+)
+
+
+def _make_system(rng, n=100, dim=2, num_systems=5, noise=0.01):
+    inputs = jnp.asarray(rng.normal(size=(n, dim)))
+    kernel = SquaredExponential()
+    lengthscales = rng.random(dim) ** 2 + 0.5
+    params = kernel.init_params(variance=1.3, lengthscales=lengthscales)
+    rhs = jnp.asarray(rng.normal(size=(n, num_systems)))
+    return kernel, params, inputs, rhs, noise
+
+
+def _system_matrix(kernel, params, inputs, noise):
+    k = kernel.K(params, inputs)
+    return add_diagonal(k, noise * jnp.ones(k.shape[0], dtype=k.dtype))
+
+
+def test_cg_matches_dense_solution(rng):
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+
+    dense = jnp.linalg.solve(matrix, rhs)
+    cg = ConjugateGradient(1e-12)
+    cg_solution = cg(matrix, rhs)
+
+    np.testing.assert_allclose(np.asarray(cg_solution), np.asarray(dense), rtol=1e-3, atol=1e-4)
+
+
+def test_cg_gradient_matches_dense(rng):
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+
+    def loss_dense(params):
+        matrix = _system_matrix(kernel, params, inputs, noise)
+        return jnp.sum(jnp.linalg.solve(matrix, rhs))
+
+    def loss_cg(params):
+        matrix = _system_matrix(kernel, params, inputs, noise)
+        cg = ConjugateGradient(1e-12)
+        return jnp.sum(cg(matrix, rhs))
+
+    g_dense = jax.grad(loss_dense)(params)
+    g_cg = jax.grad(loss_cg)(params)
+
+    for key in ("variance", "lengthscales"):
+        np.testing.assert_allclose(
+            np.asarray(g_cg[key]), np.asarray(g_dense[key]), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_cg_stats_and_threshold(rng):
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+
+    cg = ConjugateGradient(1e-12)
+    solution, stats = cg.solve_with_stats(matrix, rhs)
+    assert int(stats.steps) > 0
+    assert int(stats.steps) <= matrix.shape[0]
+    # true residuals are small (the loop stops on the recurrence residual,
+    # which drifts from the true one by rounding — allow slack)
+    residual = rhs - matrix @ solution
+    assert float(jnp.max(0.5 * jnp.sum(residual**2, axis=0))) <= 1e-8
+
+
+def test_cg_restart_cycle(rng):
+    """max_steps_cycle triggers an exact residual recompute and still converges."""
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+    sol, stats = conjugate_gradient(
+        matrix,
+        rhs.T,
+        jnp.zeros_like(rhs.T),
+        1e-12,
+        max_iterations=500,
+        max_steps_cycle=50,
+    )
+    # restarts drop Krylov memory, so more steps than plain CG but converged
+    assert int(stats.steps) > matrix.shape[0]
+    dense = jnp.linalg.solve(matrix, rhs)
+    np.testing.assert_allclose(np.asarray(sol.T), np.asarray(dense), rtol=1e-3, atol=1e-4)
+
+
+def test_cg_under_jit(rng):
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+    cg = ConjugateGradient(1e-12)
+
+    @jax.jit
+    def solve(matrix, rhs):
+        return cg(matrix, rhs)
+
+    np.testing.assert_allclose(
+        np.asarray(solve(matrix, rhs)),
+        np.asarray(jnp.linalg.solve(matrix, rhs)),
+        rtol=1e-3,
+        atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("precond_name", ["eye", "block", "nystrom"])
+def test_preconditioned_cg_solution(rng, precond_name):
+    kernel, params, inputs, rhs, noise = _make_system(rng, n=96)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+
+    if precond_name == "eye":
+        precond = EyePreconditioner()
+    elif precond_name == "block":
+        indices = np.arange(96).reshape(8, 12)
+        precond = BlockPreconditioner(indices)
+    else:
+        # Nystrom factor from a column subset: U = K[:, idx] chol(K[idx, idx])^{-T}
+        idx = np.arange(0, 96, 4)
+        kmm = np.asarray(matrix)[np.ix_(idx, idx)]
+        chol = np.linalg.cholesky(kmm + 1e-8 * np.eye(len(idx)))
+        u = np.asarray(matrix)[:, idx] @ np.linalg.inv(chol).T
+        precond = NystromPreconditioner(jnp.asarray(u), noise * jnp.ones(96))
+
+    # Block-Jacobi over arbitrary index blocks can legitimately need more
+    # than n iterations on a kernel matrix; give all variants headroom.
+    cg = ConjugateGradient(1e-12, preconditioner=precond, max_iterations=500)
+    solution, stats = cg.solve_with_stats(matrix, rhs)
+    dense = jnp.linalg.solve(matrix, rhs)
+    np.testing.assert_allclose(np.asarray(solution), np.asarray(dense), rtol=1e-3, atol=1e-4)
+
+
+def test_nystrom_preconditioner_reduces_iterations(rng):
+    """A good low-rank preconditioner must cut CG iteration counts."""
+    n, m_rank = 200, 64
+    inputs = jnp.asarray(rng.normal(size=(n, 2)))
+    kernel = SquaredExponential()
+    params = kernel.init_params(variance=1.0, lengthscales=[2.0, 2.0])
+    matrix = add_diagonal(kernel.K(params, inputs), 1e-3 * jnp.ones(n))
+    rhs = jnp.asarray(rng.normal(size=(n, 3)))
+
+    _, stats_plain = ConjugateGradient(1e-10).solve_with_stats(matrix, rhs)
+
+    idx = np.linspace(0, n - 1, m_rank).astype(int)
+    kmm = np.asarray(matrix)[np.ix_(idx, idx)]
+    chol = np.linalg.cholesky(kmm + 1e-8 * np.eye(m_rank))
+    u = np.linalg.solve(chol, np.asarray(matrix)[idx, :]).T
+    precond = NystromPreconditioner(jnp.asarray(u), 1e-3 * jnp.ones(n))
+    _, stats_pre = ConjugateGradient(1e-10, preconditioner=precond).solve_with_stats(matrix, rhs)
+
+    assert int(stats_pre.steps) < int(stats_plain.steps)
+
+
+def test_compensated_dot_matches_standard(rng):
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+    dense = np.asarray(jnp.linalg.solve(matrix, rhs))
+    sol_std = ConjugateGradient(1e-12, dot="standard")(matrix, rhs)
+    sol_comp = ConjugateGradient(1e-12, dot="compensated")(matrix, rhs)
+    np.testing.assert_allclose(np.asarray(sol_std), dense, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol_comp), dense, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,89 @@
+"""Log-det estimator tests (reference cg_test.py:49-77 pattern + SLQ upgrade)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cggp_tpu.ops import ConjugateGradient, SquaredExponential, add_diagonal
+from cggp_tpu.ops.logdet import eval_logdet, slq_logdet
+
+
+def _setup(rng, n=100, dim=2, noise=0.01):
+    inputs = jnp.asarray(rng.normal(size=(n, dim)))
+    kernel = SquaredExponential()
+    lengthscales = rng.random(dim) ** 2 + 0.5
+    params = kernel.init_params(variance=1.3, lengthscales=lengthscales)
+
+    def matrix_fn(params):
+        k = kernel.K(params, inputs)
+        return add_diagonal(k, noise * jnp.ones(n, dtype=k.dtype))
+
+    return kernel, params, matrix_fn
+
+
+def test_eval_logdet_value_is_zero_and_grad_matches(rng):
+    kernel, params, matrix_fn = _setup(rng)
+
+    def logdet_dense(params):
+        sign, logabsdet = jnp.linalg.slogdet(matrix_fn(params))
+        return logabsdet
+
+    def logdet_cg(params):
+        return eval_logdet(matrix_fn(params), ConjugateGradient(1e-12))
+
+    value = logdet_cg(params)
+    np.testing.assert_allclose(float(value), 0.0, atol=1e-12)
+
+    g_dense = jax.grad(logdet_dense)(params)
+    g_cg = jax.grad(logdet_cg)(params)
+    for key in ("variance", "lengthscales"):
+        np.testing.assert_allclose(
+            np.asarray(g_cg[key]), np.asarray(g_dense[key]), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_eval_logdet_probe_grad_is_unbiased(rng):
+    """Rademacher-probe gradient approaches the dense gradient with many probes."""
+    kernel, params, matrix_fn = _setup(rng, n=60)
+
+    def logdet_dense(params):
+        return jnp.linalg.slogdet(matrix_fn(params))[1]
+
+    def logdet_probe(params, key):
+        return eval_logdet(matrix_fn(params), ConjugateGradient(1e-12), num_probes=512, key=key)
+
+    g_dense = jax.grad(logdet_dense)(params)
+    g_probe = jax.grad(logdet_probe)(params, jax.random.PRNGKey(0))
+    for key in ("variance", "lengthscales"):
+        np.testing.assert_allclose(
+            np.asarray(g_probe[key]), np.asarray(g_dense[key]), rtol=0.15, atol=0.05
+        )
+
+
+def test_slq_logdet_value(rng):
+    kernel, params, matrix_fn = _setup(rng, n=120, noise=0.1)
+    matrix = matrix_fn(params)
+    exact = float(jnp.linalg.slogdet(matrix)[1])
+    est = float(
+        slq_logdet(matrix, ConjugateGradient(1e-12), num_probes=64,
+                   key=jax.random.PRNGKey(1), lanczos_iters=30)
+    )
+    assert abs(est - exact) / abs(exact) < 0.05, (est, exact)
+
+
+def test_slq_logdet_grad_matches_dense(rng):
+    kernel, params, matrix_fn = _setup(rng, n=60)
+
+    def logdet_dense(params):
+        return jnp.linalg.slogdet(matrix_fn(params))[1]
+
+    def logdet_slq(params, key):
+        return slq_logdet(matrix_fn(params), ConjugateGradient(1e-12),
+                          num_probes=512, key=key, lanczos_iters=25)
+
+    g_dense = jax.grad(logdet_dense)(params)
+    g_slq = jax.grad(logdet_slq)(params, jax.random.PRNGKey(2))
+    for key in ("variance", "lengthscales"):
+        np.testing.assert_allclose(
+            np.asarray(g_slq[key]), np.asarray(g_dense[key]), rtol=0.15, atol=0.05
+        )
