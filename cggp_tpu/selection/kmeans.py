@@ -1,0 +1,87 @@
+"""Lloyd's k-means as a jittable ``lax.while_loop`` (reference selection.py:14-73).
+
+The reference vmapped a per-point argmin (selection.py:24-29); here the
+assignment step is one [N, K] pairwise-distance computation whose dominant
+cross term is an MXU matmul, and the centroid update is a segment-sum — both
+fully vectorised, no per-point mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _pairwise_euclid(points: Array, centroids: Array) -> Array:
+    """[N, K] Euclidean distances with the cross term on the MXU."""
+    p2 = jnp.sum(jnp.square(points), axis=-1, keepdims=True)
+    c2 = jnp.sum(jnp.square(centroids), axis=-1, keepdims=True)
+    cross = points @ centroids.T
+    d2 = jnp.maximum(p2 + c2.T - 2.0 * cross, 0.0)
+    return jnp.sqrt(d2)
+
+
+def kmeans_indices_and_distances(
+    centroids: Array,
+    points: Array,
+    distance_fn: Optional[Callable] = None,
+) -> Tuple[Array, Array]:
+    """Nearest-centroid labels and distances (reference selection.py:14-32)."""
+    if distance_fn is None:
+        distances = _pairwise_euclid(points, centroids)
+    else:
+        # distance_fn takes an (x, y) tuple and broadcasts on leading axes.
+        distances = distance_fn((points[:, None, :], centroids[None, :, :]))
+    indices = jnp.argmin(distances, axis=-1)
+    chosen = jnp.take_along_axis(distances, indices[:, None], axis=-1)[:, 0]
+    return indices, chosen
+
+
+def kmeans_lloyd(
+    points: Array,
+    k_centroids: int,
+    threshold: float = 1e-5,
+    initial_centroids: Optional[Array] = None,
+    distance_fn: Optional[Callable] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[Array, Array]:
+    """Lloyd iteration until mean-distance improvement < threshold
+    (reference selection.py:35-73).  Empty clusters keep count 1 so their
+    centroid collapses to 0 exactly as the reference's clip does
+    (selection.py:55).
+    """
+    if initial_centroids is None:
+        if key is None:
+            raise ValueError("kmeans_lloyd needs either initial_centroids or a PRNG key")
+        perm = jax.random.permutation(key, points.shape[0])[:k_centroids]
+        initial_centroids = points[perm]
+
+    def assign_and_update(centroids):
+        indices, distances = kmeans_indices_and_distances(
+            centroids, points, distance_fn=distance_fn
+        )
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(distances), indices, num_segments=k_centroids
+        )
+        counts = jnp.clip(counts, 1.0, None)
+        sums = jax.ops.segment_sum(points, indices, num_segments=k_centroids)
+        new_centroids = sums / counts[:, None]
+        return new_centroids, jnp.mean(distances)
+
+    def cond(state):
+        _, mean_distance, prev_mean_distance = state
+        return prev_mean_distance - mean_distance > threshold
+
+    def body(state):
+        centroids, mean_distance, _ = state
+        new_centroids, new_mean = assign_and_update(centroids)
+        return new_centroids, new_mean, mean_distance
+
+    inf = jnp.asarray(jnp.inf, dtype=points.dtype)
+    centroids0, mean0 = assign_and_update(initial_centroids)
+    centroids, mean_distance, _ = jax.lax.while_loop(cond, body, (centroids0, mean0, inf))
+    return centroids, mean_distance

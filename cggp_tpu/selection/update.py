@@ -1,0 +1,96 @@
+"""Selection -> model-parameter plumbing (reference optimize.py:19-98).
+
+Each update fn maps a selection of inducing points to the triple
+``(Z, pseudo_u, cluster_counts)`` consumed by the Cluster/CGGP models:
+``pseudo_u`` is the per-cluster mean of y and ``cluster_counts`` the cluster
+sizes (so ``Lambda = sigma^2 / counts``).  Empty clusters get count 1 and
+mean 0 (reference optimize.py:70 keeps count 1; the kmeans path's
+scatter-add/clip at :94-96 yields mean 0 — we use the latter for all paths,
+which avoids the NaN means the reference's ``tf.reduce_mean`` of an empty
+cluster would produce).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cggp_tpu.selection.covertree import CoverTree
+from cggp_tpu.selection.kmeans import kmeans_indices_and_distances
+
+Array = jnp.ndarray
+
+
+def _means_and_counts_from_labels(
+    y: Array, labels: Array, num_clusters: int
+) -> Tuple[Array, Array]:
+    ones = jnp.ones(y.shape[0], dtype=y.dtype)
+    counts = jax.ops.segment_sum(ones, labels, num_segments=num_clusters)
+    sums = jax.ops.segment_sum(y[:, 0], labels, num_segments=num_clusters)
+    safe_counts = jnp.clip(counts, 1.0, None)
+    means = sums / safe_counts
+    return means[:, None], safe_counts[:, None]
+
+
+def labels_update_inducing_parameters(
+    data: Tuple[Array, Array],
+    iv: Array,
+    distance_fn: Optional[Callable] = None,
+) -> Tuple[Array, Array, Array]:
+    """Voronoi-assign data to given inducing points -> (Z, u, counts).
+
+    Covers the OIPS/uniform/greedy paths (reference optimize.py:41-78, which
+    Voronoi-labels by argmin squared distance at :50-51).
+    """
+    x, y = data
+    m = iv.shape[0]
+    labels, _ = kmeans_indices_and_distances(iv, x, distance_fn=distance_fn)
+    means, counts = _means_and_counts_from_labels(y, labels, m)
+    return iv, means, counts
+
+
+def kmeans_update_inducing_parameters(
+    data: Tuple[Array, Array],
+    clustering_fn: Callable[[], Array],
+    distance_fn: Optional[Callable] = None,
+) -> Tuple[Array, Array, Array]:
+    """Run a clustering fn then compute (Z, u, counts) (reference :81-98)."""
+    iv = clustering_fn()
+    return labels_update_inducing_parameters(data, iv, distance_fn=distance_fn)
+
+
+def covertree_update_inducing_parameters(
+    data: Tuple[Array, Array],
+    spatial_resolution: float,
+    distance_fn: Optional[Callable] = None,
+    lloyds: bool = True,
+    voronoi: bool = True,
+) -> Tuple[Array, Array, Array]:
+    """Host cover-tree build -> (Z, u, counts) (reference optimize.py:19-38).
+
+    Pulls data to host (device->host boundary, as the reference does at
+    optimize.py:25), builds the tree, filters empty clusters, and returns
+    device arrays.
+    """
+    x = np.asarray(data[0])
+    y = np.asarray(data[1])
+    dtype = data[0].dtype if hasattr(data[0], "dtype") else x.dtype
+
+    tree = CoverTree(
+        distance_fn, (x, y), spatial_resolution=spatial_resolution,
+        lloyds=lloyds, voronoi=voronoi,
+    )
+    iv = tree.centroids
+    means, counts = tree.cluster_mean_and_counts
+
+    keep = counts[:, 0] != 0.0
+    iv, means, counts = iv[keep], means[keep], counts[keep]
+
+    return (
+        jnp.asarray(iv, dtype=dtype),
+        jnp.asarray(means, dtype=dtype),
+        jnp.asarray(counts, dtype=dtype),
+    )

@@ -1,0 +1,84 @@
+"""Cover-tree property tests.
+
+The reference validates the tree visually (legacy/playground_covertree.py);
+here the separation/covering invariants become assertions — exactly the R /
+delta ratio the playground plots (SURVEY.md section 4).
+"""
+
+import numpy as np
+import pytest
+
+from cggp_tpu.selection import CoverTree, covertree_update_inducing_parameters
+
+
+def _data(rng, n=400, dim=2):
+    x = rng.normal(size=(n, dim))
+    y = rng.normal(size=(n, 1))
+    return x, y
+
+
+def test_levels_and_radius_snapping(rng):
+    x, y = _data(rng)
+    res = 0.25
+    tree = CoverTree(None, (x, y), spatial_resolution=res)
+    assert tree.max_radius == pytest.approx(res * 2 ** (tree.num_levels - 1))
+    assert tree.num_levels >= 2
+
+
+def test_minimum_separation_invariant(rng):
+    """Centers at the last level are >= spatial_resolution apart."""
+    x, y = _data(rng)
+    res = 0.5
+    tree = CoverTree(None, (x, y), spatial_resolution=res)
+    assert tree.minimum_separation(-1) >= res
+
+
+def test_voronoi_partition_covers_all_points(rng):
+    x, y = _data(rng)
+    tree = CoverTree(None, (x, y), spatial_resolution=0.5)
+    m = tree.centroids.shape[0]
+    labels = tree.labels
+    assert labels.shape == (400,)
+    assert labels.min() >= 0 and labels.max() < m
+    means, counts = tree.cluster_mean_and_counts
+    assert counts.sum() == 400
+    # labels are genuinely nearest-center
+    d = np.linalg.norm(x[:, None, :] - tree.centroids[None, :, :], axis=-1)
+    np.testing.assert_array_equal(labels, d.argmin(axis=1))
+
+
+def test_cluster_means_match_labels(rng):
+    x, y = _data(rng)
+    tree = CoverTree(None, (x, y), spatial_resolution=0.5)
+    means, counts = tree.cluster_mean_and_counts
+    labels = tree.labels
+    for c in range(tree.centroids.shape[0]):
+        mask = labels == c
+        if mask.sum():
+            np.testing.assert_allclose(means[c, 0], y[mask].mean(), rtol=1e-10)
+
+
+def test_resolution_controls_m(rng):
+    x, y = _data(rng)
+    m_coarse = CoverTree(None, (x, y), spatial_resolution=1.0).centroids.shape[0]
+    m_fine = CoverTree(None, (x, y), spatial_resolution=0.25).centroids.shape[0]
+    assert m_fine > m_coarse
+
+
+def test_update_fn_returns_device_arrays(rng):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.normal(size=(200, 2)))
+    y = jnp.asarray(rng.normal(size=(200, 1)))
+    z, u, counts = covertree_update_inducing_parameters((x, y), spatial_resolution=0.5)
+    assert z.ndim == 2 and u.shape == (z.shape[0], 1) and counts.shape == (z.shape[0], 1)
+    assert float(counts.sum()) == 200
+    assert u.dtype == x.dtype
+
+
+def test_no_lloyds_no_voronoi(rng):
+    x, y = _data(rng)
+    tree = CoverTree(None, (x, y), spatial_resolution=0.5, lloyds=False, voronoi=False)
+    assert tree.minimum_separation(-1) >= 0.5
+    _, counts = tree.cluster_mean_and_counts
+    assert counts.sum() == 400
