@@ -1,0 +1,59 @@
+"""Shared model machinery: Gaussian likelihood, minibatch scaling.
+
+Replaces the GPflow base classes used by the reference (models.py:51-77).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from cggp_tpu.ops.bijectors import positive
+
+Array = jnp.ndarray
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianLikelihood:
+    """Gaussian likelihood with positive variance (GPflow closed forms).
+
+    ``variational_expectations`` and ``predict_log_density`` are the exact
+    Gaussian expressions GPflow evaluates in the reference's ELBO
+    (models.py:132) and metrics callback (optimize.py:306).
+    """
+
+    positive_lower: float = 1e-6
+
+    @property
+    def bijector(self):
+        return positive(self.positive_lower)
+
+    def init_params(self, variance: float = 0.1, dtype=jnp.float64) -> Dict[str, Array]:
+        return {"variance": self.bijector.inverse(jnp.asarray(variance, dtype=dtype))}
+
+    def variance(self, params: Dict[str, Array]) -> Array:
+        return self.bijector.forward(params["variance"])
+
+    def variational_expectations(
+        self, params, f_mean: Array, f_var: Array, y: Array
+    ) -> Array:
+        """E_q[log N(y | f, sigma^2)] per data point."""
+        noise = self.variance(params)
+        return -0.5 * (_LOG2PI + jnp.log(noise) + (jnp.square(y - f_mean) + f_var) / noise)
+
+    def predict_log_density(self, params, f_mean: Array, f_var: Array, y: Array) -> Array:
+        """log N(y | f_mean, f_var + sigma^2) per data point."""
+        total_var = f_var + self.variance(params)
+        return -0.5 * (_LOG2PI + jnp.log(total_var) + jnp.square(y - f_mean) / total_var)
+
+
+def minibatch_scale(num_data: Optional[int], batch_size: int, dtype) -> Array:
+    """N / batch ELBO scale (reference models.py:163-169)."""
+    if num_data is None:
+        return jnp.asarray(1.0, dtype=dtype)
+    return jnp.asarray(num_data, dtype=dtype) / jnp.asarray(batch_size, dtype=dtype)

@@ -1,0 +1,144 @@
+"""CGGP (CLI name "cdgp") — ClusterGP with every Cholesky replaced by CG.
+
+Reference models.py:279-354: the injected :class:`ConjugateGradient` solves
+``(Kmm + Lambda)^{-1} u``, ``(Kmm + Lambda)^{-1} Kmn`` and the probe systems;
+the trace term uses Rademacher probes
+``sum (K^{-1} p) . (Kmm p) / P`` (models.py:307-314, default 5 probes) and the
+log-det goes through :func:`eval_logdet` (gradient-only) or, as the TPU-build
+upgrade, :func:`slq_logdet` (true values, same gradient path).  ``Kuu`` is
+built with jitter = 0 (models.py:300, :333) — conditioning comes from Lambda.
+
+TPU note: all CG right-hand sides of the KL (pseudo-u and the P probes) are
+batched into a single [P+1, M] row-block solve, so every CG iteration is one
+MXU matmul instead of two separate solver launches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
+from cggp_tpu.models.clustergp import ClusterGP
+from cggp_tpu.ops.cg import ConjugateGradient
+from cggp_tpu.ops.kernels import Kernel
+from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.ops.logdet import eval_logdet, rademacher, slq_logdet
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class CGGP(ClusterGP):
+    """CG-powered ClusterGP.  ``conjugate_gradient`` is the pluggable solver
+    strategy (the reference's one deliberate dependency inversion,
+    models.py:285-290)."""
+
+    conjugate_gradient: ConjugateGradient = None  # type: ignore[assignment]
+    num_probes: Optional[int] = 5
+    logdet_variant: str = "zero"  # "zero" (reference semantics) | "slq"
+    slq_lanczos_iters: int = 25
+    fuse_kl_solves: bool = True
+
+    def __post_init__(self):
+        if self.conjugate_gradient is None:
+            raise ValueError("CGGP requires a ConjugateGradient instance")
+
+    def prior_kl(self, params: Dict, key: jax.Array) -> Array:
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        m = z.shape[0]
+        dtype = z.dtype
+
+        kmm = self.kernel.K(kp, z)  # jitter = 0
+        kmm_lambda = add_diagonal(kmm, var[:, 0])
+
+        cg = self.conjugate_gradient
+        key_probes, key_logdet = jax.random.split(key)
+
+        if self.num_probes is None:
+            kmm_lambda_inv_u = cg(kmm_lambda, u)
+            kmm_lambda_inv_kmm = cg(kmm_lambda, kmm)
+            trace = jnp.trace(kmm_lambda_inv_kmm)
+            logdet_probes = None
+        else:
+            probes = rademacher(key_probes, (m, self.num_probes), dtype)
+            if self.fuse_kl_solves:
+                # One batched solve for [u | probes]: [M, P+1] RHS.
+                rhs = jnp.concatenate([u, probes], axis=-1)
+                solved = cg(kmm_lambda, rhs)
+                kmm_lambda_inv_u = solved[:, :1]
+                kmm_lambda_inv_probes = solved[:, 1:]
+            else:
+                kmm_lambda_inv_u = cg(kmm_lambda, u)
+                kmm_lambda_inv_probes = cg(kmm_lambda, probes)
+            kmm_probes = kmm @ probes
+            trace = jnp.sum(kmm_lambda_inv_probes * kmm_probes) / jnp.asarray(
+                self.num_probes, dtype=dtype
+            )
+            logdet_probes = self.num_probes
+
+        quad = jnp.sum((kmm @ kmm_lambda_inv_u) * kmm_lambda_inv_u)
+
+        if self.logdet_variant == "slq":
+            logdet = slq_logdet(
+                kmm_lambda, cg,
+                num_probes=logdet_probes or 8,
+                key=key_logdet,
+                lanczos_iters=self.slq_lanczos_iters,
+            )
+        else:
+            logdet = eval_logdet(kmm_lambda, cg, num_probes=logdet_probes, key=key_logdet)
+
+        const = jnp.sum(jnp.log(var))
+        return 0.5 * (quad - trace + logdet - const)
+
+    def predict_f(self, params: Dict, x_new: Array, full_cov: bool = False) -> Tuple[Array, Array]:
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+
+        kmm = self.kernel.K(kp, z)  # jitter = 0 (models.py:333)
+        kmn = self.kernel.K(kp, z, x_new)  # [M, T]
+        kmm_lambda = add_diagonal(kmm, var[:, 0])
+
+        cg = self.conjugate_gradient
+        # Batch [u | Kmn] into a single row-block CG solve (reference runs two
+        # solves, models.py:339-340; one fused solve keeps the MXU fed).
+        rhs = jnp.concatenate([u, kmn], axis=-1)
+        solved = cg(kmm_lambda, rhs)
+        kmm_lambda_inv_u = solved[:, :1]
+        kmm_lambda_inv_kmn = solved[:, 1:]
+
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            fvar = (knn - kmn.T @ kmm_lambda_inv_kmn)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            fvar = (knn - jnp.sum(kmn * kmm_lambda_inv_kmn, axis=0))[:, None]
+
+        fmu = kmn.T @ kmm_lambda_inv_u
+        return fmu, fvar
+
+    def elbo(self, params: Dict, data: Tuple[Array, Array],
+             key: Optional[jax.Array] = None) -> Array:
+        if key is None:
+            raise ValueError("CGGP.elbo requires a PRNG key for the trace/logdet probes")
+        x, y = data
+        kl = self.prior_kl(params, key)
+        f_mean, f_var = self.predict_f(params, x, full_cov=False)
+        var_exp = self.likelihood.variational_expectations(
+            params["likelihood"], f_mean, f_var, y
+        )
+        scale = minibatch_scale(self.num_data, x.shape[0], kl.dtype)
+        return jnp.sum(var_exp) * scale - kl
+
+    def training_loss(self, params: Dict, data: Tuple[Array, Array],
+                      key: Optional[jax.Array] = None) -> Array:
+        return -self.elbo(params, data, key)

@@ -1,0 +1,193 @@
+"""Model-level parity tests.
+
+The load-bearing ones mirror the reference's implicit contract: CGGP is
+ClusterGP with Cholesky solves replaced by CG, so with an exact solver and
+exact trace (num_probes=None) the two must agree — in gradients everywhere,
+and in ELBO value up to the deliberately-omitted logdet term
+(reference models.py:46).  The SLQ variant must close that value gap.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cggp_tpu.models import CGGP, GPR, SGPR, ClusterGP, LpSVGP, PathwiseClusterGP
+from cggp_tpu.ops import ConjugateGradient, Matern32, SquaredExponential, add_diagonal
+
+
+def _setup(rng, n=80, m=20, dim=2):
+    x = jnp.asarray(rng.normal(size=(n, dim)))
+    f = np.sin(np.asarray(x).sum(-1, keepdims=True))
+    y = jnp.asarray(f + 0.1 * rng.normal(size=(n, 1)))
+    z = x[:m]
+    counts = jnp.asarray(np.maximum(rng.integers(1, 8, size=(m, 1)), 1).astype(np.float64))
+    u = jnp.asarray(rng.normal(size=(m, 1)) * 0.3)
+    return x, y, z, u, counts
+
+
+def _cluster_pair(rng, num_probes=None, logdet_variant="zero", **cg_kwargs):
+    x, y, z, u, counts = _setup(rng)
+    kernel = Matern32()
+    cluster = ClusterGP(kernel, num_data=x.shape[0])
+    params = cluster.init_params(z, lengthscales=[1.2, 0.9], noise_variance=0.05,
+                                 pseudo_u=u, cluster_counts=counts)
+    cg_kwargs.setdefault("max_iterations", 400)
+    cg = ConjugateGradient(1e-14, **cg_kwargs)
+    cggp = CGGP(kernel, num_data=x.shape[0], conjugate_gradient=cg,
+                num_probes=num_probes, logdet_variant=logdet_variant)
+    return cluster, cggp, params, (x, y)
+
+
+def test_cggp_predict_matches_clustergp(rng):
+    cluster, cggp, params, (x, y) = _cluster_pair(rng)
+    mu_c, var_c = cluster.predict_f(params, x)
+    mu_g, var_g = cggp.predict_f(params, x)
+    np.testing.assert_allclose(np.asarray(mu_g), np.asarray(mu_c), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var_g), np.asarray(var_c), rtol=1e-5, atol=1e-7)
+
+
+def test_cggp_elbo_value_omits_logdet_only(rng):
+    """elbo_cggp + 0.5 * logdet(Kmm + Lambda) == elbo_cluster (exact trace)."""
+    cluster, cggp, params, (x, y) = _cluster_pair(rng, num_probes=None)
+    elbo_c = float(cluster.elbo(params, (x, y)))
+    elbo_g = float(cggp.elbo(params, (x, y), key=jax.random.PRNGKey(0)))
+
+    kmm = cggp.kernel.K(params["kernel"], params["inducing_points"])
+    lam = cggp.diag_variance(params)[:, 0]
+    logdet = float(jnp.linalg.slogdet(add_diagonal(kmm, lam))[1])
+    np.testing.assert_allclose(elbo_g - 0.5 * logdet, elbo_c, rtol=1e-6)
+
+
+def test_cggp_gradient_matches_clustergp_exact(rng):
+    """num_probes=None: CG gradients == Cholesky gradients (reference contract)."""
+    cluster, cggp, params, (x, y) = _cluster_pair(rng, num_probes=None)
+
+    g_c = jax.grad(lambda p: cluster.elbo(p, (x, y)))(params)
+    g_g = jax.grad(lambda p: cggp.elbo(p, (x, y), key=jax.random.PRNGKey(0)))(params)
+
+    for section in ("kernel", "likelihood"):
+        for name, val in g_c[section].items():
+            np.testing.assert_allclose(
+                np.asarray(g_g[section][name]), np.asarray(val),
+                rtol=1e-4, atol=1e-6, err_msg=f"{section}/{name}",
+            )
+
+
+def test_cggp_probe_gradient_is_close(rng):
+    """Rademacher probes give a noisy but unbiased gradient."""
+    cluster, cggp_probe, params, (x, y) = _cluster_pair(rng, num_probes=256)
+    g_c = jax.grad(lambda p: cluster.elbo(p, (x, y)))(params)
+    g_p = jax.grad(
+        lambda p: cggp_probe.elbo(p, (x, y), key=jax.random.PRNGKey(1))
+    )(params)
+    for section in ("kernel", "likelihood"):
+        for name, val in g_c[section].items():
+            np.testing.assert_allclose(
+                np.asarray(g_p[section][name]), np.asarray(val),
+                rtol=0.2, atol=0.05, err_msg=f"{section}/{name}",
+            )
+
+
+def test_cggp_slq_elbo_value_close_to_clustergp(rng):
+    cluster, cggp_slq, params, (x, y) = _cluster_pair(
+        rng, num_probes=64, logdet_variant="slq"
+    )
+    elbo_c = float(cluster.elbo(params, (x, y)))
+    elbo_s = float(cggp_slq.elbo(params, (x, y), key=jax.random.PRNGKey(2)))
+    assert abs(elbo_s - elbo_c) / abs(elbo_c) < 0.05, (elbo_s, elbo_c)
+
+
+def test_lpsvgp_kl_against_dense_formula(rng):
+    x, y, z, u, counts = _setup(rng)
+    kernel = SquaredExponential()
+    model = LpSVGP(kernel, num_data=x.shape[0])
+    nu = jnp.asarray(rng.normal(size=(z.shape[0], 1)) * 0.1)
+    var0 = jnp.asarray(rng.random((z.shape[0], 1)) * 0.01 + 1e-4)
+    params = model.init_params(z, nu=nu, diag_variance=var0)
+
+    kmm = np.asarray(kernel.K(params["kernel"], z))
+    var = np.asarray(model.diag_variance(params))[:, 0]
+    k = kmm + np.diag(var)
+    expected = 0.5 * (
+        float((np.asarray(nu).T @ kmm @ np.asarray(nu))[0, 0])
+        - np.trace(np.linalg.solve(k, kmm))
+        + np.linalg.slogdet(k)[1]
+        - np.sum(np.log(var))
+    )
+    np.testing.assert_allclose(float(model.prior_kl(params)), expected, rtol=1e-8)
+
+
+def test_lpsvgp_elbo_improves_with_adam_direction(rng):
+    """One gradient step along the ELBO gradient increases the ELBO."""
+    x, y, z, _, _ = _setup(rng)
+    model = LpSVGP(SquaredExponential(), num_data=x.shape[0])
+    params = model.init_params(z)
+    elbo0, grads = jax.value_and_grad(lambda p: model.elbo(p, (x, y)))(params)
+    stepped = jax.tree_util.tree_map(lambda p, g: p + 1e-4 * g, params, grads)
+    elbo1 = model.elbo(stepped, (x, y))
+    assert float(elbo1) > float(elbo0)
+
+
+def test_sgpr_bound_tight_at_full_inducing(rng):
+    """With Z == X the Titsias bound equals the exact GPR marginal likelihood."""
+    x, y, _, _, _ = _setup(rng, n=50)
+    kernel = SquaredExponential()
+    gpr = GPR(kernel)
+    sgpr = SGPR(kernel, jitter=1e-10)
+    p_gpr = gpr.init_params(x.shape[-1], lengthscales=[1.0, 1.0], noise_variance=0.1)
+    p_sgpr = sgpr.init_params(x, lengthscales=[1.0, 1.0], noise_variance=0.1)
+    lml = float(gpr.log_marginal_likelihood(p_gpr, (x, y)))
+    bound = float(sgpr.elbo(p_sgpr, (x, y)))
+    assert bound <= lml + 1e-6
+    np.testing.assert_allclose(bound, lml, rtol=1e-5)
+
+
+def test_sgpr_predict_matches_gpr_at_full_inducing(rng):
+    x, y, _, _, _ = _setup(rng, n=50)
+    x_new = jnp.asarray(np.random.default_rng(7).normal(size=(9, 2)))
+    kernel = SquaredExponential()
+    gpr = GPR(kernel)
+    sgpr = SGPR(kernel, jitter=1e-10)
+    p_gpr = gpr.init_params(2, noise_variance=0.1)
+    p_sgpr = sgpr.init_params(x, noise_variance=0.1)
+    mu_g, var_g = gpr.predict_f(p_gpr, (x, y), x_new)
+    mu_s, var_s = sgpr.predict_f(p_sgpr, (x, y), x_new)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_g), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_g), rtol=1e-3, atol=1e-6)
+
+
+def test_pathwise_sample_moments_match_clustergp(rng):
+    """Pathwise posterior sample mean/var -> ClusterGP predict_f moments."""
+    x, y, z, u, counts = _setup(rng, n=40, m=12)
+    kernel = SquaredExponential()
+    model = PathwiseClusterGP(kernel, num_data=x.shape[0],
+                              num_bases=6000, num_samples=4000)
+    params = model.init_params(z, noise_variance=0.05, pseudo_u=u,
+                               cluster_counts=counts)
+    samples = model.pathwise_samples(params, x, jax.random.PRNGKey(3))  # [S, N, 1]
+    mu_mc = np.asarray(samples).mean(axis=0)
+    var_mc = np.asarray(samples).var(axis=0)
+    mu, var = ClusterGP(kernel, num_data=x.shape[0]).predict_f(params, x)
+    np.testing.assert_allclose(mu_mc, np.asarray(mu), atol=0.08)
+    np.testing.assert_allclose(var_mc, np.asarray(var), atol=0.08)
+
+
+def test_trainable_masks(rng):
+    x, y, z, u, counts = _setup(rng)
+    cg = ConjugateGradient(1e-10)
+    model = CGGP(Matern32(), num_data=80, conjugate_gradient=cg)
+    params = model.init_params(z, pseudo_u=u, cluster_counts=counts)
+    mask = model.trainable_mask(params)
+    assert mask["pseudo_u"] is False
+    assert mask["cluster_counts"] is False
+    assert mask["inducing_points"] is False
+    assert all(jax.tree_util.tree_leaves(mask["kernel"]))
+    assert all(jax.tree_util.tree_leaves(mask["likelihood"]))
+
+
+def test_elbo_jits_and_is_finite(rng):
+    cluster, cggp, params, (x, y) = _cluster_pair(rng, num_probes=8)
+    loss = jax.jit(lambda p, d, k: cggp.training_loss(p, d, k))
+    val = loss(params, (x, y), jax.random.PRNGKey(0))
+    assert np.isfinite(float(val))
