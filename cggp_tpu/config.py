@@ -63,3 +63,11 @@ def enable_x64_if_needed(config: Config) -> None:
     """Flip the global x64 flag when a float64 config is requested."""
     if np.dtype(config.dtype_name) == np.float64:
         jax.config.update("jax_enable_x64", True)
+
+
+def default_float() -> jnp.dtype:
+    """The canonical float dtype under the current x64 mode (float64 on
+    CPU-parity runs with x64 enabled, float32 on TPU).  Used as the default
+    for ``init_params`` so TPU users don't silently hit the float64
+    truncation warning."""
+    return jnp.asarray(0.0).dtype

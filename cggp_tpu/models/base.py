@@ -12,6 +12,7 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 
 from cggp_tpu.ops.bijectors import positive
+from cggp_tpu.config import default_float
 
 Array = jnp.ndarray
 
@@ -33,7 +34,8 @@ class GaussianLikelihood:
     def bijector(self):
         return positive(self.positive_lower)
 
-    def init_params(self, variance: float = 0.1, dtype=jnp.float64) -> Dict[str, Array]:
+    def init_params(self, variance: float = 0.1, dtype=None) -> Dict[str, Array]:
+        dtype = default_float() if dtype is None else dtype
         return {"variance": self.bijector.inverse(jnp.asarray(variance, dtype=dtype))}
 
     def variance(self, params: Dict[str, Array]) -> Array:

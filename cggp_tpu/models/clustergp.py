@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.config import default_float
 
 Array = jnp.ndarray
 
@@ -31,7 +32,8 @@ class ClusterGP:
                     lengthscales=None, noise_variance: float = 0.1,
                     pseudo_u: Optional[Array] = None,
                     cluster_counts: Optional[Array] = None,
-                    dtype=jnp.float64) -> Dict:
+                    dtype=None) -> Dict:
+        dtype = default_float() if dtype is None else dtype
         z = jnp.asarray(inducing_points, dtype=dtype)
         m = z.shape[0]
         if lengthscales is None:

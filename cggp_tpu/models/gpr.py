@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from cggp_tpu.models.base import GaussianLikelihood
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.config import default_float
 
 Array = jnp.ndarray
 
@@ -28,7 +29,8 @@ class GPR:
 
     def init_params(self, input_dim: int, variance: float = 1.0,
                     lengthscales=None, noise_variance: float = 0.1,
-                    dtype=jnp.float64) -> Dict:
+                    dtype=None) -> Dict:
+        dtype = default_float() if dtype is None else dtype
         if lengthscales is None:
             lengthscales = jnp.ones((input_dim,), dtype=dtype)
         return {

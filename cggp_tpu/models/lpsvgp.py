@@ -22,6 +22,7 @@ from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
 from cggp_tpu.ops.bijectors import positive
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.config import default_float
 
 Array = jnp.ndarray
 
@@ -40,7 +41,8 @@ class LpSVGP:
     def init_params(self, inducing_points: Array, variance: float = 1.0,
                     lengthscales=None, noise_variance: float = 0.1,
                     nu: Optional[Array] = None, diag_variance: Optional[Array] = None,
-                    dtype=jnp.float64) -> Dict:
+                    dtype=None) -> Dict:
+        dtype = default_float() if dtype is None else dtype
         z = jnp.asarray(inducing_points, dtype=dtype)
         m = z.shape[0]
         if lengthscales is None:

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from cggp_tpu.models.base import GaussianLikelihood
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.config import default_float
 
 Array = jnp.ndarray
 
@@ -32,7 +33,8 @@ class SGPR:
 
     def init_params(self, inducing_points: Array, variance: float = 1.0,
                     lengthscales=None, noise_variance: float = 0.1,
-                    dtype=jnp.float64) -> Dict:
+                    dtype=None) -> Dict:
+        dtype = default_float() if dtype is None else dtype
         z = jnp.asarray(inducing_points, dtype=dtype)
         if lengthscales is None:
             lengthscales = jnp.ones((z.shape[-1],), dtype=dtype)

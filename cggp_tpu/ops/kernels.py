@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cggp_tpu.ops.bijectors import positive
+from cggp_tpu.config import default_float
 
 KernelParams = Dict[str, jnp.ndarray]
 
@@ -88,9 +89,10 @@ class Kernel:
         self,
         variance: float = 1.0,
         lengthscales: Union[float, Sequence[float], np.ndarray] = 1.0,
-        dtype=jnp.float64,
+        dtype=None,
     ) -> KernelParams:
         """Build the raw (unconstrained) parameter pytree."""
+        dtype = default_float() if dtype is None else dtype
         bij = self.bijector
         variance = jnp.asarray(variance, dtype=dtype)
         lengthscales = jnp.asarray(lengthscales, dtype=dtype)

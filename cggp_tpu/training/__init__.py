@@ -1,0 +1,21 @@
+"""Training loops, metrics, and monitoring (reference optimize.py + monitor.py)."""
+
+from cggp_tpu.training.batching import minibatch_iterator
+from cggp_tpu.training.monitor import Monitor
+from cggp_tpu.training.optimize import (
+    create_monitor,
+    make_metrics_callback,
+    make_param_callback,
+    train_using_adam_and_update,
+    train_using_lbfgs_and_update,
+)
+
+__all__ = [
+    "minibatch_iterator",
+    "Monitor",
+    "create_monitor",
+    "make_metrics_callback",
+    "make_param_callback",
+    "train_using_adam_and_update",
+    "train_using_lbfgs_and_update",
+]

@@ -1,0 +1,292 @@
+"""Training loops and metrics (reference optimize.py:101-389).
+
+* Adam: optax with a jit-compiled step over a parameter pytree, optional
+  per-step inducing-point update (reference ``train_using_adam_and_update``,
+  optimize.py:198-254).  Non-trainable leaves (pseudo_u, cluster_counts, Z by
+  default) are frozen by zeroing their gradients through a static boolean
+  mask pytree — the functional analogue of GPflow's ``trainable`` flags.
+* L-BFGS: scipy's L-BFGS-B over a raveled fp64 vector with a jitted
+  value-and-grad oracle (reference wraps ``gpflow.optimizers.Scipy``,
+  optimize.py:153-195); ``step_callback`` runs inducing updates + monitoring
+  between optimizer iterations exactly like the reference (:172-187).
+* Metrics: batched test RMSE/NLPD + train ELBO with a finite-ness tripwire
+  (reference ``make_metrics_callback``, optimize.py:285-364; the
+  ``tf.debugging.check_numerics`` guard at :359-360 becomes an explicit
+  ``isfinite`` raise).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.flatten_util import ravel_pytree
+
+from cggp_tpu.training.batching import batched_indices, minibatch_iterator
+from cggp_tpu.training.monitor import Monitor
+
+Array = jnp.ndarray
+LossFn = Callable[[Dict, Tuple[Array, Array], jax.Array], Array]
+UpdateFn = Callable[[Dict], Dict]
+
+
+def _mask_grads(grads: Dict, mask: Optional[Dict]) -> Dict:
+    if mask is None:
+        return grads
+    return jax.tree_util.tree_map(
+        lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+    )
+
+
+def make_adam_step(
+    loss_fn: LossFn,
+    optimizer: optax.GradientTransformation,
+    trainable_mask: Optional[Dict] = None,
+):
+    """Build the jitted Adam step (reference optimize.py:230-232)."""
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        grads = _mask_grads(grads, trainable_mask)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def _tree_shapes(params: Dict):
+    return jax.tree_util.tree_map(lambda x: tuple(x.shape), params)
+
+
+def train_using_adam_and_update(
+    params: Dict,
+    loss_fn: LossFn,
+    data: Tuple[Array, Array],
+    iterations: int,
+    batch_size: int,
+    learning_rate: float,
+    key: jax.Array,
+    update_fn: Optional[UpdateFn] = None,
+    update_during_training: bool = True,
+    trainable_mask: Optional[Dict] = None,
+    monitor: Optional[Monitor] = None,
+) -> Dict:
+    """Adam training with optional per-step inducing update
+    (reference optimize.py:198-254 semantics).
+
+    ``update_fn(params) -> params`` runs host-side between jitted steps; if it
+    changes any array shape (e.g. covertree changed M), the optimizer state is
+    re-initialised and the step recompiles — matching the reference's
+    behaviour of re-tracing on re-clustered shapes.
+    """
+    key, data_key = jax.random.split(key)
+    batches = minibatch_iterator(data_key, data, batch_size)
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    step = make_adam_step(loss_fn, optimizer, trainable_mask)
+
+    for iteration in range(int(iterations)):
+        if update_fn is not None and update_during_training:
+            shapes_before = _tree_shapes(params)
+            params = update_fn(params)
+            if _tree_shapes(params) != shapes_before:
+                opt_state = optimizer.init(params)
+        batch = next(batches)
+        key, step_key = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, batch, step_key)
+        if monitor is not None:
+            monitor.add_scalar("train/loss", loss, iteration)
+            monitor(iteration, params)
+    if monitor is not None:
+        monitor.flush()
+    return params
+
+
+def train_using_lbfgs_and_update(
+    params: Dict,
+    loss_fn: Callable[[Dict], Array],
+    max_iterations: int,
+    update_fn: Optional[UpdateFn] = None,
+    trainable_mask: Optional[Dict] = None,
+    monitor: Optional[Monitor] = None,
+) -> Dict:
+    """scipy L-BFGS-B over the raveled pytree (reference optimize.py:153-195).
+
+    ``loss_fn(params)`` must be deterministic (GPR/SGPR objectives).  Frozen
+    leaves get zero gradients, so L-BFGS-B leaves them in place.  The
+    ``step_callback`` contract — update inducing state + run the monitor every
+    optimizer iteration (:172-187) — is preserved via scipy's ``callback``.
+    Shape-changing updates are not allowed inside L-BFGS (the raveled vector
+    length is fixed); the reference has the same constraint.
+    """
+    from scipy.optimize import minimize
+
+    if max_iterations <= 0:
+        return params
+
+    # Non-trainable leaves are carried OUTSIDE the optimization vector so the
+    # update_fn can modify them mid-run without invalidating x.
+    flat0, unravel = ravel_pytree(params)
+    mask_flat = (
+        jnp.ones_like(flat0, dtype=bool)
+        if trainable_mask is None
+        else ravel_pytree(
+            jax.tree_util.tree_map(
+                lambda p, m: jnp.full(jnp.shape(p), bool(m)), params, trainable_mask
+            )
+        )[0]
+    )
+
+    state = {"params": params, "iteration": 0}
+
+    @jax.jit
+    def value_and_grad(x, frozen_flat):
+        merged = jnp.where(mask_flat, x, frozen_flat)
+        p = unravel(merged)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        g_flat, _ = ravel_pytree(grads)
+        return loss, jnp.where(mask_flat, g_flat, 0.0)
+
+    def objective(x64):
+        x = jnp.asarray(x64, dtype=flat0.dtype)
+        frozen_flat, _ = ravel_pytree(state["params"])
+        loss, grad = value_and_grad(x, frozen_flat)
+        return float(loss), np.asarray(grad, dtype=np.float64)
+
+    def callback(x64):
+        x = jnp.asarray(x64, dtype=flat0.dtype)
+        frozen_flat, _ = ravel_pytree(state["params"])
+        merged = jnp.where(mask_flat, x, frozen_flat)
+        state["params"] = unravel(merged)
+        if update_fn is not None:
+            state["params"] = update_fn(state["params"])
+        if monitor is not None:
+            monitor(state["iteration"], state["params"])
+        state["iteration"] += 1
+
+    result = minimize(
+        objective,
+        np.asarray(flat0, dtype=np.float64),
+        jac=True,
+        method="L-BFGS-B",
+        options={"maxiter": int(max_iterations)},
+        callback=callback,
+    )
+    x = jnp.asarray(result.x, dtype=flat0.dtype)
+    frozen_flat, _ = ravel_pytree(state["params"])
+    final = unravel(jnp.where(mask_flat, x, frozen_flat))
+    if monitor is not None:
+        monitor.flush()
+    return final
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def make_metrics_callback(
+    model,
+    train_data: Tuple[Array, Array],
+    test_data: Tuple[Array, Array],
+    batch_size: int = 4096,
+    key: Optional[jax.Array] = None,
+    check_numerics: bool = True,
+    use_jit: bool = True,
+) -> Callable:
+    """Batched test RMSE + NLPD and train ELBO (reference optimize.py:285-364).
+
+    Returns ``metrics_fn(step, params) -> dict``; the training loops pass
+    their live parameter pytree through the monitor (the reference's
+    callbacks read live GPflow variables instead).
+    """
+    x_test, y_test = test_data
+    n_test = x_test.shape[0]
+
+    def predict_batch(params, xb, yb):
+        f_mean, f_var = model.predict_f(params, xb, full_cov=False)
+        lpd = model.likelihood.predict_log_density(params["likelihood"], f_mean, f_var, yb)
+        sq_err = jnp.square(yb - f_mean)
+        return jnp.sum(sq_err), jnp.sum(lpd)
+
+    def elbo_batch(params, xb, yb, key):
+        return model.elbo(params, (xb, yb), key) if _takes_key(model) else model.elbo(
+            params, (xb, yb)
+        )
+
+    if use_jit:
+        predict_batch = jax.jit(predict_batch)
+        elbo_batch = jax.jit(elbo_batch)
+
+    def metrics_fn(step: int, params: Dict) -> Dict:
+        sq_err_total = 0.0
+        lpd_total = 0.0
+        for idx in batched_indices(n_test, batch_size):
+            se, lpd = predict_batch(params, x_test[idx], y_test[idx])
+            sq_err_total += float(se)
+            lpd_total += float(lpd)
+        rmse = float(np.sqrt(sq_err_total / n_test))
+        nlpd = float(-lpd_total / n_test)
+
+        x_train, y_train = train_data
+        elbo_key = key if key is not None else jax.random.PRNGKey(0)
+        n_eval = min(x_train.shape[0], batch_size)
+        elbo = float(elbo_batch(params, x_train[:n_eval], y_train[:n_eval], elbo_key))
+        if check_numerics and not np.isfinite(elbo):
+            raise FloatingPointError(f"non-finite ELBO at step {step}: {elbo}")
+        return {"test/rmse": rmse, "test/nlpd": nlpd, "train/elbo": elbo}
+
+    return metrics_fn
+
+
+def _takes_key(model) -> bool:
+    import inspect
+
+    try:
+        return "key" in inspect.signature(model.elbo).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def make_param_callback(model) -> Callable:
+    """Constrained kernel/likelihood parameter dump (reference optimize.py:267-282)."""
+
+    def param_fn(step: int, params: Dict) -> Dict:
+        del step
+        out = {}
+        constrained = model.kernel.constrained(params["kernel"])
+        for name, value in constrained.items():
+            value = np.asarray(value)
+            if value.ndim == 0:
+                out[f"kernel/{name}"] = value
+            else:
+                for i, v in enumerate(value.reshape(-1)):
+                    out[f"kernel/{name}[{i}]"] = np.asarray(v)
+        out["likelihood/variance"] = np.asarray(
+            model.likelihood.variance(params["likelihood"])
+        )
+        return out
+
+    return param_fn
+
+
+def create_monitor(
+    logdir: Optional[str],
+    metrics_fn: Optional[Callable] = None,
+    param_fn: Optional[Callable] = None,
+    record_step: int = 100,
+    use_tensorboard: bool = True,
+) -> Monitor:
+    """Assemble the standard monitor (reference optimize.py:367-389)."""
+    monitor = Monitor(logdir, use_tensorboard=use_tensorboard)
+    if metrics_fn is not None:
+        monitor.add_callback("metrics", metrics_fn, record_step=record_step)
+    if param_fn is not None:
+        monitor.add_callback("params", param_fn, record_step=record_step)
+    return monitor

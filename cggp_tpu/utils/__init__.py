@@ -1,0 +1,17 @@
+"""Utility helpers: parameter store (config-dir contract), timers."""
+
+from cggp_tpu.utils.store import (
+    assign_flat,
+    flatten_params,
+    load_config_dir,
+    save_config_dir,
+    unflatten_params,
+)
+
+__all__ = [
+    "assign_flat",
+    "flatten_params",
+    "load_config_dir",
+    "save_config_dir",
+    "unflatten_params",
+]

@@ -1,0 +1,197 @@
+"""Training-loop tests: Adam/L-BFGS improve objectives, monitor + store work.
+
+Mirrors the reference's implicit test strategy (training drivers exercised via
+the experiment pipeline, SURVEY.md section 4) with explicit assertions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cggp_tpu.models import CGGP, GPR, ClusterGP
+from cggp_tpu.ops.cg import ConjugateGradient
+from cggp_tpu.ops.kernels import SquaredExponential
+from cggp_tpu.selection.update import labels_update_inducing_parameters
+from cggp_tpu.training import (
+    create_monitor,
+    make_metrics_callback,
+    make_param_callback,
+    train_using_adam_and_update,
+    train_using_lbfgs_and_update,
+)
+from cggp_tpu.utils import assign_flat, flatten_params, load_config_dir, save_config_dir
+
+
+def _toy_data(rng, n=128, d=2):
+    x = rng.uniform(-1.0, 1.0, size=(n, d))
+    y = np.sin(3.0 * x[:, :1]) + 0.1 * rng.standard_normal((n, 1))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def _make_cggp(data, m=16):
+    x, y = data
+    kernel = SquaredExponential()
+    model = CGGP(
+        kernel=kernel,
+        conjugate_gradient=ConjugateGradient(error_threshold=1e-12),
+        num_data=x.shape[0],
+        num_probes=3,
+    )
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:m])
+    params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
+    return model, params
+
+
+def test_adam_improves_cggp_elbo(rng):
+    data = _toy_data(rng)
+    model, params = _make_cggp(data)
+    key = jax.random.PRNGKey(0)
+
+    def loss_fn(p, batch, k):
+        return model.training_loss(p, batch, k)
+
+    loss_before = float(loss_fn(params, data, key))
+    trained = train_using_adam_and_update(
+        params,
+        loss_fn,
+        data,
+        iterations=30,
+        batch_size=64,
+        learning_rate=0.05,
+        key=key,
+        trainable_mask=model.trainable_mask(params),
+    )
+    loss_after = float(loss_fn(trained, data, key))
+    assert np.isfinite(loss_after)
+    assert loss_after < loss_before
+    # Frozen leaves must not move.
+    np.testing.assert_array_equal(trained["pseudo_u"], params["pseudo_u"])
+    np.testing.assert_array_equal(trained["cluster_counts"], params["cluster_counts"])
+
+
+def test_adam_with_update_fn_reclusters(rng):
+    data = _toy_data(rng)
+    model, params = _make_cggp(data, m=16)
+    key = jax.random.PRNGKey(1)
+
+    calls = {"n": 0}
+
+    def update_fn(p):
+        calls["n"] += 1
+        iv, u, counts = labels_update_inducing_parameters(data, p["inducing_points"])
+        return model.assign_clusters(p, iv, u, counts)
+
+    trained = train_using_adam_and_update(
+        params,
+        lambda p, b, k: model.training_loss(p, b, k),
+        data,
+        iterations=5,
+        batch_size=64,
+        learning_rate=0.01,
+        key=key,
+        update_fn=update_fn,
+        trainable_mask=model.trainable_mask(params),
+    )
+    assert calls["n"] == 5
+    assert np.all(np.isfinite(np.asarray(trained["pseudo_u"])))
+
+
+def test_lbfgs_improves_gpr(rng):
+    data = _toy_data(rng, n=64)
+    model = GPR(kernel=SquaredExponential())
+    params = model.init_params(input_dim=2)
+    loss_before = float(model.training_loss(params, data))
+    trained = train_using_lbfgs_and_update(
+        params, lambda p: model.training_loss(p, data), max_iterations=25
+    )
+    loss_after = float(model.training_loss(trained, data))
+    assert loss_after < loss_before - 1.0
+
+
+def test_lbfgs_respects_trainable_mask(rng):
+    data = _toy_data(rng, n=64)
+    model = GPR(kernel=SquaredExponential())
+    params = model.init_params(input_dim=2)
+    mask = {
+        "kernel": {"variance": True, "lengthscales": True},
+        "likelihood": {"variance": False},
+    }
+    trained = train_using_lbfgs_and_update(
+        params, lambda p: model.training_loss(p, data), max_iterations=10,
+        trainable_mask=mask,
+    )
+    np.testing.assert_array_equal(
+        trained["likelihood"]["variance"], params["likelihood"]["variance"]
+    )
+    assert not np.allclose(trained["kernel"]["lengthscales"], params["kernel"]["lengthscales"])
+
+
+def test_metrics_callback_and_monitor(rng, tmp_path):
+    data = _toy_data(rng)
+    test_data = _toy_data(rng, n=32)
+    model, params = _make_cggp(data)
+    metrics_fn = make_metrics_callback(
+        model, data, test_data, batch_size=16, key=jax.random.PRNGKey(0),
+    )
+    param_fn = make_param_callback(model)
+    monitor = create_monitor(
+        str(tmp_path), metrics_fn, param_fn, record_step=1, use_tensorboard=False
+    )
+    monitor(0, params)
+    metrics = monitor.collect_logs()["metrics"][0]
+    assert np.isfinite(metrics["test/rmse"])
+    assert np.isfinite(metrics["test/nlpd"])
+    assert np.isfinite(metrics["train/elbo"])
+    assert "kernel/variance" in monitor.collect_logs()["params"][0]
+    monitor.close()
+    assert (tmp_path / "metrics.logs.npy").exists()
+
+
+def test_monitor_sees_live_params_during_training(rng, tmp_path):
+    """Regression: mid-training callbacks must observe the trainer's current
+    params, not a stale snapshot (found by driving the monitor end-to-end)."""
+    data = _toy_data(rng)
+    model, params = _make_cggp(data)
+    seen = []
+
+    def spy(step, p):
+        seen.append(np.asarray(p["kernel"]["variance"]).copy())
+        return None
+
+    monitor = create_monitor(str(tmp_path), use_tensorboard=False)
+    monitor.add_callback("spy", spy, record_step=5)
+    train_using_adam_and_update(
+        params,
+        lambda p, b, k: model.training_loss(p, b, k),
+        data,
+        iterations=11,
+        batch_size=64,
+        learning_rate=0.05,
+        key=jax.random.PRNGKey(2),
+        trainable_mask=model.trainable_mask(params),
+        monitor=monitor,
+    )
+    assert len(seen) == 3  # steps 0, 5, 10
+    assert not np.allclose(seen[0], seen[-1])
+
+
+def test_config_dir_roundtrip(rng, tmp_path):
+    data = _toy_data(rng, n=64)
+    gpr = GPR(kernel=SquaredExponential())
+    gpr_params = gpr.init_params(input_dim=2, variance=2.0, noise_variance=0.3)
+    save_config_dir(tmp_path / "cfg", gpr_params, {"dataset": "toy", "seed": 0})
+
+    flat, info = load_config_dir(tmp_path / "cfg")
+    assert info["dataset"] == "toy"
+    assert set(flat) == {"kernel/variance", "kernel/lengthscales", "likelihood/variance"}
+
+    # GPR hyperparameters flow into a ClusterGP (the reference's cross-model
+    # multiple_assign workflow, paper_cli_uci.py:123-124).
+    model = ClusterGP(kernel=SquaredExponential(), num_data=64)
+    params = model.init_params(data[0][:8])
+    loaded = assign_flat(params, flat)
+    np.testing.assert_allclose(
+        loaded["kernel"]["variance"], gpr_params["kernel"]["variance"]
+    )
+    np.testing.assert_array_equal(loaded["pseudo_u"], params["pseudo_u"])
+    assert flatten_params(loaded)["likelihood/variance"] == flat["likelihood/variance"]
