@@ -1,0 +1,401 @@
+"""CLI parameter types and model/update-fn factories (reference cli_utils.py).
+
+The factories return functional triples ``(model_spec, params, update_fn)``
+instead of mutating GPflow variables: ``update_fn(params) -> params`` is the
+reference's variable-assign block (cli_utils.py:396-406) re-expressed as a
+pure function.
+
+Reference bugs deliberately fixed here (SURVEY.md known-bugs):
+* KernelType inline params parse correctly (``ast`` import missing at
+  reference cli_utils.py:114);
+* the ``kmeans2`` command actually dispatches to scipy k-means++ (reference
+  click_cmds.py:73 silently fell back to Lloyd's).
+"""
+
+from __future__ import annotations
+
+import ast
+import glob as globlib
+from functools import reduce
+from operator import iconcat
+from pathlib import Path
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cggp_tpu.data import DATASET_NAMES, load_data
+from cggp_tpu.models import CGGP, ClusterGP, GPR, LpSVGP, SGPR
+from cggp_tpu.ops.cg import ConjugateGradient
+from cggp_tpu.ops.distance import DistanceType, create_distance_fn
+from cggp_tpu.ops.kernels import Kernel, kernel_by_name
+from cggp_tpu.selection.kmeans import kmeans_lloyd
+from cggp_tpu.selection.points import greedy_selection, oips, uniform
+from cggp_tpu.selection.update import (
+    covertree_update_inducing_parameters,
+    kmeans_update_inducing_parameters,
+    labels_update_inducing_parameters,
+)
+
+Array = jnp.ndarray
+
+CLUSTERING_TYPES = ("kmeans", "kmeans2", "covertree", "oips", "uniform", "greedy")
+MODEL_NAMES = ("sgpr", "cdgp")
+DistanceChoices = click.Choice(DistanceType)
+ModelChoices = click.Choice(MODEL_NAMES)
+
+precision_names = {np.float32: "fp32", np.float64: "fp64"}
+
+
+# ---------------------------------------------------------------------------
+# Click parameter types (reference cli_utils.py:42-135)
+# ---------------------------------------------------------------------------
+
+
+class FloatType(click.ParamType):
+    name = "dtype"
+
+    def convert(self, value, param, ctx):
+        options = {"fp32": np.float32, "fp64": np.float64}
+        try:
+            return options[value.lower()]
+        except KeyError:
+            self.fail(f"{value} is not a valid float type [fp32, fp64]", param, ctx)
+
+
+class LogdirPath(click.Path):
+    default_logdir = "./logs-default"
+
+    def __init__(self, mkdir: bool = True, **kwargs):
+        super().__init__(**kwargs)
+        self.mkdir = mkdir
+
+    def convert(self, value, param, ctx):
+        logdir = Path(super().convert(value, param, ctx)).expanduser().resolve()
+        if self.mkdir:
+            logdir.mkdir(parents=True, exist_ok=True)
+        return logdir
+
+
+class DatasetType(click.ParamType):
+    name = "dataset"
+    datasets = DATASET_NAMES
+
+    def convert(self, value, param, ctx):
+        if value not in self.datasets:
+            self.fail(f"{value} dataset is not supported", param, ctx)
+
+        def load_data_fn(seed: int):
+            return load_data(value, seed=seed)
+
+        return load_data_fn
+
+
+class KernelType(click.ParamType):
+    """``se``, ``matern32`` etc., with optional ``_len=..._var=...`` inline
+    parameters (reference cli_utils.py:103-135; the reference's parser is
+    broken by a missing ``ast`` import — fixed here)."""
+
+    name = "kernel"
+    kernels = ("se", "matern32", "matern12", "matern52")
+    param_keymap = {"var": "variance", "len": "lengthscales"}
+
+    @classmethod
+    def parse_kernel_parameters(cls, source: str) -> Dict:
+        params = [kv.split("=") for kv in source.split("_")]
+        return {cls.param_keymap[k]: ast.literal_eval(v) for k, v in params}
+
+    def convert(self, value, param, ctx):
+        try:
+            kernel_name, *conf = value.split("_", maxsplit=1)
+            if kernel_name not in self.kernels:
+                raise KeyError(kernel_name)
+            kernel_params = self.parse_kernel_parameters(conf[0]) if conf else {}
+
+            def create_kernel_fn(ndim: int) -> Tuple[Kernel, Dict]:
+                kernel = kernel_by_name(kernel_name)
+                lengthscales = np.ones(ndim)
+                if "lengthscales" in kernel_params:
+                    lengthscales = lengthscales * kernel_params["lengthscales"]
+                variance = float(kernel_params.get("variance", 1.0))
+                return kernel, dict(variance=variance, lengthscales=lengthscales)
+
+            return create_kernel_fn
+        except (KeyError, ValueError, SyntaxError):
+            self.fail(f"{value} is not supported", param, ctx)
+
+
+def expand_paths_with_wildcards(filepaths: Sequence[str]) -> Sequence[str]:
+    full_list = [globlib.glob(str(f)) for f in filepaths]
+    return list(reduce(iconcat, full_list, []))
+
+
+# ---------------------------------------------------------------------------
+# Model factories (reference cli_utils.py:143-184, :439-452)
+# ---------------------------------------------------------------------------
+
+
+def default_kernel_fn(ndim: int) -> Tuple[Kernel, Dict]:
+    """Matern32 with unit ARD lengthscales (reference cli_utils.py:363-368)."""
+    return kernel_by_name("matern32"), dict(variance=1.0, lengthscales=np.ones(ndim))
+
+
+def create_model(
+    model_name: str,
+    kernel_fn: Callable,
+    data: Tuple[Array, Array],
+    num_inducing_points: Optional[int] = None,
+    error_threshold: float = 1e-6,
+    dtype=None,
+    seed: int = 0,
+    **model_kwargs,
+):
+    """Build ``(model_spec, params)`` with a random-subset Z and likelihood
+    variance 0.1 (reference cli_utils.py:143-168)."""
+    x = np.asarray(data[0])
+    n, dim = x.shape[0], x.shape[-1]
+    if num_inducing_points is None:
+        num_inducing_points = int(n * 0.1)
+    rng = np.random.RandomState(seed)
+    rand_indices = rng.choice(n, size=num_inducing_points, replace=False)
+    iv = x[rand_indices]
+
+    kernel, kernel_init = kernel_fn(dim)
+    noise_variance = 0.1
+
+    if model_name == "cdgp":
+        model = CGGP(
+            kernel=kernel,
+            conjugate_gradient=ConjugateGradient(error_threshold),
+            num_data=n,
+            **model_kwargs,
+        )
+        params = model.init_params(
+            iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
+        )
+    elif model_name == "clustergp":
+        model = ClusterGP(kernel=kernel, num_data=n, **model_kwargs)
+        params = model.init_params(
+            iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
+        )
+    elif model_name == "lpsvgp":
+        model = LpSVGP(kernel=kernel, num_data=n, **model_kwargs)
+        params = model.init_params(
+            iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
+        )
+    elif model_name == "sgpr":
+        model = SGPR(kernel=kernel, **model_kwargs)
+        params = model.init_params(
+            iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
+        )
+    else:
+        raise ValueError(f"Unknown model {model_name!r}")
+    return model, params
+
+
+def create_gpr_model(
+    train_data: Tuple[Array, Array],
+    kernel_fn: Callable,
+    dtype=None,
+) -> Tuple[GPR, Dict]:
+    """GPR factory (reference cli_utils.py:171-184 — which ignores its kernel
+    argument, SURVEY.md known-bugs 4; ours honours it)."""
+    dim = np.asarray(train_data[0]).shape[-1]
+    kernel, kernel_init = kernel_fn(dim)
+    model = GPR(kernel=kernel)
+    params = model.init_params(
+        input_dim=dim, noise_variance=0.1, dtype=dtype, **kernel_init
+    )
+    return model, params
+
+
+# ---------------------------------------------------------------------------
+# Update-fn factories (reference cli_utils.py:187-360)
+# ---------------------------------------------------------------------------
+
+
+def _apply_selection(model, params: Dict, iv, means, counts) -> Dict:
+    """The reference's per-model assign block (cli_utils.py:396-406)."""
+    if isinstance(model, ClusterGP):  # covers CGGP subclass
+        return model.assign_clusters(params, iv, means, counts)
+    new = dict(params)
+    new["inducing_points"] = jnp.asarray(iv, dtype=params["inducing_points"].dtype)
+    return new
+
+
+def _distance_fn(model, params: Dict, distance_type: str):
+    if distance_type == "euclidean":
+        return None  # fast path in kmeans/covertree
+    return create_distance_fn(model.kernel, params["kernel"], distance_type)
+
+
+def create_update_fn(
+    clustering_type: str,
+    model,
+    data: Tuple[Array, Array],
+    distance_type: str = "euclidean",
+    seed: int = 0,
+    **clustering_kwargs,
+) -> Callable[[Dict], Dict]:
+    """String-dispatched factory (reference cli_utils.py:328-360).
+
+    Returns ``update_fn(params) -> params``.  Selection strategies that
+    depend on kernel hyperparameters (oips, greedy, kernel-induced
+    distances) read them from the *current* params at call time.
+    """
+    x, _y = data
+    key = jax.random.PRNGKey(seed)
+
+    if clustering_type == "kmeans":
+        max_points = int(clustering_kwargs["max_points"])
+
+        def update_fn(params: Dict) -> Dict:
+            dist = _distance_fn(model, params, distance_type)
+            iv_init = params["inducing_points"]
+            if iv_init.shape[0] != max_points:
+                idx = np.random.RandomState(seed).choice(
+                    x.shape[0], max_points, replace=False
+                )
+                iv_init = x[idx]
+            clustering = lambda: kmeans_lloyd(
+                x, max_points, initial_centroids=iv_init, distance_fn=dist
+            )[0]
+            iv, means, counts = kmeans_update_inducing_parameters(
+                data, clustering, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    elif clustering_type == "kmeans2":
+        from scipy.cluster.vq import kmeans2 as scipy_kmeans2
+
+        max_points = int(clustering_kwargs["max_points"])
+
+        def update_fn(params: Dict) -> Dict:
+            dist = _distance_fn(model, params, distance_type)
+            clustering = lambda: jnp.asarray(
+                scipy_kmeans2(np.asarray(x), max_points, minit="++", seed=seed)[0],
+                dtype=x.dtype,
+            )
+            iv, means, counts = kmeans_update_inducing_parameters(
+                data, clustering, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    elif clustering_type == "covertree":
+        spatial_resolution = float(clustering_kwargs["spatial_resolution"])
+
+        def update_fn(params: Dict) -> Dict:
+            dist = _distance_fn(model, params, distance_type)
+            iv, means, counts = covertree_update_inducing_parameters(
+                data, spatial_resolution, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    elif clustering_type == "oips":
+        rho = float(clustering_kwargs["rho"])
+        max_points = clustering_kwargs.get("max_points") or x.shape[0]
+
+        def update_fn(params: Dict) -> Dict:
+            dist = _distance_fn(model, params, distance_type)
+            iv, _idx = oips(model.kernel, params["kernel"], x, rho, int(max_points))
+            iv, means, counts = labels_update_inducing_parameters(
+                data, iv, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    elif clustering_type == "uniform":
+        max_points = int(clustering_kwargs["max_points"])
+        if max_points > x.shape[0]:
+            raise ValueError("Max points cannot be larger than the dataset size")
+
+        def update_fn(params: Dict) -> Dict:
+            dist = _distance_fn(model, params, distance_type)
+            iv, _idx = uniform(x, max_points, key)
+            iv, means, counts = labels_update_inducing_parameters(
+                data, iv, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    elif clustering_type == "greedy":
+        max_points = int(clustering_kwargs["max_points"])
+
+        def update_fn(params: Dict) -> Dict:
+            dist = _distance_fn(model, params, distance_type)
+            iv, _idx = greedy_selection(
+                model.kernel, params["kernel"], x, max_points, key
+            )
+            iv, means, counts = labels_update_inducing_parameters(
+                data, iv, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    else:
+        raise ValueError(f"Unknown clustering type {clustering_type!r}")
+
+    return update_fn
+
+
+def create_model_and_update_fn(
+    model_name: str,
+    train_data: Tuple[Array, Array],
+    clustering_type: str,
+    distance_type: str = "euclidean",
+    error_threshold: float = 1e-6,
+    dtype=None,
+    seed: int = 0,
+    model_kwargs: Optional[Dict] = None,
+    clustering_kwargs: Optional[Dict] = None,
+):
+    """Build ``(model, params, update_fn)`` (reference cli_utils.py:371-414)."""
+    model_kwargs = model_kwargs or {}
+    clustering_kwargs = clustering_kwargs or {}
+    model, params = create_model(
+        model_name,
+        default_kernel_fn,
+        train_data,
+        error_threshold=error_threshold,
+        dtype=dtype,
+        seed=seed,
+        **model_kwargs,
+    )
+    update_fn = create_update_fn(
+        clustering_type,
+        model,
+        train_data,
+        distance_type=distance_type,
+        seed=seed,
+        **clustering_kwargs,
+    )
+    return model, params, update_fn
+
+
+# ---------------------------------------------------------------------------
+# Prediction helpers (reference cli_utils.py:455-476)
+# ---------------------------------------------------------------------------
+
+
+def batch_posterior_computation(predict_fn, data, batch_size: int):
+    """Batched posterior mean/var dump (reference cli_utils.py:462-476)."""
+    x = data[0]
+    n = x.shape[0]
+    means, variances = [], []
+    for start in range(0, n, batch_size):
+        mu, var = predict_fn(x[start : start + batch_size])
+        means.append(np.asarray(mu))
+        variances.append(np.asarray(var))
+    return np.concatenate(means, axis=0), np.concatenate(variances, axis=0)
+
+
+def covariance_properties(model, params: Dict, jitter: float) -> Dict:
+    """condition_number / eig_min / eig_max of ``Kuu + jitter I``
+    (reference paper_cli_uci.py:174-185)."""
+    z = params["inducing_points"]
+    kuu = model.kernel.K(params["kernel"], z)
+    kuu = kuu + jitter * jnp.eye(z.shape[0], dtype=z.dtype)
+    eigvals = np.asarray(jnp.linalg.eigvalsh(kuu))
+    eig_min, eig_max = float(eigvals.min()), float(eigvals.max())
+    return dict(
+        condition_number=eig_max / eig_min, eig_min=eig_min, eig_max=eig_max
+    )

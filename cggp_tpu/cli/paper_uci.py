@@ -1,0 +1,165 @@
+"""UCI evaluation driver (reference paper_cli_uci.py:39-210).
+
+Command tree: ``uci -mc cdgp -p fp64 -j 1e-6 -c CONFIG_DIR
+{covertree|kmeans|kmeans2|oips|uniform|greedy} [opts] compute-metrics -l LOGDIR``.
+
+Loads reference GPR hyperparameters from a config dir (``params.npz`` +
+``info.json`` produced by the ``gpr`` driver), builds the model + selection
+update fn, runs the update once, evaluates RMSE/NLPD/ELBO and the
+condition-number properties of ``Kuu``, and writes ``results.json``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import click
+import jax
+import numpy as np
+
+from cggp_tpu.cli.cli_utils import (
+    DatasetType,
+    FloatType,
+    LogdirPath,
+    ModelChoices,
+    covariance_properties,
+    expand_paths_with_wildcards,
+    precision_names,
+)
+from cggp_tpu.cli.click_cmds import make_selection_groups
+from cggp_tpu.training.optimize import make_metrics_callback
+from cggp_tpu.utils import assign_flat, load_config_dir
+from cggp_tpu.utils.store import store_as_json
+
+
+@click.group("uci")
+@click.option("-mc", "--model-class", type=ModelChoices, required=True)
+@click.option("-p", "--precision", type=FloatType(), required=True)
+@click.option("-j", "--jitter", type=float, required=True)
+@click.option("-c", "--config-dir", type=LogdirPath(mkdir=False))
+@click.option("-e", "--error-threshold", type=float, default=1e-6)
+@click.option("--jit/--no-jit", type=bool, default=True)
+@click.pass_context
+def main(
+    ctx: click.Context,
+    model_class: str,
+    precision,
+    jitter: float,
+    config_dir,
+    error_threshold: float,
+    jit: bool,
+):
+    """Core command shared by all UCI evaluation runs
+    (reference paper_cli_uci.py:39-105)."""
+    if precision == np.float64:
+        jax.config.update("jax_enable_x64", True)
+
+    ref_info: Optional[Dict] = None
+    ref_flat = None
+    if config_dir is not None:
+        glob_dirs = expand_paths_with_wildcards([str(config_dir)])
+        if len(glob_dirs) > 1:
+            raise click.UsageError(
+                f"Ambiguous config directory wildcard. Found {glob_dirs}."
+            )
+        config_dir = glob_dirs[0] if glob_dirs else config_dir
+        ref_flat, ref_info = load_config_dir(config_dir)
+        seed = int(ref_info["seed"])
+        dataset_name = ref_info["dataset_name"]
+    else:
+        seed = 111
+        dataset_name = "naval"
+        config_dir = "none"
+
+    np.random.seed(seed)
+    dataset = DatasetType().convert(dataset_name, None, None)(seed)
+
+    ctx.obj = dict(
+        common_ctx=dict(
+            seed=seed,
+            dataset_name=dataset_name,
+            config_dir=str(config_dir),
+            model_class=model_class,
+            ref_info=ref_info,
+            ref_flat=ref_flat,
+            dataset=dataset,
+            jitter=jitter,
+            error_threshold=error_threshold,
+            precision=precision_names[precision],
+            dtype=precision,
+            jit=jit,
+        )
+    )
+
+
+@click.command("compute-metrics")
+@click.option("-l", "--logdir", type=LogdirPath(), default=LogdirPath.default_logdir)
+@click.option("-tb", "--test-batch-size", type=int)
+@click.pass_context
+def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
+    """Reference paper_cli_uci.py:108-171."""
+    common_ctx = ctx.obj["common_ctx"]
+    ip_ctx = ctx.obj["ip_ctx"]
+
+    dataset = common_ctx["dataset"]
+    model = ip_ctx["model"]
+    params = ip_ctx["params"]
+    update_fn = ip_ctx["update_fn"]
+    jitter = common_ctx["jitter"]
+
+    if common_ctx["ref_flat"] is not None:
+        params = assign_flat(params, common_ctx["ref_flat"])
+
+    if test_batch_size is None:
+        test_batch_size = dataset.test[0].shape[0]
+
+    params = update_fn(params)
+
+    metrics_fn = make_metrics_callback(
+        model,
+        dataset.train,
+        dataset.test,
+        batch_size=test_batch_size,
+        key=jax.random.PRNGKey(common_ctx["seed"]),
+        check_numerics=False,
+        use_jit=common_ctx["jit"],
+    )
+    metrics = metrics_fn(-1, params)
+    properties = covariance_properties(model, params, jitter)
+    m = int(params["inducing_points"].shape[0])
+
+    info = {
+        "seed": common_ctx["seed"],
+        "model": common_ctx["model_class"],
+        "dataset": common_ctx["dataset_name"],
+        "train_data_size": int(dataset.train[0].shape[0]),
+        "test_data_size": int(dataset.test[0].shape[0]),
+        "input_dim": int(dataset.train[0].shape[-1]),
+        "jitter": jitter,
+        "precision": common_ctx["precision"],
+        "jit": common_ctx["jit"],
+        "config_dir": common_ctx["config_dir"],
+        "clustering_type": ip_ctx["clustering_type"],
+        "clustering_args": ip_ctx["clustering_kwargs"],
+        "num_inducing_points": m,
+    }
+    results = {**info, **metrics, **properties}
+    store_as_json(Path(logdir, "results.json"), results)
+    click.echo(json.dumps(results, indent=2, default=str))
+    click.echo("=== Script finished ===")
+
+
+def attach_commands(group: click.Group) -> click.Group:
+    for name, sel in make_selection_groups().items():
+        sel.add_command(compute_metrics, "compute-metrics")
+        group.add_command(sel, name)
+    return group
+
+
+attach_commands(main)
+
+
+if __name__ == "__main__":
+    main()

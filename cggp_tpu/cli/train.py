@@ -1,0 +1,141 @@
+"""Generic CGGP Adam training (reference cli.py train-cggp-adam).
+
+The reference script is import-broken (``TypeVar`` unimported, stale
+``create_update_fn`` signature — SURVEY.md known-bugs 1-2); this is the
+working equivalent, with the same command shape: model built with a
+random-subset Z, per-step re-clustering *during* training (cli.py:153-162).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import click
+import jax
+import numpy as np
+
+from cggp_tpu.cli.cli_utils import (
+    DatasetType,
+    KernelType,
+    LogdirPath,
+    create_model,
+    create_update_fn,
+)
+from cggp_tpu.training.optimize import (
+    create_monitor,
+    make_metrics_callback,
+    make_param_callback,
+    train_using_adam_and_update,
+)
+from cggp_tpu.utils import save_config_dir
+
+_distance_types = click.Choice(["covariance", "correlation", "euclidean"])
+_clustering_types = click.Choice(["covertree", "kmeans", "oips"])
+
+
+@click.group("train")
+@click.option("-d", "--dataset", "dataset_fn", type=DatasetType(), required=True)
+@click.option("-k", "--kernel", type=KernelType(), default="se")
+@click.option("-l", "--logdir", type=LogdirPath(), default=LogdirPath.default_logdir)
+@click.option("-s", "--seed", type=int, default=0)
+@click.option("--jit/--no-jit", type=bool, default=True)
+@click.pass_context
+def main(ctx, dataset_fn, kernel, logdir, seed, jit):
+    """Core command (reference cli.py:44-72)."""
+    np.random.seed(seed)
+    ctx.obj = dict(
+        seed=seed,
+        logdir=logdir,
+        dataset=dataset_fn(seed),
+        kernel_fn=kernel,
+        jit=jit,
+    )
+
+
+@main.command("train-cggp-adam")
+@click.option("-n", "--num-iterations", type=int, required=True)
+@click.option("-b", "--batch-size", type=int, required=True)
+@click.option("-m", "--num-inducing-points", type=int)
+@click.option("-d", "--distance-type", type=_distance_types, default="covariance")
+@click.option("-c", "--clustering-type", type=_clustering_types, default="kmeans")
+@click.option("-l", "--learning-rate", type=float, default=0.01)
+@click.option("-e", "--error-threshold", type=float, default=1e-5)
+@click.option("-r", "--record-step", type=int, default=100)
+@click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
+@click.pass_context
+def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
+                    distance_type, clustering_type, learning_rate,
+                    error_threshold, record_step, tensorboard):
+    """Adam training on the CGGP model (reference cli.py:79-162)."""
+    obj = ctx.obj
+    dataset = obj["dataset"]
+    train_data, test_data = dataset.train, dataset.test
+    logdir = obj["logdir"]
+    key = jax.random.PRNGKey(obj["seed"])
+
+    info = {
+        "command": "train_cggp_adam",
+        "seed": obj["seed"],
+        "dataset_name": dataset.name,
+        "num_inducing_points": num_inducing_points,
+        "num_iterations": num_iterations,
+        "learning_rate": learning_rate,
+        "logdir": str(logdir),
+        "batch_size": batch_size,
+        "train_size": int(train_data[0].shape[0]),
+        "test_size": int(test_data[0].shape[0]),
+        "input_dimension": int(train_data[0].shape[-1]),
+        "clustering_type": clustering_type,
+        "distance_type": distance_type,
+    }
+    click.echo(f"-> {json.dumps(info, indent=2)}")
+
+    model, params = create_model(
+        "cdgp", obj["kernel_fn"], train_data,
+        num_inducing_points=num_inducing_points,
+        error_threshold=error_threshold, seed=obj["seed"],
+    )
+    clustering_kwargs = {}
+    if clustering_type in ("kmeans",):
+        clustering_kwargs["max_points"] = (
+            num_inducing_points or int(train_data[0].shape[0] * 0.1)
+        )
+    elif clustering_type == "oips":
+        clustering_kwargs = {"rho": 0.5, "max_points": num_inducing_points}
+    elif clustering_type == "covertree":
+        clustering_kwargs = {"spatial_resolution": 1.0}
+    update_fn = create_update_fn(
+        clustering_type, model, train_data,
+        distance_type=distance_type, seed=obj["seed"], **clustering_kwargs,
+    )
+
+    metrics_fn = make_metrics_callback(
+        model, train_data, test_data,
+        batch_size=batch_size * 5, key=key, use_jit=obj["jit"],
+    )
+    monitor = create_monitor(
+        str(logdir), metrics_fn, make_param_callback(model),
+        record_step=record_step, use_tensorboard=tensorboard,
+    )
+
+    params = train_using_adam_and_update(
+        params,
+        lambda p, b, k: model.training_loss(p, b, k),
+        train_data,
+        iterations=num_iterations,
+        batch_size=batch_size,
+        learning_rate=learning_rate,
+        key=key,
+        update_fn=update_fn,  # re-cluster during training (cli.py:153-162)
+        trainable_mask=model.trainable_mask(params),
+        monitor=monitor,
+    )
+    save_config_dir(logdir, params, info)
+    monitor.close()
+    click.echo("=== Script finished ===")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Dataset loading, splits, and normalization (reference data.py:1-147).
+
+Same dataset names, split proportion (0.67), and per-column normalization
+semantics as the reference.  Differences forced by the environment:
+
+* the reference pulls UCI sets through the unmaintained
+  ``bayesian_benchmarks`` git dependency and downloads snelson1d from
+  gatsby.ucl.ac.uk (data.py:26-60, :113-132).  This build reads the same
+  datasets from a local data directory (``$CGGP_DATA_DIR``, default
+  ``~/.datasets``) — ``{name}.npz`` with ``X``/``Y`` arrays for UCI, the
+  snelson ``snelson_train_inputs``/``_outputs`` text files, and the
+  ``east_africa_{train,test}.csv`` pair — and raises a clear error telling
+  the user where to put files instead of attempting network IO.
+* ``synthetic`` datasets are net-new: deterministic GP-flavoured regression
+  problems of any size, so every pipeline is runnable hermetically (and the
+  N≈1M scaling benchmarks of BASELINE.md config 5 have a data source).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import namedtuple
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+Dataset = Tuple[np.ndarray, np.ndarray]
+DatasetBundle = namedtuple("DatasetBundle", "name, train, test")
+
+SPLIT_PROPORTION = 0.67
+
+# The reference's allowed names (cli_utils.py:72-86) plus the synthetic family.
+DATASET_NAMES = [
+    "snelson1d",
+    "power",
+    "naval",
+    "elevators",
+    "bike",
+    "pol",
+    "houseelectric",
+    "3droad",
+    "buzz",
+    "keggdirected",
+    "keggundirected",
+    "song",
+    "east_africa",
+    "synthetic1d",
+    "synthetic",
+]
+
+
+def data_dir() -> Path:
+    return Path(os.environ.get("CGGP_DATA_DIR", "~/.datasets")).expanduser()
+
+
+def norm(x: np.ndarray):
+    """Zero-mean/unit-std per column, +1e-6 on std (reference data.py:101-105)."""
+    mu = np.mean(x, axis=0, keepdims=True)
+    std = np.std(x, axis=0, keepdims=True) + 1e-6
+    return (x - mu) / std, mu, std
+
+
+def norm_dataset(data: Dataset):
+    return norm(data[0]), norm(data[1])
+
+
+def _split(x: np.ndarray, y: np.ndarray, prop: float, seed: int) -> Tuple[Dataset, Dataset]:
+    """Shuffled prop-split with a seeded RandomState (the bayesian_benchmarks
+    convention the reference relies on, data.py:123-132)."""
+    n = x.shape[0]
+    ind = np.arange(n)
+    rng = np.random.RandomState(seed)
+    rng.shuffle(ind)
+    n_train = int(np.floor(prop * n))
+    tr, te = ind[:n_train], ind[n_train:]
+    return (x[tr], y[tr]), (x[te], y[te])
+
+
+def snelson1d(target_dir: Optional[str] = None) -> Tuple[Dataset, Dataset]:
+    """Snelson's 200-point 1-D set from the local cache (reference data.py:26-60).
+
+    Train and test are the same arrays, as in the reference.
+    """
+    target = Path(target_dir) if target_dir else data_dir() / "snelson1d"
+    inputs_path = target / "snelson_train_inputs"
+    outputs_path = target / "snelson_train_outputs"
+    if not (inputs_path.exists() and outputs_path.exists()):
+        raise FileNotFoundError(
+            f"snelson1d data not found under {target}. Download SPGP_dist.zip "
+            "(gatsby.ucl.ac.uk/~snelson) and place train_inputs/train_outputs "
+            f"there as snelson_train_inputs / snelson_train_outputs."
+        )
+    x = np.loadtxt(inputs_path)[:, None]
+    y = np.loadtxt(outputs_path)[:, None]
+    return (x, y), (x, y)
+
+
+def east_africa(
+    dirpath: Optional[str] = None, train_proportion: float = 0.7, seed: int = 0
+) -> Tuple[Dataset, Dataset]:
+    """Geospatial CSVs reshuffled 70/30 by seed (reference data.py:63-98)."""
+    import pandas as pd
+
+    dirpath = Path(dirpath) if dirpath else data_dir() / "east_africa"
+    frames = []
+    for split_name in ("train", "test"):
+        path = Path(dirpath, f"east_africa_{split_name}.csv")
+        if not path.exists():
+            raise FileNotFoundError(
+                f"east_africa data not found: {path}. Place "
+                "east_africa_train.csv / east_africa_test.csv there."
+            )
+        frames.append(np.array(pd.read_csv(path)))
+    stacked = np.concatenate(frames, axis=0)
+    x, y = stacked[:, :-1], stacked[:, -1:]
+    return _split(x, y, train_proportion, seed)
+
+
+def uci(name: str, seed: int = 0, prop: float = SPLIT_PROPORTION) -> Tuple[Dataset, Dataset]:
+    """UCI regression set from ``{data_dir}/uci/{name}.npz`` (keys X, Y).
+
+    Replaces the reference's ``bayesian_benchmarks.data.Wilson_*`` loaders
+    (data.py:123-132) with the same seeded shuffle + 0.67 split.
+    """
+    path = data_dir() / "uci" / f"{name}.npz"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"UCI dataset {name!r} not found at {path}. Save it as an .npz "
+            "with arrays 'X' [N, D] and 'Y' [N, 1]."
+        )
+    with np.load(path) as blob:
+        x, y = np.asarray(blob["X"], np.float64), np.asarray(blob["Y"], np.float64)
+    if y.ndim == 1:
+        y = y[:, None]
+    return _split(x, y, prop, seed)
+
+
+def synthetic(
+    n: int = 2000, dim: int = 2, seed: int = 0, noise: float = 0.1,
+    prop: float = SPLIT_PROPORTION,
+) -> Tuple[Dataset, Dataset]:
+    """Deterministic GP-flavoured regression problem (net-new, hermetic).
+
+    A fixed random-Fourier function of the inputs — smooth, stationary-ish,
+    and cheap to generate at any N (used by the scaling benchmarks,
+    BASELINE.md config 5).
+    """
+    rng = np.random.RandomState(seed)
+    x = rng.uniform(-2.0, 2.0, size=(n, dim))
+    w_rng = np.random.RandomState(12345)  # function is fixed across seeds
+    num_features = 32
+    theta = w_rng.normal(size=(dim, num_features)) * 1.5
+    weights = w_rng.normal(size=(2 * num_features,)) / np.sqrt(num_features)
+    phi = np.concatenate([np.cos(x @ theta), np.sin(x @ theta)], axis=-1)
+    y = (phi @ weights)[:, None] + noise * rng.standard_normal((n, 1))
+    return _split(x, y, prop, seed)
+
+
+def load_data(
+    name: str,
+    normalise: bool = True,
+    seed: int = 0,
+    dtype=np.float64,
+    synthetic_n: int = 2000,
+    synthetic_dim: int = 2,
+) -> DatasetBundle:
+    """Name-dispatched loader (reference data.py:113-147): test columns are
+    normalized by the *train* statistics."""
+    if name == "snelson1d":
+        train, test = snelson1d()
+    elif name == "east_africa":
+        train, test = east_africa(train_proportion=0.7, seed=seed)
+    elif name == "synthetic1d":
+        train, test = synthetic(n=synthetic_n, dim=1, seed=seed)
+    elif name == "synthetic":
+        train, test = synthetic(n=synthetic_n, dim=synthetic_dim, seed=seed)
+    elif name in DATASET_NAMES:
+        train, test = uci(name, seed=seed)
+    else:
+        raise ValueError(f"Unknown dataset {name!r}; choose from {DATASET_NAMES}")
+
+    if normalise:
+        (x_train, x_mu, x_std), (y_train, y_mu, y_std) = norm_dataset(train)
+        x_test = (test[0] - x_mu) / x_std
+        y_test = (test[1] - y_mu) / y_std
+    else:
+        (x_train, y_train), (x_test, y_test) = train, test
+
+    cast = lambda a: np.asarray(a, dtype=dtype)
+    return DatasetBundle(
+        name, (cast(x_train), cast(y_train)), (cast(x_test), cast(y_test))
+    )

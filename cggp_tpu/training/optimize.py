@@ -208,9 +208,10 @@ def make_metrics_callback(
     """
     x_test, y_test = test_data
     n_test = x_test.shape[0]
+    predict_f = bind_predict_fn(model, train_data)
 
     def predict_batch(params, xb, yb):
-        f_mean, f_var = model.predict_f(params, xb, full_cov=False)
+        f_mean, f_var = predict_f(params, xb)
         lpd = model.likelihood.predict_log_density(params["likelihood"], f_mean, f_var, yb)
         sq_err = jnp.square(yb - f_mean)
         return jnp.sum(sq_err), jnp.sum(lpd)
@@ -252,6 +253,19 @@ def _takes_key(model) -> bool:
         return "key" in inspect.signature(model.elbo).parameters
     except (TypeError, ValueError):
         return False
+
+
+def bind_predict_fn(model, train_data):
+    """Uniform ``predict(params, x) -> (mean, var)`` over both model families:
+    external-data variational models (``predict_f(params, x_new)``) and
+    internal-data models like SGPR/GPR whose predict needs the training set
+    (``predict_f(params, data, x_new)`` — the reference gets this for free
+    from GPflow's InternalDataTrainingLossMixin)."""
+    import inspect
+
+    if "data" in inspect.signature(model.predict_f).parameters:
+        return lambda params, x: model.predict_f(params, train_data, x, full_cov=False)
+    return lambda params, x: model.predict_f(params, x, full_cov=False)
 
 
 def make_param_callback(model) -> Callable:

@@ -1,0 +1,171 @@
+"""CLI smoke tests via click's CliRunner (the pattern the reference sketches
+at cli.py:172-189; SURVEY.md section 4 calls for making it real)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from cggp_tpu.cli.__main__ import cli
+from cggp_tpu.cli.sweep import expand_experiments
+
+
+@pytest.fixture
+def runner():
+    return CliRunner()
+
+
+def _run(runner, args):
+    result = runner.invoke(cli, args, catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    return result
+
+
+def test_gpr_then_uci_compute_metrics(runner, tmp_path):
+    """The load-bearing workflow: gpr trains + saves config dir; uci loads it
+    (reference paper_cli_gpr.py -> paper_cli_uci.py --config-dir)."""
+    gpr_dir = tmp_path / "gpr"
+    _run(runner, [
+        "gpr", "-d", "synthetic1d", "-n", "5", "-l", str(gpr_dir),
+        "-k", "matern32", "-s", "0", "--no-tensorboard",
+    ])
+    assert (gpr_dir / "params.npz").exists()
+    assert (gpr_dir / "info.json").exists()
+    results = json.loads((gpr_dir / "results.json").read_text())
+    assert np.isfinite(results["test/rmse"])
+
+    uci_dir = tmp_path / "uci"
+    result = _run(runner, [
+        "uci", "-mc", "cdgp", "-p", "fp64", "-j", "1e-6",
+        "-c", str(gpr_dir),
+        "kmeans", "-m", "16",
+        "compute-metrics", "-l", str(uci_dir),
+    ])
+    out = json.loads((uci_dir / "results.json").read_text())
+    assert out["model"] == "cdgp"
+    assert out["dataset"] == "synthetic1d"
+    assert out["num_inducing_points"] == 16
+    assert np.isfinite(out["test/rmse"])
+    assert out["condition_number"] > 1.0
+    assert "Script finished" in result.output
+
+
+def test_uci_covertree_sgpr(runner, tmp_path):
+    gpr_dir = tmp_path / "gpr"
+    _run(runner, [
+        "gpr", "-d", "synthetic1d", "-n", "2", "-l", str(gpr_dir), "-s", "1",
+    ])
+    uci_dir = tmp_path / "uci"
+    _run(runner, [
+        "uci", "-mc", "sgpr", "-p", "fp64", "-j", "1e-6", "-c", str(gpr_dir),
+        "covertree", "-s", "0.5",
+        "compute-metrics", "-l", str(uci_dir),
+    ])
+    out = json.loads((uci_dir / "results.json").read_text())
+    assert out["clustering_type"] == "covertree"
+    assert out["num_inducing_points"] > 1
+
+
+def test_train_cggp_adam(runner, tmp_path):
+    logdir = tmp_path / "train"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir), "-s", "0",
+        "train-cggp-adam", "-n", "3", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean", "--no-tensorboard",
+    ])
+    assert (logdir / "params.npz").exists()
+    assert "Script finished" in result.output
+
+
+def test_geospatial_train_adam(runner, tmp_path):
+    logdir = tmp_path / "geo"
+    _run(runner, [
+        "geospatial", "-d", "synthetic", "-mc", "cdgp", "-l", str(logdir),
+        "-s", "0", "kmeans", "-m", "8",
+        "train-adam", "-n", "3", "-b", "64", "-r", "2", "--no-tensorboard",
+    ])
+    assert (logdir / "params.npz").exists()
+    assert (logdir / "test_mean.npy").exists()
+    mean = np.load(logdir / "test_mean.npy")
+    assert mean.ndim == 2 and np.all(np.isfinite(mean))
+
+
+def test_predict_from_config_dir(runner, tmp_path):
+    logdir = tmp_path / "geo"
+    _run(runner, [
+        "geospatial", "-d", "synthetic1d", "-mc", "cdgp", "-l", str(logdir),
+        "-s", "0", "kmeans", "-m", "8",
+        "train-adam", "-n", "2", "-b", "64", "--no-tensorboard",
+    ])
+    out = tmp_path / "pred"
+    out.mkdir()
+    _run(runner, ["predict", "-c", str(logdir), "-l", str(out), "-mc", "cdgp"])
+    assert (out / "test_mean.npy").exists()
+
+
+def test_uci_csv_aggregation(runner, tmp_path):
+    for i, rmse in enumerate([0.1, 0.2]):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        (d / "results.json").write_text(json.dumps({
+            "model": "cdgp", "dataset": "synthetic1d", "precision": "fp64",
+            "clustering_type": "kmeans", "jitter": 1e-6,
+            "test/rmse": rmse, "test/nlpd": 0.5, "train/elbo": -100.0,
+            "condition_number": 10.0, "num_inducing_points": 16, "seed": i,
+        }))
+    out = tmp_path / "csv"
+    _run(runner, ["uci-csv", str(tmp_path), "-l", str(out)])
+    import pandas as pd
+
+    frame = pd.read_csv(out / "results.csv")
+    assert len(frame) == 2
+    summary = pd.read_csv(out / "summary.csv")
+    assert len(summary) >= 1
+
+
+def test_sweep_grid_expansion(tmp_path):
+    config = {
+        "cmd": "python driver.py -d {dataset} -s {seed}",
+        "exp": [{
+            "cmd": '{cmd} -m {max_ip} --logdir "{uid}"',
+            "uid": "./{rootdir}/{dataset}/m{max_ip}/{seed}",
+            "rootdir": "logs",
+            "dataset": ["naval", "power"],
+            "max_ip": [100, 500],
+            "seed": [111],
+        }],
+    }
+    jobs = list(expand_experiments(config))
+    assert len(jobs) == 4  # 2 datasets x 2 max_ip x 1 seed
+    cmds = {j["cmd"] for j in jobs}
+    assert 'python driver.py -d naval -s 111 -m 100 --logdir "./logs/naval/m100/111"' in cmds
+
+
+def test_sweep_dry_run(runner, tmp_path):
+    config_path = tmp_path / "sweep.toml"
+    config_path.write_text(
+        'cmd = "echo {dataset} {seed}"\n'
+        "[[exp]]\n"
+        'cmd = "{cmd}"\n'
+        'uid = "./logs/{dataset}/{seed}"\n'
+        'dataset = ["a", "b"]\n'
+        "seed = [1, 2]\n"
+        "[flags]\n"
+        "num_proc = 2\n"
+    )
+    result = _run(runner, ["sweep", str(config_path), "--dry-run"])
+    assert "4 jobs" in result.output
+
+
+def test_kernel_type_inline_params(runner, tmp_path):
+    """The reference's KernelType parser is broken (missing ast import,
+    SURVEY.md known-bugs 3); ours must parse inline len/var."""
+    from cggp_tpu.cli.cli_utils import KernelType
+
+    fn = KernelType().convert("se_len=0.5_var=2.0", None, None)
+    kernel, init = fn(3)
+    assert kernel.name == "se"
+    np.testing.assert_allclose(init["lengthscales"], 0.5 * np.ones(3))
+    assert init["variance"] == 2.0
