@@ -1,0 +1,215 @@
+"""ShardedCGGP: the CGGP model with every Kuu operation M-sharded.
+
+The flagship multi-chip configuration (BASELINE.md config 5): inducing-point
+count M scales across the mesh.  All CG solves and Gram matvecs go through
+the psum-blocked row-sharded kernels of :mod:`cggp_tpu.parallel.sharded_cg`;
+the [*, M] loop state stays replicated, so this is the tensor-parallel
+analogue for kernel methods (the "sequence" axis here is M).  Data terms
+(variational expectations) are elementwise and ride along replicated; use
+:mod:`cggp_tpu.parallel.data_parallel` to shard the N axis for prediction
+and metrics sweeps.
+
+Semantics match the single-chip CGGP (cggp_tpu/models/cggp.py, reference
+models.py:279-354): Kuu with jitter 0, Λ = σ²/counts, Rademacher-probe trace,
+zero-valued logdet with CG-probe gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
+from cggp_tpu.models.clustergp import ClusterGP
+from cggp_tpu.ops.kernels import Kernel
+from cggp_tpu.ops.logdet import rademacher
+from cggp_tpu.parallel.mesh import DATA_AXIS
+from cggp_tpu.parallel.sharded_cg import make_sharded_cg, pad_inducing
+from jax.sharding import PartitionSpec as P
+
+Array = jnp.ndarray
+
+
+def _make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str):
+    """Replicated-in/replicated-out ``p @ (K(Z,Z) + diag(lam))`` matvec."""
+    from cggp_tpu.parallel.sharded_cg import _local_rows, _make_local_matvec
+
+    def body(kp, z, lam, p):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
+        return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P()
+    )
+
+
+def make_sharded_eval_logdet(matvec, solve):
+    """Zero-valued logdet over the *implicit* sharded matrix; the gradient is
+    the Rademacher/CG trace estimator (reference models.py:21-48 semantics),
+    computed with sharded solves and a VJP of the sharded matvec."""
+
+    @jax.custom_vjp
+    def logdet(kp, z, lam, probes):
+        del kp, z, lam
+        return jnp.zeros((), dtype=probes.dtype)
+
+    def fwd(kp, z, lam, probes):
+        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, probes)
+
+    def bwd(residuals, df):
+        kp, z, lam, probes = residuals
+        num_probes = probes.shape[0]
+        solved, _ = solve(kp, z, lam, probes)  # [P, M] rows of A^{-1} p
+        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
+        # d logdet / d theta = tr(A^{-1} dA/dtheta) ~= (1/P) sum_p solved_p^T dA probe_p
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, probes), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        return kp_bar, z_bar, lam_bar, jnp.zeros_like(probes)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedCGGP(ClusterGP):
+    """CGGP with M sharded over a device mesh.
+
+    Build with :meth:`create`; ``init_params`` pads (Z, u, counts) so M
+    divides the mesh size (see :func:`pad_inducing` — pads are exact no-ops).
+    """
+
+    mesh: Mesh = None  # type: ignore[assignment]
+    error_threshold: float = 1e-8
+    max_cg_iterations: int = 100
+    num_probes: int = 5
+    axis_name: str = DATA_AXIS
+
+    def __post_init__(self):
+        if self.mesh is None:
+            raise ValueError("ShardedCGGP requires a mesh")
+        # Cache the shard_map'd kernels on the instance (frozen dataclass).
+        object.__setattr__(
+            self,
+            "_solve",
+            make_sharded_cg(
+                self.kernel, self.mesh, self.error_threshold,
+                self.max_cg_iterations, axis_name=self.axis_name,
+            ),
+        )
+        object.__setattr__(
+            self, "_matvec", _make_sharded_matvec(self.kernel, self.mesh, self.axis_name)
+        )
+        object.__setattr__(
+            self, "_logdet", make_sharded_eval_logdet(self._matvec, self._solve)
+        )
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
+                    **kwargs) -> Dict:
+        params = super().init_params(
+            inducing_points, pseudo_u=pseudo_u, cluster_counts=cluster_counts,
+            **kwargs,
+        )
+        m_real = params["inducing_points"].shape[0]
+        dtype = params["inducing_points"].dtype
+        z, _lam, u_t, counts_t, mask_t = pad_inducing(
+            params["inducing_points"],
+            jnp.ones(m_real, dtype),
+            self.num_devices,
+            params["pseudo_u"].T,
+            params["cluster_counts"].T,
+            jnp.ones((1, m_real), dtype),
+        )
+        params["inducing_points"] = z
+        params["pseudo_u"] = u_t.T
+        # Padded counts of 1 give lam = noise there; the kernel row of a pad
+        # point is 0 against every real point, so pads stay decoupled.
+        counts = counts_t.T
+        counts = jnp.where(counts == 0.0, 1.0, counts)
+        params["cluster_counts"] = counts
+        # 1 for real inducing points, 0 for pads: probes and the KL constant
+        # are masked with it so pads are EXACT no-ops in every objective.
+        params["inducing_mask"] = mask_t.T
+        return params
+
+    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False) -> Dict:
+        mask = super().trainable_mask(params, trainable_inducing_points)
+        mask["inducing_mask"] = False
+        return mask
+
+    # -- KL ------------------------------------------------------------------
+
+    def prior_kl(self, params: Dict, key: jax.Array) -> Array:
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        lam = var[:, 0]
+        m = z.shape[0]
+        dtype = z.dtype
+        zeros_lam = jnp.zeros_like(lam)
+
+        mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
+        probes = rademacher(key, (self.num_probes, m), dtype) * mask_row  # rows
+        rhs = jnp.concatenate([u.T, probes], axis=0)  # [(1+P), M]
+        solved, _stats = self._solve(kp, z, lam, rhs)
+        nu = solved[:1]  # [1, M] row
+        solved_probes = solved[1:]
+
+        kmm_nu = self._matvec(kp, z, zeros_lam, nu)
+        quad = jnp.sum(kmm_nu * nu)
+        kmm_probes = self._matvec(kp, z, zeros_lam, probes)
+        trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(
+            self.num_probes, dtype=dtype
+        )
+        logdet = self._logdet(kp, z, lam, probes)
+        const = jnp.sum(mask_row[0] * jnp.log(var[:, 0]))
+        return 0.5 * (quad - trace + logdet - const)
+
+    # -- predict ---------------------------------------------------------------
+
+    def predict_f(self, params: Dict, x_new: Array, full_cov: bool = False) -> Tuple[Array, Array]:
+        if full_cov:
+            raise NotImplementedError("ShardedCGGP.predict_f supports diagonal cov only")
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        lam = var[:, 0]
+
+        kmn = self.kernel.K(kp, x_new, z)  # [T, M] rows (replicated)
+        rhs = jnp.concatenate([u.T, kmn], axis=0)  # [(1+T), M]
+        solved, _ = self._solve(kp, z, lam, rhs)
+        inv_u = solved[:1]  # [1, M]
+        inv_kmn = solved[1:]  # [T, M]
+
+        knn = self.kernel.K_diag(kp, x_new)
+        fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        fmu = (kmn @ inv_u.T)  # [T, 1]
+        return fmu, fvar
+
+    def elbo(self, params: Dict, data: Tuple[Array, Array],
+             key: Optional[jax.Array] = None) -> Array:
+        if key is None:
+            raise ValueError("ShardedCGGP.elbo requires a PRNG key")
+        x, y = data
+        kl = self.prior_kl(params, key)
+        f_mean, f_var = self.predict_f(params, x, full_cov=False)
+        var_exp = self.likelihood.variational_expectations(
+            params["likelihood"], f_mean, f_var, y
+        )
+        scale = minibatch_scale(self.num_data, x.shape[0], kl.dtype)
+        return jnp.sum(var_exp) * scale - kl
+
+    def training_loss(self, params: Dict, data: Tuple[Array, Array],
+                      key: Optional[jax.Array] = None) -> Array:
+        return -self.elbo(params, data, key)

@@ -1,0 +1,195 @@
+"""M-sharded conjugate gradients: psum-blocked Gram matvec inside shard_map.
+
+The single-chip solver (cggp_tpu/ops/cg.py) materialises ``Kuu + Λ`` as an
+[M, M] array; past a few tens of thousands of inducing points that no longer
+fits one chip's HBM.  Here each device owns a *row block* of the system:
+
+    (p @ A)[*, :] = Σ_d  p[:, rows_d] @ A[rows_d, :]        (psum over d)
+
+with ``A[rows_d, :] = K(Z[rows_d], Z) + diag(Λ)[rows_d, :]`` built locally —
+the full Gram matrix never exists on any chip (M²/d per device), the block
+matmul rides the MXU, and the reduction is one ``psum`` over ICI per CG
+iteration.  The entire CG loop runs inside one ``shard_map`` region, so the
+loop-carried [m, M] state stays replicated and only the matvec communicates.
+
+Differentiation: the same implicit-function trick as the dense solver
+(reference conjugate_gradient.py:100-118) — the backward pass is another
+sharded CG solve ``w = A^{-1} v̄`` plus a VJP of the matvec at the solution:
+
+    θ̄ = -vjp_θ( p ↦ p @ A(θ) )(solution, w),    b̄ = w.
+
+Requires M divisible by the mesh size — :func:`pad_inducing` pads with
+far-away pseudo-points whose kernel row underflows to exactly 0, making the
+padded system block-diagonal and the padded solution exactly 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cggp_tpu.ops.cg import CGStats, cg_loop
+from cggp_tpu.ops.kernels import Kernel
+from cggp_tpu.parallel.mesh import DATA_AXIS
+
+Array = jnp.ndarray
+
+
+def pad_inducing(
+    z: Array, lam: Array, multiple: int, *rhs_arrays: Array
+) -> Tuple:
+    """Pad (Z, Λ, rhs...) so M divides the mesh size.
+
+    Padding points are placed at huge coordinates (1e6 + arange) so every
+    stationary kernel value against real points underflows to 0; Λ pads are 1
+    and rhs pads are 0, so padded solution entries are exactly 0 and real
+    entries are untouched.
+    """
+    m = z.shape[0]
+    rem = (-m) % multiple
+    if rem == 0:
+        return (z, lam, *rhs_arrays)
+    far = 1.0e6 * (1.0 + jnp.arange(1, rem + 1, dtype=z.dtype))[:, None]
+    z_pad = jnp.concatenate([z, jnp.broadcast_to(far, (rem, z.shape[-1]))], axis=0)
+    lam_pad = jnp.concatenate([lam.reshape(-1), jnp.ones((rem,), dtype=lam.dtype)])
+    padded_rhs = tuple(
+        jnp.concatenate(
+            [r, jnp.zeros((*r.shape[:-1], rem), dtype=r.dtype)], axis=-1
+        )
+        for r in rhs_arrays
+    )
+    return (z_pad, lam_pad, *padded_rhs)
+
+
+def _local_rows(kernel: Kernel, kp, z: Array, lam: Array, axis_name: str):
+    """This device's row block of ``K(Z, Z) + diag(Λ)``: [M/d, M]."""
+    d = lax.axis_size(axis_name)
+    i = lax.axis_index(axis_name)
+    m = z.shape[0]
+    mb = m // d
+    offset = i * mb
+    z_block = lax.dynamic_slice_in_dim(z, offset, mb, axis=0)
+    lam_block = lax.dynamic_slice_in_dim(lam.reshape(-1), offset, mb, axis=0)
+    a_rows = kernel.K(kp, z_block, z)  # [mb, M] — built on the fly
+    rows = jnp.arange(mb)
+    a_rows = a_rows.at[rows, rows + offset].add(lam_block)
+    return a_rows, offset, mb
+
+
+def _make_local_matvec(a_rows: Array, offset, mb: int, axis_name: str):
+    def matvec(p: Array) -> Array:  # p replicated [m, M] -> replicated [m, M]
+        p_block = lax.dynamic_slice_in_dim(p, offset, mb, axis=1)
+        return lax.psum(p_block @ a_rows, axis_name)
+
+    return matvec
+
+
+def _eye_apply(state, vec, mat):
+    del state, mat
+    return vec, jnp.sum(jnp.square(vec), axis=-1, keepdims=True)
+
+
+def make_sharded_cg(
+    kernel: Kernel,
+    mesh: Mesh,
+    error_threshold: float,
+    max_iterations: int,
+    max_steps_cycle: Optional[int] = None,
+    axis_name: str = DATA_AXIS,
+):
+    """Build a differentiable sharded solver
+    ``solve(kp, z, lam, rhs [m, M]) -> (solution [m, M], CGStats)``.
+
+    ``kp`` are kernel params, ``z`` the inducing inputs (replicated, M
+    divisible by the mesh size — see :func:`pad_inducing`), ``lam`` the
+    diagonal, ``rhs`` row-batched right-hand sides.
+    """
+    if max_steps_cycle is None:
+        max_steps_cycle = max_iterations + 1
+    specs_in = (P(), P(), P(), P())
+
+    def _solve_body(kp, z, lam, rhs):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
+        matvec = _make_local_matvec(a_rows, offset, mb, axis_name)
+        return cg_loop(
+            matvec,
+            _eye_apply,
+            (),
+            rhs,
+            jnp.zeros_like(rhs),
+            error_threshold=error_threshold,
+            max_iterations=max_iterations,
+            max_steps_cycle=max_steps_cycle,
+        )
+
+    sharded_solve = jax.shard_map(
+        _solve_body, mesh=mesh, in_specs=specs_in,
+        out_specs=(P(), CGStats(P(), P())),
+    )
+
+    def _matvec_body(kp, z, lam, p):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
+        return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
+
+    sharded_matvec = jax.shard_map(
+        _matvec_body, mesh=mesh, in_specs=specs_in, out_specs=P()
+    )
+
+    @jax.custom_vjp
+    def solve(kp, z, lam, rhs):
+        solution, stats = sharded_solve(kp, z, lam, rhs)
+        return solution, CGStats(*stats)
+
+    def solve_fwd(kp, z, lam, rhs):
+        solution, stats = sharded_solve(kp, z, lam, rhs)
+        return (solution, CGStats(*stats)), (kp, z, lam, solution)
+
+    def solve_bwd(residuals, cotangents):
+        kp, z, lam, solution = residuals
+        v_bar, _stats_bar = cotangents
+        w, _ = sharded_solve(kp, z, lam, v_bar)  # backward = another CG solve
+        # theta_bar = -vjp of (theta -> solution @ A(theta)) at cotangent w.
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: sharded_matvec(kp_, z_, lam_, solution), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        neg = lambda t: jax.tree_util.tree_map(jnp.negative, t)
+        return neg(kp_bar), neg(z_bar), neg(lam_bar), w
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
+
+
+class ShardedKuuSolver:
+    """Column-convention facade over :func:`make_sharded_cg` matching the
+    single-chip :class:`~cggp_tpu.ops.cg.ConjugateGradient` call shape, for
+    slotting into CG-powered models."""
+
+    def __init__(
+        self,
+        kernel: Kernel,
+        mesh: Mesh,
+        error_threshold: float,
+        max_iterations: int,
+        max_steps_cycle: Optional[int] = None,
+        axis_name: str = DATA_AXIS,
+    ):
+        self.kernel = kernel
+        self.mesh = mesh
+        self.num_devices = mesh.devices.size
+        self._solve = make_sharded_cg(
+            kernel, mesh, error_threshold, max_iterations, max_steps_cycle, axis_name
+        )
+
+    def solve_with_stats(self, kp, z: Array, lam: Array, rhs: Array):
+        """``rhs`` is [M, m] column-major like the dense facade."""
+        solution, stats = self._solve(kp, z, lam.reshape(-1), rhs.T)
+        return solution.T, stats
+
+    def __call__(self, kp, z: Array, lam: Array, rhs: Array) -> Array:
+        return self.solve_with_stats(kp, z, lam, rhs)[0]

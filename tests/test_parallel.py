@@ -1,0 +1,226 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md section 4:
+psum-blocked matvec vs single-device oracle, sharded model vs dense model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cggp_tpu.models import CGGP, ClusterGP
+from cggp_tpu.ops.cg import ConjugateGradient, conjugate_gradient
+from cggp_tpu.ops.kernels import Matern32, SquaredExponential
+from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.parallel import (
+    ShardedCGGP,
+    make_data_parallel_loss,
+    make_data_parallel_predict,
+    make_mesh,
+    make_sharded_cg,
+    pad_inducing,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _system(rng, m=32, d=2):
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.3, lengthscales=np.full(d, 0.7))
+    z = jnp.asarray(rng.uniform(-1, 1, (m, d)))
+    lam = jnp.asarray(rng.uniform(0.1, 0.5, (m,)))
+    rhs = jnp.asarray(rng.standard_normal((3, m)))
+    return kernel, kp, z, lam, rhs
+
+
+def test_sharded_cg_matches_dense_solve(mesh, rng):
+    kernel, kp, z, lam, rhs = _system(rng)
+    solve = make_sharded_cg(kernel, mesh, 1e-14, 64)
+    solution, stats = solve(kp, z, lam, rhs)
+
+    a = add_diagonal(kernel.K(kp, z), lam)
+    expected = jnp.linalg.solve(a, rhs.T).T
+    np.testing.assert_allclose(np.asarray(solution), np.asarray(expected), atol=1e-8)
+    assert int(stats.steps) > 0
+
+
+def test_sharded_cg_gradients_match_dense(mesh, rng):
+    """Gradient parity vs the dense custom-VJP solver AND the pure autodiff
+    dense-solve path (the cg_test.py:12-46 pattern, now multi-device)."""
+    kernel, kp, z, lam, rhs = _system(rng, m=16)
+    solve = make_sharded_cg(kernel, mesh, 1e-14, 64)
+
+    def loss_sharded(kp, z, lam):
+        sol, _ = solve(kp, z, lam, rhs)
+        return jnp.sum(jnp.square(sol))
+
+    def loss_dense(kp, z, lam):
+        a = add_diagonal(kernel.K(kp, z), lam)
+        sol = jnp.linalg.solve(a, rhs.T).T
+        return jnp.sum(jnp.square(sol))
+
+    g_sharded = jax.grad(loss_sharded, argnums=(0, 1, 2))(kp, z, lam)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(kp, z, lam)
+    for gs, gd in zip(jax.tree_util.tree_leaves(g_sharded),
+                      jax.tree_util.tree_leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-5, atol=1e-7)
+
+
+def test_pad_inducing_is_exact_noop(mesh, rng):
+    """M=13 padded to 16: solutions on real entries match the unpadded dense
+    solve and padded entries are exactly 0."""
+    kernel, kp, z, lam, rhs = _system(rng, m=13)
+    z_p, lam_p, rhs_p = pad_inducing(z, lam, 8, rhs)
+    assert z_p.shape[0] == 16
+
+    solve = make_sharded_cg(kernel, mesh, 1e-14, 64)
+    solution, _ = solve(kp, z_p, lam_p, rhs_p)
+
+    a = add_diagonal(kernel.K(kp, z), lam)
+    expected = jnp.linalg.solve(a, rhs.T).T
+    np.testing.assert_allclose(np.asarray(solution[:, :13]), np.asarray(expected), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(solution[:, 13:]), 0.0, atol=1e-12)
+
+
+def _cluster_setup(rng, mesh, m=13, n=96, d=2):
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])) + 0.1 * rng.standard_normal((n, 1)))
+    kernel = Matern32()
+    sharded = ShardedCGGP(
+        kernel=kernel, mesh=mesh, num_data=n, num_probes=4,
+        error_threshold=1e-14, max_cg_iterations=64,
+    )
+    counts = jnp.asarray(rng.integers(1, 9, (m, 1)), x.dtype)
+    u = jnp.asarray(rng.standard_normal((m, 1)))
+    params = sharded.init_params(x[:m], pseudo_u=u, cluster_counts=counts)
+    dense = ClusterGP(kernel=kernel, num_data=n)
+    dense_params = dense.init_params(x[:m], pseudo_u=u, cluster_counts=counts)
+    return sharded, params, dense, dense_params, (x, y)
+
+
+def test_sharded_cggp_predict_matches_dense_clustergp(mesh, rng):
+    sharded, params, dense, dense_params, data = _cluster_setup(rng, mesh)
+    x = data[0]
+    mu_s, var_s = sharded.predict_f(params, x)
+    mu_d, var_d = dense.predict_f(dense_params, x)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d), atol=1e-6)
+
+
+def test_sharded_cggp_kl_matches_dense_modulo_logdet(mesh, rng):
+    """Sharded KL (logdet term = 0 by design) must equal the Cholesky KL
+    minus its 0.5*logdet term, up to Monte-Carlo trace error."""
+    sharded, params, dense, dense_params, _ = _cluster_setup(rng, mesh)
+    sharded = ShardedCGGP(
+        kernel=sharded.kernel, mesh=mesh, num_data=sharded.num_data,
+        num_probes=256, error_threshold=1e-14, max_cg_iterations=64,
+    )
+    kl_sharded = float(sharded.prior_kl(params, jax.random.PRNGKey(0)))
+
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    var = dense.diag_variance(dense_params)
+    a = add_diagonal(dense.kernel.K(dense_params["kernel"], dense_params["inducing_points"]),
+                     var[:, 0])
+    logdet = float(jnp.linalg.slogdet(a)[1])
+    kl_dense = float(dense.prior_kl(dense_params))
+    np.testing.assert_allclose(kl_sharded, kl_dense - 0.5 * logdet, rtol=0.05, atol=0.3)
+
+
+def test_sharded_logdet_gradient_matches_true_logdet_grad(mesh, rng):
+    """With many probes the zero-valued logdet's gradient approaches the
+    autodiff gradient of the true logdet (the logdet_test pattern of
+    reference cg_test.py:49-77, multi-device)."""
+    kernel, kp, z, lam, _ = _system(rng, m=16)
+    sharded = ShardedCGGP(
+        kernel=kernel, mesh=mesh, num_data=10, num_probes=512,
+        error_threshold=1e-14, max_cg_iterations=64,
+    )
+
+    def logdet_via_sharded(kp_):
+        m = z.shape[0]
+        probes = jax.random.rademacher(jax.random.PRNGKey(1), (512, m), dtype=z.dtype)
+        return sharded._logdet(kp_, z, lam, probes)
+
+    def logdet_true(kp_):
+        a = add_diagonal(kernel.K(kp_, z), lam)
+        return jnp.linalg.slogdet(a)[1]
+
+    g_est = jax.grad(logdet_via_sharded)(kp)
+    g_true = jax.grad(logdet_true)(kp)
+    for ge, gt in zip(jax.tree_util.tree_leaves(g_est), jax.tree_util.tree_leaves(g_true)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gt), rtol=0.15, atol=0.02)
+
+
+def test_data_parallel_loss_matches_single_device(mesh, rng):
+    n, d, m = 64, 2, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.asarray(np.sin(np.asarray(x[:, :1])))
+    kernel = SquaredExponential()
+    model = CGGP(
+        kernel=kernel, conjugate_gradient=ConjugateGradient(1e-12),
+        num_data=n, num_probes=3,
+    )
+    params = model.init_params(x[:m])
+    key = jax.random.PRNGKey(0)
+
+    loss_fn = lambda p, batch, k: model.training_loss(p, batch, k)
+    dp_loss = make_data_parallel_loss(loss_fn, mesh)
+    batch = shard_batch(mesh, x, y)
+    sharded_val = float(dp_loss(params, batch, key))
+    single_val = float(loss_fn(params, (x, y), key))
+    np.testing.assert_allclose(sharded_val, single_val, rtol=1e-6)
+
+
+def test_data_parallel_predict_shards_rows(mesh, rng):
+    n, d, m = 64, 2, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.zeros((n, 1), x.dtype)
+    kernel = SquaredExponential()
+    model = ClusterGP(kernel=kernel, num_data=n)
+    params = model.init_params(x[:m])
+
+    dp_predict = make_data_parallel_predict(
+        lambda p, xq: model.predict_f(p, xq, full_cov=False), mesh
+    )
+    xq = shard_batch(mesh, x)
+    mu, var = dp_predict(params, xq)
+    mu_ref, var_ref = model.predict_f(params, x, full_cov=False)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), atol=1e-9)
+
+
+def test_sharded_training_step_improves_loss(mesh, rng):
+    """One full Adam training step pipeline on the mesh — the dryrun path."""
+    import optax
+
+    sharded, params, _, _, data = _cluster_setup(rng, mesh, m=13, n=128)
+    initial_mask = np.asarray(params["inducing_mask"]).copy()
+    assert initial_mask.sum() == 13 and initial_mask.shape[0] == 16  # 3 pads
+    loss_fn = lambda p, b, k: sharded.training_loss(p, b, k)
+    optimizer = optax.adam(0.05)
+    opt_state = optimizer.init(params)
+    mask = sharded.trainable_mask(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        grads = jax.tree_util.tree_map(
+            lambda g, m_: g if m_ else jnp.zeros_like(g), grads, mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, data, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # Frozen pads must not move.
+    np.testing.assert_array_equal(np.asarray(params["inducing_mask"]), initial_mask)
