@@ -1,0 +1,168 @@
+"""Condition-number / Wasserstein paper figure harness
+(reference paper_condition_wasserstein.py).
+
+For each input dimension, samples data from a GP prior, computes the exact
+GPR posterior moments, then sweeps cover-tree resolutions: builds a CDGP,
+records the condition number of ``Kuu + Λ``, the inducing count, the CG
+iteration count for the ``(Kuu+Λ)^{-1}u`` solve, and the squared
+2-Wasserstein distance between the approximate and exact posteriors.
+Writes one CSV per dimension and optional matplotlib plots.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Tuple
+
+import click
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cggp_tpu.cli.cli_utils import LogdirPath
+from cggp_tpu.models import CGGP, GPR
+from cggp_tpu.ops.cg import ConjugateGradient
+from cggp_tpu.ops.kernels import Kernel, SquaredExponential
+from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.selection.update import covertree_update_inducing_parameters
+
+Array = jnp.ndarray
+
+
+def matrix_sqrt(m: Array, floor: float = 0.0) -> Array:
+    eigvals, eigvecs = jnp.linalg.eigh(m)
+    eigvals = jnp.maximum(eigvals, floor)
+    return eigvecs @ jnp.diag(jnp.sqrt(eigvals))
+
+
+def wasserstein2(moments1: Tuple[Array, Array], moments2: Tuple[Array, Array]) -> Array:
+    """Squared 2-Wasserstein distance between two Gaussians
+    (reference paper_condition_wasserstein.py:35-57)."""
+    mu1, cov1 = moments1
+    mu2, cov2 = moments2
+    sqrt_cov1 = matrix_sqrt(cov1)
+    inner = sqrt_cov1 @ cov2 @ sqrt_cov1
+    sqrt_inner = matrix_sqrt(inner)
+    norm_term = jnp.sum(jnp.square(mu1 - mu2))
+    trace_term = jnp.trace(cov1 + cov2 - 2.0 * sqrt_inner)
+    return norm_term + trace_term
+
+
+def sample_gpr_prior(kernel: Kernel, kp, inputs: Array, key, jitter: float = 1e-10) -> Array:
+    """One sample from the zero-mean GP prior at ``inputs``
+    (reference :137-148)."""
+    n = inputs.shape[0]
+    cov = add_diagonal(kernel.K(kp, inputs), jitter * jnp.ones(n, inputs.dtype))
+    chol = jnp.linalg.cholesky(cov)
+    eps = jax.random.normal(key, (n, 1), dtype=inputs.dtype)
+    return chol @ eps
+
+
+def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
+    """One dimension's resolution sweep; returns a list of row dicts."""
+    key = jax.random.PRNGKey(seed)
+    key_x, key_f, key_probe = jax.random.split(key, 3)
+    dtype = jnp.asarray(0.0).dtype
+
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=np.full(dim, 0.5), dtype=dtype)
+
+    x = jax.random.uniform(key_x, (num_data, dim), dtype=dtype, minval=-1.0, maxval=1.0)
+    f = sample_gpr_prior(kernel, kp, x, key_f)
+    y = f + jnp.sqrt(noise) * jax.random.normal(key_probe, f.shape, dtype=dtype)
+    data = (x, y)
+
+    gpr = GPR(kernel=kernel)
+    gpr_params = gpr.init_params(dim, noise_variance=noise, dtype=dtype)
+    gpr_params["kernel"] = dict(kp)
+    mu_exact, cov_exact = gpr.predict_f(gpr_params, data, x, full_cov=True)
+    gpr_moments = (mu_exact, cov_exact[0])
+
+    rows = []
+    for resolution in resolutions:
+        iv, means, counts = covertree_update_inducing_parameters(data, float(resolution))
+        m = iv.shape[0]
+
+        cg = ConjugateGradient(1e-6, max_iterations=max(m, 8))
+        model = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=num_data, num_probes=5)
+        params = model.init_params(
+            iv, pseudo_u=means, cluster_counts=counts, noise_variance=noise, dtype=dtype
+        )
+        params["kernel"] = dict(kp)
+
+        lam = model.diag_variance(params)[:, 0]
+        kuu_lambda = add_diagonal(kernel.K(kp, params["inducing_points"]), lam)
+        _, stats = cg.solve_with_stats(kuu_lambda, params["pseudo_u"])
+        eigvals = np.asarray(jnp.linalg.eigvalsh(kuu_lambda))
+
+        mu_approx, cov_approx = model.predict_f(params, x, full_cov=True)
+        w2 = float(wasserstein2(gpr_moments, (mu_approx, cov_approx[0])))
+
+        rows.append({
+            "dim": dim,
+            "resolution": float(resolution),
+            "num_inducing_points": int(m),
+            "condition_number": float(eigvals.max() / eigvals.min()),
+            "eig_min": float(eigvals.min()),
+            "eig_max": float(eigvals.max()),
+            "cg_iterations": int(stats.steps),
+            "wasserstein2": w2,
+        })
+    return rows
+
+
+@click.command("condition-wasserstein")
+@click.option("-l", "--logdir", type=LogdirPath(), default=LogdirPath.default_logdir)
+@click.option("-n", "--num-data", type=int, default=400)
+@click.option("-s", "--seed", type=int, default=0)
+@click.option("--noise", type=float, default=0.01)
+@click.option("-d", "--dims", multiple=True, type=int, default=(1, 2, 4, 8))
+@click.option(
+    "-r", "--resolutions", multiple=True, type=float,
+    default=(1.0, 0.5, 0.2, 0.1, 0.05, 0.02),
+)
+@click.option("--plot/--no-plot", default=False)
+def main(logdir, num_data, seed, noise, dims, resolutions, plot):
+    """Reference paper_visualization (:151-213)."""
+    import pandas as pd
+
+    all_rows = []
+    for dim in dims:
+        rows = run_sweep(dim, num_data, resolutions, noise, seed)
+        all_rows.extend(rows)
+        frame = pd.DataFrame(rows)
+        out = Path(logdir, f"condition_wasserstein_dim{dim}.csv")
+        frame.to_csv(out, index=False)
+        click.echo(f"dim={dim}: wrote {out}")
+        click.echo(frame.to_string(index=False))
+
+    if plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        frame = pd.DataFrame(all_rows)
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        for dim, group in frame.groupby("dim"):
+            axes[0].plot(group["num_inducing_points"], group["condition_number"],
+                         marker="o", label=f"d={dim}")
+            axes[1].plot(group["num_inducing_points"], group["wasserstein2"],
+                         marker="o", label=f"d={dim}")
+            axes[2].plot(group["num_inducing_points"], group["cg_iterations"],
+                         marker="o", label=f"d={dim}")
+        for ax, ylabel in zip(axes, ["condition number", "W2^2", "CG iterations"]):
+            ax.set_xlabel("M")
+            ax.set_ylabel(ylabel)
+            ax.set_yscale("log")
+            ax.legend()
+        fig.tight_layout()
+        fig.savefig(Path(logdir, "condition_wasserstein.png"), dpi=120)
+        click.echo(f"wrote {Path(logdir, 'condition_wasserstein.png')}")
+
+    click.echo("=== Script finished ===")
+
+
+if __name__ == "__main__":
+    main()

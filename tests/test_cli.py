@@ -169,3 +169,45 @@ def test_kernel_type_inline_params(runner, tmp_path):
     assert kernel.name == "se"
     np.testing.assert_allclose(init["lengthscales"], 0.5 * np.ones(3))
     assert init["variance"] == 2.0
+
+
+def test_condition_wasserstein(runner, tmp_path):
+    out = tmp_path / "cw"
+    result = _run(runner, [
+        "condition-wasserstein", "-l", str(out), "-n", "80",
+        "-d", "1", "-r", "1.0", "-r", "0.3", "--plot",
+    ])
+    import pandas as pd
+
+    frame = pd.read_csv(out / "condition_wasserstein_dim1.csv")
+    assert len(frame) == 2
+    assert (frame["condition_number"] >= 1.0).all()
+    assert (frame["wasserstein2"] >= -1e-6).all()
+    # Finer resolution -> more inducing points -> smaller W2 distance.
+    fine, coarse = frame.iloc[1], frame.iloc[0]
+    assert fine["num_inducing_points"] >= coarse["num_inducing_points"]
+    assert (out / "condition_wasserstein.png").exists()
+
+
+def test_geospatial_csv(runner, tmp_path):
+    out = tmp_path / "csv"
+    _run(runner, ["geospatial-csv", "-d", "synthetic1d", "-l", str(out)])
+    import pandas as pd
+
+    frame = pd.read_csv(out / "synthetic1d_train.csv")
+    assert list(frame.columns) == ["x0", "y"]
+
+
+def test_uci_plot(runner, tmp_path):
+    for i, m in enumerate([16, 32]):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        import json as _json
+
+        (d / "results.json").write_text(_json.dumps({
+            "model": "cdgp", "precision": "fp64", "clustering_type": "kmeans",
+            "test/rmse": 0.1 * (i + 1), "num_inducing_points": m,
+        }))
+    out = tmp_path / "plots"
+    _run(runner, ["uci-plot", str(tmp_path), "-l", str(out)])
+    assert (out / "uci_test_rmse.png").exists()
