@@ -51,6 +51,7 @@ class CoverTree:
         num_levels: int = 1,
         lloyds: bool = True,
         voronoi: bool = True,
+        backend: str = "auto",
     ):
         if distance is not None:
             # Parity with the reference, which ignores the distance argument
@@ -65,6 +66,25 @@ class CoverTree:
         if y.ndim == 1:
             y = y[:, None]
         n = x.shape[0]
+
+        if backend in ("auto", "native"):
+            # Multithreaded C++ builder (cggp_tpu/native/covertree.cc) — the
+            # same construction; falls back to numpy when no toolchain.
+            from cggp_tpu.native import covertree_build_native
+
+            result = covertree_build_native(
+                x, spatial_resolution, num_levels=num_levels,
+                lloyds=lloyds, voronoi=voronoi,
+            )
+            if result is not None:
+                centers, labels, levels = result
+                self.num_levels = levels
+                self.max_radius = None  # recorded only by the numpy path
+                self.level_centers = [x.mean(axis=0)[None, :], centers]
+                self._x, self._y, self._labels = x, y, labels
+                return
+            if backend == "native":
+                raise RuntimeError("native covertree backend unavailable")
 
         root = x.mean(axis=0)
         max_radius = float(np.linalg.norm(x - root, axis=-1).max())
