@@ -150,10 +150,15 @@ def create_model(
     error_threshold: float = 1e-6,
     dtype=None,
     seed: int = 0,
+    dot: str = "standard",
+    max_cg_iterations: Optional[int] = None,
     **model_kwargs,
 ):
     """Build ``(model_spec, params)`` with a random-subset Z and likelihood
-    variance 0.1 (reference cli_utils.py:143-168)."""
+    variance 0.1 (reference cli_utils.py:143-168).
+
+    ``dot="compensated"`` switches the CG inner products to Kahan summation
+    for fp32 TPU runs (BASELINE.md config 4)."""
     x = np.asarray(data[0])
     n, dim = x.shape[0], x.shape[-1]
     if num_inducing_points is None:
@@ -168,7 +173,9 @@ def create_model(
     if model_name == "cdgp":
         model = CGGP(
             kernel=kernel,
-            conjugate_gradient=ConjugateGradient(error_threshold),
+            conjugate_gradient=ConjugateGradient(
+                error_threshold, max_iterations=max_cg_iterations, dot=dot
+            ),
             num_data=n,
             **model_kwargs,
         )
@@ -345,12 +352,19 @@ def create_model_and_update_fn(
     error_threshold: float = 1e-6,
     dtype=None,
     seed: int = 0,
+    dot: str = "standard",
     model_kwargs: Optional[Dict] = None,
     clustering_kwargs: Optional[Dict] = None,
 ):
     """Build ``(model, params, update_fn)`` (reference cli_utils.py:371-414)."""
     model_kwargs = model_kwargs or {}
     clustering_kwargs = clustering_kwargs or {}
+    if model_name != "cdgp":
+        # CG-solver knobs only apply to the CG-powered model.
+        model_kwargs = {
+            k: v for k, v in model_kwargs.items()
+            if k not in ("num_probes", "logdet_variant")
+        }
     model, params = create_model(
         model_name,
         default_kernel_fn,
@@ -358,6 +372,7 @@ def create_model_and_update_fn(
         error_threshold=error_threshold,
         dtype=dtype,
         seed=seed,
+        dot=dot if model_name == "cdgp" else "standard",
         **model_kwargs,
     )
     update_fn = create_update_fn(

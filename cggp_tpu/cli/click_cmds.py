@@ -31,6 +31,8 @@ def _build_ip_ctx(ctx: click.Context, clustering_type: str, clustering_kwargs: D
         error_threshold=common_ctx.get("error_threshold", 1e-6),
         dtype=common_ctx.get("dtype"),
         seed=common_ctx.get("seed", 0),
+        dot=common_ctx.get("dot", "standard"),
+        model_kwargs=common_ctx.get("model_kwargs"),
         clustering_kwargs=clustering_kwargs,
     )
     ctx.obj["ip_ctx"] = dict(

@@ -40,6 +40,21 @@ from cggp_tpu.utils.store import store_as_json
 @click.option("-j", "--jitter", type=float, required=True)
 @click.option("-c", "--config-dir", type=LogdirPath(mkdir=False))
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
+@click.option(
+    "-P", "--preconditioner", type=click.Choice(["eye", "rff"]), default="eye",
+    help="CG preconditioner; 'rff' applies the Woodbury inverse of a "
+         "random-Fourier low-rank + diagonal approximation.",
+)
+@click.option("--num-rff-bases", type=int, default=256)
+@click.option(
+    "--logdet-variant", type=click.Choice(["zero", "slq"]), default="zero",
+    help="'zero' reproduces the reference's value-free logdet; 'slq' reports "
+         "true ELBO values via stochastic Lanczos quadrature.",
+)
+@click.option(
+    "--dot", type=click.Choice(["standard", "compensated"]), default="standard",
+    help="CG inner products; 'compensated' = Kahan summation for fp32 runs.",
+)
 @click.option("--jit/--no-jit", type=bool, default=True)
 @click.pass_context
 def main(
@@ -49,6 +64,10 @@ def main(
     jitter: float,
     config_dir,
     error_threshold: float,
+    preconditioner: str,
+    num_rff_bases: int,
+    logdet_variant: str,
+    dot: str,
     jit: bool,
 ):
     """Core command shared by all UCI evaluation runs
@@ -89,6 +108,10 @@ def main(
             error_threshold=error_threshold,
             precision=precision_names[precision],
             dtype=precision,
+            dot=dot,
+            preconditioner=preconditioner,
+            num_rff_bases=num_rff_bases,
+            model_kwargs={"logdet_variant": logdet_variant},
             jit=jit,
         )
     )
@@ -117,6 +140,29 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
 
     params = update_fn(params)
 
+    if common_ctx.get("preconditioner") == "rff" and hasattr(model, "conjugate_gradient"):
+        # Preconditioner is solver state built from the post-update (Z, lam):
+        # rebuild the model's CG with it (BASELINE.md config 4 path).
+        import dataclasses as _dc
+
+        from cggp_tpu.ops.cg import ConjugateGradient
+        from cggp_tpu.ops.rff import rff_preconditioner
+
+        lam = model.diag_variance(params)[:, 0]
+        precond = rff_preconditioner(
+            model.kernel, params["kernel"], params["inducing_points"], lam,
+            common_ctx["num_rff_bases"], jax.random.PRNGKey(common_ctx["seed"] + 1),
+        )
+        old_cg = model.conjugate_gradient
+        model = _dc.replace(
+            model,
+            conjugate_gradient=ConjugateGradient(
+                old_cg.error_threshold, preconditioner=precond,
+                max_iterations=old_cg.max_iterations,
+                max_steps_cycle=old_cg.max_steps_cycle, dot=old_cg.dot,
+            ),
+        )
+
     metrics_fn = make_metrics_callback(
         model,
         dataset.train,
@@ -144,6 +190,9 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
         "clustering_type": ip_ctx["clustering_type"],
         "clustering_args": ip_ctx["clustering_kwargs"],
         "num_inducing_points": m,
+        "preconditioner": common_ctx.get("preconditioner", "eye"),
+        "logdet_variant": common_ctx.get("model_kwargs", {}).get("logdet_variant", "zero"),
+        "dot": common_ctx.get("dot", "standard"),
     }
     results = {**info, **metrics, **properties}
     store_as_json(Path(logdir, "results.json"), results)

@@ -69,6 +69,29 @@ def rff_basis(
     return bases * scale
 
 
+def rff_preconditioner(
+    kernel: Kernel,
+    params: KernelParams,
+    z: Array,
+    lam: Array,
+    num_bases: int,
+    key: jax.Array,
+):
+    """Low-rank RFF preconditioner for CG on ``K(Z,Z) + diag(lam)``
+    (net-new; BASELINE.md config 4).
+
+    Builds ``U`` with ``U U^T ~= K(Z, Z)`` from ``num_bases`` random Fourier
+    features and returns a :class:`~cggp_tpu.ops.cg.NystromPreconditioner`
+    applying the exact Woodbury inverse of ``U U^T + diag(lam)``.  Rebuild it
+    whenever the kernel params or Z change (it is a solver-state object, not
+    a trainable).
+    """
+    from cggp_tpu.ops.cg import NystromPreconditioner
+
+    factor = rff_basis(z, kernel, params, num_bases, key)  # [M, 2L]
+    return NystromPreconditioner(factor, jnp.asarray(lam).reshape(-1))
+
+
 def rff_sample(
     inputs: Array,
     kernel: Kernel,

@@ -79,8 +79,14 @@ class CoverTree:
             if result is not None:
                 centers, labels, levels = result
                 self.num_levels = levels
-                self.max_radius = None  # recorded only by the numpy path
-                self.level_centers = [x.mean(axis=0)[None, :], centers]
+                # Same radius bookkeeping as the numpy path (and the C++ code).
+                root = x.mean(axis=0)
+                max_radius = float(np.linalg.norm(x - root, axis=-1).max())
+                if spatial_resolution is not None:
+                    max_radius = max(max_radius, spatial_resolution)
+                    max_radius = spatial_resolution * (2 ** (levels - 1))
+                self.max_radius = max_radius
+                self.level_centers = [root[None, :], centers]
                 self._x, self._y, self._labels = x, y, labels
                 return
             if backend == "native":

@@ -172,3 +172,37 @@ def test_compensated_dot_matches_standard(rng):
     sol_comp = ConjugateGradient(1e-12, dot="compensated")(matrix, rhs)
     np.testing.assert_allclose(np.asarray(sol_std), dense, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(sol_comp), dense, rtol=1e-3, atol=1e-4)
+
+
+def test_rff_preconditioner_reduces_cg_iterations(rng):
+    """The net-new RFF preconditioner must cut iterations on an
+    ill-conditioned SE system (BASELINE.md config 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient, EyePreconditioner
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+    from cggp_tpu.ops.rff import rff_preconditioner
+
+    m, d = 256, 2
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=2.0, lengthscales=np.full(d, 1.5))
+    z = jnp.asarray(rng.uniform(-1, 1, (m, d)))
+    lam = jnp.asarray(rng.uniform(1e-3, 5e-3, (m,)))  # tiny diag -> ill-conditioned
+    a = add_diagonal(kernel.K(kp, z), lam)
+    rhs = jnp.asarray(rng.standard_normal((m, 2)))
+
+    solve_eye = ConjugateGradient(1e-10, preconditioner=EyePreconditioner(),
+                                  max_iterations=m)
+    precond = rff_preconditioner(kernel, kp, z, lam, 512, jax.random.PRNGKey(0))
+    solve_rff = ConjugateGradient(1e-10, preconditioner=precond, max_iterations=m)
+
+    sol_eye, stats_eye = solve_eye.solve_with_stats(a, rhs)
+    sol_rff, stats_rff = solve_rff.solve_with_stats(a, rhs)
+
+    expected = jnp.linalg.solve(a, rhs)
+    np.testing.assert_allclose(np.asarray(sol_rff), np.asarray(expected), atol=1e-3)
+    assert int(stats_rff.steps) < int(stats_eye.steps), (
+        f"rff {int(stats_rff.steps)} vs eye {int(stats_eye.steps)}"
+    )

@@ -211,3 +211,22 @@ def test_uci_plot(runner, tmp_path):
     out = tmp_path / "plots"
     _run(runner, ["uci-plot", str(tmp_path), "-l", str(out)])
     assert (out / "uci_test_rmse.png").exists()
+
+
+def test_uci_rff_preconditioner_slq_compensated(runner, tmp_path):
+    """BASELINE config 4 path: RFF preconditioner + SLQ logdet + Kahan dots."""
+    gpr_dir = tmp_path / "gpr"
+    _run(runner, ["gpr", "-d", "synthetic1d", "-n", "2", "-l", str(gpr_dir)])
+    uci_dir = tmp_path / "uci"
+    _run(runner, [
+        "uci", "-mc", "cdgp", "-p", "fp64", "-j", "1e-6", "-c", str(gpr_dir),
+        "-P", "rff", "--num-rff-bases", "64",
+        "--logdet-variant", "slq", "--dot", "compensated",
+        "kmeans", "-m", "16",
+        "compute-metrics", "-l", str(uci_dir),
+    ])
+    out = json.loads((uci_dir / "results.json").read_text())
+    assert out["preconditioner"] == "rff"
+    assert out["logdet_variant"] == "slq"
+    assert out["dot"] == "compensated"
+    assert np.isfinite(out["test/rmse"]) and np.isfinite(out["train/elbo"])
