@@ -65,6 +65,13 @@ def enable_x64_if_needed(config: Config) -> None:
         jax.config.update("jax_enable_x64", True)
 
 
+def enable_nan_checks(enabled: bool = True) -> None:
+    """Runtime NaN sanitizer behind a flag (SURVEY.md section 5: the TPU-build
+    analogue of the reference's ``tf.debugging.check_numerics`` tripwire,
+    optimize.py:359-360, applied globally via ``jax_debug_nans``)."""
+    jax.config.update("jax_debug_nans", enabled)
+
+
 def default_float() -> jnp.dtype:
     """The canonical float dtype under the current x64 mode (float64 on
     CPU-parity runs with x64 enabled, float32 on TPU).  Used as the default

@@ -76,6 +76,8 @@ def train_using_adam_and_update(
     update_during_training: bool = True,
     trainable_mask: Optional[Dict] = None,
     monitor: Optional[Monitor] = None,
+    profile_dir: Optional[str] = None,
+    profile_steps: Tuple[int, int] = (2, 6),
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
@@ -84,6 +86,11 @@ def train_using_adam_and_update(
     changes any array shape (e.g. covertree changed M), the optimizer state is
     re-initialised and the step recompiles — matching the reference's
     behaviour of re-tracing on re-clustered shapes.
+
+    Observability (SURVEY.md section 5 additions over the reference): per-step
+    wall time goes to the monitor as ``train/step_time_ms``; with
+    ``profile_dir`` set, steps ``profile_steps[0]..[1]`` are captured with
+    ``jax.profiler`` for xprof/TensorBoard.
     """
     key, data_key = jax.random.split(key)
     batches = minibatch_iterator(data_key, data, batch_size)
@@ -92,6 +99,8 @@ def train_using_adam_and_update(
     step = make_adam_step(loss_fn, optimizer, trainable_mask)
 
     for iteration in range(int(iterations)):
+        if profile_dir is not None and iteration == profile_steps[0]:
+            jax.profiler.start_trace(profile_dir)
         if update_fn is not None and update_during_training:
             shapes_before = _tree_shapes(params)
             params = update_fn(params)
@@ -99,10 +108,18 @@ def train_using_adam_and_update(
                 opt_state = optimizer.init(params)
         batch = next(batches)
         key, step_key = jax.random.split(key)
+        t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, batch, step_key)
         if monitor is not None:
+            loss = jax.block_until_ready(loss)
+            monitor.add_scalar("train/step_time_ms", (time.perf_counter() - t0) * 1e3,
+                               iteration)
             monitor.add_scalar("train/loss", loss, iteration)
             monitor(iteration, params)
+        if profile_dir is not None and iteration == profile_steps[1]:
+            jax.profiler.stop_trace()
+    if profile_dir is not None and profile_steps[0] <= iterations <= profile_steps[1]:
+        jax.profiler.stop_trace()
     if monitor is not None:
         monitor.flush()
     return params
