@@ -60,20 +60,22 @@ def main() -> None:
             a, rhs, jnp.zeros_like(rhs), 0.0,
             max_iterations=ITERS, max_steps_cycle=ITERS + 1,
         )
-        return sol, stats
+        # Reduce to scalars INSIDE the jit so one tiny host fetch fully syncs:
+        # block_until_ready alone is unreliable over remote-device tunnels.
+        return jnp.sum(sol), stats.steps
 
-    sol, stats = solve(z, lam, rhs)  # compile + warm up
-    jax.block_until_ready(sol)
+    checksum, steps = solve(z, lam, rhs)  # compile + warm up
+    float(checksum)
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        sol, stats = solve(z, lam, rhs)
-        jax.block_until_ready(sol)
+        checksum, steps = solve(z, lam, rhs)
+        float(checksum)  # device->host fetch = hard sync point
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    steps = int(stats.steps)
+    steps = int(steps)
     # Each CG iteration reads the [M, M] fp32 matrix once (the RHS block and
     # vectors are small); the Gram build adds one more full write+read.
     bytes_per_iter = M * M * 4

@@ -243,22 +243,30 @@ def cg_loop(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _cg_dense(precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-              matrix, rhs, v0, precond_state):
+              matvec_impl, matrix, rhs, v0, precond_state):
     solution, stats = _cg_dense_impl(
         precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-        matrix, rhs, v0, precond_state,
+        matvec_impl, matrix, rhs, v0, precond_state,
     )
     return solution, stats
 
 
 def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cycle,
-                   dot_name, matrix, rhs, v0, precond_state):
+                   dot_name, matvec_impl, matrix, rhs, v0, precond_state):
     dot = _DOT_FNS[dot_name]
 
-    def matvec(p):
-        return p @ matrix
+    if matvec_impl == "pallas":
+        # HBM-streaming Pallas panel matvec — ~2x XLA's generic matmul on the
+        # skinny [R, M] x [M, M] CG shape (see ops/pallas_matvec.py).
+        from cggp_tpu.ops.pallas_matvec import pallas_matvec
+
+        def matvec(p):
+            return pallas_matvec(p, matrix)
+    else:
+        def matvec(p):
+            return p @ matrix
 
     return cg_loop(
         matvec,
@@ -275,22 +283,22 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
 
 
 def _cg_dense_fwd(precond_apply, error_threshold, max_iterations, max_steps_cycle,
-                  dot_name, matrix, rhs, v0, precond_state):
+                  dot_name, matvec_impl, matrix, rhs, v0, precond_state):
     solution, stats = _cg_dense_impl(
         precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-        matrix, rhs, v0, precond_state,
+        matvec_impl, matrix, rhs, v0, precond_state,
     )
     return (solution, stats), (matrix, solution, v0, precond_state)
 
 
 def _cg_dense_bwd(precond_apply, error_threshold, max_iterations, max_steps_cycle,
-                  dot_name, residuals, cotangents):
+                  dot_name, matvec_impl, residuals, cotangents):
     matrix, solution, v0, precond_state = residuals
     dx, _dstats = cotangents
     # Backward pass = another CG solve: db = A^{-1} dx (reference :100-118).
     db, _ = _cg_dense_impl(
         precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-        matrix, dx, jnp.zeros_like(dx), precond_state,
+        matvec_impl, matrix, dx, jnp.zeros_like(dx), precond_state,
     )
     dA = -solution.T @ db
     dv0 = jnp.zeros_like(v0)
@@ -310,6 +318,7 @@ def conjugate_gradient(
     max_iterations: Optional[int] = None,
     max_steps_cycle: int = 100,
     dot: str = "standard",
+    matvec_impl: str = "xla",
 ) -> Tuple[Array, CGStats]:
     """Solve ``v A = b`` for a batch of row RHS (reference :24-122 semantics).
 
@@ -338,6 +347,7 @@ def conjugate_gradient(
         int(max_iterations),
         int(max_steps_cycle),
         dot,
+        matvec_impl,
         matrix,
         rhs,
         initial_solution,
@@ -362,12 +372,14 @@ class ConjugateGradient:
         max_iterations: Optional[int] = None,
         max_steps_cycle: Optional[int] = None,
         dot: str = "standard",
+        matvec_impl: str = "xla",
     ):
         self.error_threshold = error_threshold
         self.preconditioner = preconditioner if preconditioner is not None else EyePreconditioner()
         self.max_iterations = max_iterations
         self.max_steps_cycle = max_steps_cycle
         self.dot = dot
+        self.matvec_impl = matvec_impl
 
     def solve_with_stats(
         self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None
@@ -395,6 +407,7 @@ class ConjugateGradient:
             max_iterations=max_iterations,
             max_steps_cycle=max_steps_cycle,
             dot=self.dot,
+            matvec_impl=self.matvec_impl,
         )
         return solution.T, stats
 

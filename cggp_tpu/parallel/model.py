@@ -146,6 +146,26 @@ class ShardedCGGP(ClusterGP):
         mask["inducing_mask"] = False
         return mask
 
+    def assign_clusters(self, params: Dict, iv, means, counts) -> Dict:
+        """Re-cluster + re-pad: the new M must again divide the mesh size and
+        the pad mask must track the new real count."""
+        dtype = params["inducing_points"].dtype
+        m_real = jnp.asarray(iv).shape[0]
+        z, _lam, u_t, counts_t, mask_t = pad_inducing(
+            jnp.asarray(iv, dtype),
+            jnp.ones(m_real, dtype),
+            self.num_devices,
+            jnp.asarray(means, dtype).T,
+            jnp.asarray(counts, dtype).T,
+            jnp.ones((1, m_real), dtype),
+        )
+        new = dict(params)
+        new["inducing_points"] = z
+        new["pseudo_u"] = u_t.T
+        new["cluster_counts"] = jnp.where(counts_t.T == 0.0, 1.0, counts_t.T)
+        new["inducing_mask"] = mask_t.T
+        return new
+
     # -- KL ------------------------------------------------------------------
 
     def prior_kl(self, params: Dict, key: jax.Array) -> Array:

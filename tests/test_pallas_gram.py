@@ -64,3 +64,44 @@ def test_gram_matvec_large_single_block_padding(rng):
         block_n=32, block_m=16, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_matvec_matches_dense(rng):
+    from cggp_tpu.ops.pallas_matvec import pallas_matvec
+
+    r, m = 3, 70  # unaligned
+    p = jnp.asarray(rng.standard_normal((r, m)), jnp.float32)
+    a0 = rng.standard_normal((m, m))
+    a = jnp.asarray(a0 + a0.T, jnp.float32)
+    expected = p @ a
+    out = pallas_matvec(p, a, block_j=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-4)
+
+
+def test_cg_with_pallas_matvec_matches_xla(rng):
+    """ConjugateGradient(matvec_impl="pallas") must agree with the XLA path
+    (interpret mode under CPU)."""
+    import jax
+
+    from cggp_tpu.ops.cg import conjugate_gradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    # interpret=False pallas doesn't run on CPU; monkeypatch via interpret mode
+    from jax.experimental.pallas import tpu as pltpu
+
+    m = 40
+    kernel = SquaredExponential()
+    kp = kernel.init_params(dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(-1, 1, (m, 2)), jnp.float32)
+    lam = jnp.asarray(rng.uniform(0.2, 0.5, (m,)), jnp.float32)
+    a = add_diagonal(kernel.K(kp, z), lam)
+    rhs = jnp.asarray(rng.standard_normal((4, m)), jnp.float32)
+
+    sol_xla, _ = conjugate_gradient(a, rhs, jnp.zeros_like(rhs), 1e-10,
+                                    max_iterations=m)
+    with pltpu.force_tpu_interpret_mode():
+        sol_pallas, _ = conjugate_gradient(a, rhs, jnp.zeros_like(rhs), 1e-10,
+                                           max_iterations=m, matvec_impl="pallas")
+    np.testing.assert_allclose(np.asarray(sol_pallas), np.asarray(sol_xla),
+                               rtol=1e-4, atol=1e-4)

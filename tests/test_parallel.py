@@ -224,3 +224,17 @@ def test_sharded_training_step_improves_loss(mesh, rng):
     assert losses[-1] < losses[0]
     # Frozen pads must not move.
     np.testing.assert_array_equal(np.asarray(params["inducing_mask"]), initial_mask)
+
+
+def test_sharded_assign_clusters_repads(mesh, rng):
+    sharded, params, _, _, data = _cluster_setup(rng, mesh, m=13)
+    x, y = data
+    # Re-cluster to a different, also non-divisible M.
+    from cggp_tpu.selection.update import labels_update_inducing_parameters
+
+    iv, u, counts = labels_update_inducing_parameters(data, x[:10])
+    new_params = sharded.assign_clusters(params, iv, u, counts)
+    assert new_params["inducing_points"].shape[0] == 16  # padded to mesh multiple
+    assert float(new_params["inducing_mask"].sum()) == 10.0
+    mu, var = sharded.predict_f(new_params, x[:8])
+    assert np.all(np.isfinite(np.asarray(mu)))
