@@ -74,7 +74,7 @@ def test_pallas_matvec_matches_dense(rng):
     a0 = rng.standard_normal((m, m))
     a = jnp.asarray(a0 + a0.T, jnp.float32)
     expected = p @ a
-    out = pallas_matvec(p, a, block_j=128, interpret=True)
+    out = pallas_matvec(p, a, block_i=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-4)
 
 
