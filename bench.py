@@ -21,7 +21,7 @@ import time
 
 import numpy as np
 
-M = 4096
+M = 8192
 NUM_RHS = 16
 ITERS = 100
 REPEATS = 5

@@ -258,12 +258,28 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
     dot = _DOT_FNS[dot_name]
 
     if matvec_impl == "pallas":
-        # HBM-streaming Pallas panel matvec — ~2x XLA's generic matmul on the
-        # skinny [R, M] x [M, M] CG shape (see ops/pallas_matvec.py).
+        # HBM-streaming Pallas panel matvec (see ops/pallas_matvec.py).  On
+        # current v5e, XLA's matmul already reaches ~68% of HBM roofline at
+        # M=8192, so this is an option, not the default.
         from cggp_tpu.ops.pallas_matvec import pallas_matvec
 
         def matvec(p):
             return pallas_matvec(p, matrix)
+    elif matvec_impl == "xla_bf16":
+        # bf16 matrix storage halves HBM bytes per iteration (the CG matvec
+        # is bandwidth-bound), with fp32 MXU accumulation.  bf16's ~3 decimal
+        # digits floor the reachable residual around 1e-2..1e-3 relative —
+        # acceptable for covertree-conditioned systems with loose thresholds;
+        # use fp32 for tight-threshold parity runs.
+        matrix_bf16 = matrix.astype(jnp.bfloat16)
+
+        def matvec(p):
+            out = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), matrix_bf16,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(matrix.dtype)
     else:
         def matvec(p):
             return p @ matrix

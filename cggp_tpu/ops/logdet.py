@@ -41,7 +41,7 @@ def _logdet_grad(df, matrix, probes, precond_apply, precond_state, threshold,
         eye = jnp.eye(n, dtype=matrix.dtype)
         inv, _ = _cg_dense_impl(
             precond_apply, threshold, max_iterations, max_steps_cycle, dot_name,
-            matrix, eye, jnp.zeros_like(eye), precond_state,
+            "xla", matrix, eye, jnp.zeros_like(eye), precond_state,
         )
         # Row-convention solve of the identity is A^{-T}; transpose as the
         # reference does (models.py:35) even though A is symmetric.
@@ -50,7 +50,7 @@ def _logdet_grad(df, matrix, probes, precond_apply, precond_state, threshold,
     rv = df * probes  # [n, P] — valid since logdet is a scalar
     lv, _ = _cg_dense_impl(
         precond_apply, threshold, max_iterations, max_steps_cycle, dot_name,
-        matrix, probes.T, jnp.zeros_like(probes.T), precond_state,
+        "xla", matrix, probes.T, jnp.zeros_like(probes.T), precond_state,
     )  # [P, n] row solutions of A x = probe
     return (lv.T @ rv.T) / jnp.asarray(num_probes, dtype=matrix.dtype)
 

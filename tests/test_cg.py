@@ -206,3 +206,28 @@ def test_rff_preconditioner_reduces_cg_iterations(rng):
     assert int(stats_rff.steps) < int(stats_eye.steps), (
         f"rff {int(stats_rff.steps)} vs eye {int(stats_eye.steps)}"
     )
+
+
+def test_cg_bf16_matvec_converges_on_well_conditioned_system(rng):
+    """xla_bf16 matvec: half the HBM bytes; converges to the bf16 floor on a
+    covertree-conditioned (moderate condition number) system."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import conjugate_gradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    m = 128
+    kernel = SquaredExponential()
+    kp = kernel.init_params(dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(-2, 2, (m, 3)), jnp.float32)
+    lam = jnp.asarray(rng.uniform(0.3, 0.6, (m,)), jnp.float32)
+    a = add_diagonal(kernel.K(kp, z), lam)
+    rhs = jnp.asarray(rng.standard_normal((4, m)), jnp.float32)
+
+    sol_bf16, _ = conjugate_gradient(a, rhs, jnp.zeros_like(rhs), 1e-5,
+                                     max_iterations=m, matvec_impl="xla_bf16")
+    expected = jnp.linalg.solve(jnp.asarray(a, jnp.float64),
+                                jnp.asarray(rhs, jnp.float64).T).T
+    rel = float(jnp.linalg.norm(sol_bf16 - expected) / jnp.linalg.norm(expected))
+    assert rel < 5e-2, rel
