@@ -3,7 +3,9 @@
 from cggp_tpu.utils.store import (
     assign_flat,
     flatten_params,
+    load_checkpoint,
     load_config_dir,
+    save_checkpoint,
     save_config_dir,
     unflatten_params,
 )
@@ -11,7 +13,9 @@ from cggp_tpu.utils.store import (
 __all__ = [
     "assign_flat",
     "flatten_params",
+    "load_checkpoint",
     "load_config_dir",
+    "save_checkpoint",
     "save_config_dir",
     "unflatten_params",
 ]

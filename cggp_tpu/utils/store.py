@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -97,3 +97,34 @@ def store_as_json(path, payload: Dict) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "w") as fh:
         json.dump(payload, fh, indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# Orbax-backed checkpoints (net-new): async-capable, sharding-aware snapshots
+# for long multi-chip training runs.  The npz config-dir contract above stays
+# the reproduction interface; orbax is the operational checkpoint/restore.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(dirpath, params: Dict, step: int = 0) -> None:
+    """Write an orbax checkpoint at ``{dirpath}/{step}``."""
+    import orbax.checkpoint as ocp
+
+    path = Path(dirpath).resolve() / str(step)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_checkpoint(dirpath, params_like: Dict, step: Optional[int] = None) -> Dict:
+    """Restore the checkpoint at ``step`` (default: latest) using
+    ``params_like`` as the shape/dtype/sharding template."""
+    import orbax.checkpoint as ocp
+
+    base = Path(dirpath).resolve()
+    if step is None:
+        steps = sorted(int(p.name) for p in base.iterdir() if p.name.isdigit())
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {base}")
+        step = steps[-1]
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(base / str(step), params_like)

@@ -195,3 +195,16 @@ def test_config_dir_roundtrip(rng, tmp_path):
     )
     np.testing.assert_array_equal(loaded["pseudo_u"], params["pseudo_u"])
     assert flatten_params(loaded)["likelihood/variance"] == flat["likelihood/variance"]
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    from cggp_tpu.utils import load_checkpoint, save_checkpoint
+
+    data = _toy_data(rng, n=32)
+    model, params = _make_cggp(data, m=8)
+    save_checkpoint(tmp_path / "ckpt", params, step=3)
+    template = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = load_checkpoint(tmp_path / "ckpt", template)
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
