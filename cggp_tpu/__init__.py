@@ -18,8 +18,10 @@ Design principles (TPU-first, not a port):
 * **SPMD scale-out** — the net-new ``parallel`` package shards the data axis
   (N) and the inducing axis (M) over a `jax.sharding.Mesh`, with `psum`-blocked
   Gram matvecs inside `shard_map` (the reference is single-device only).
-* **Pallas fused Gram matvecs** — `ops.pallas_kernels` computes ``K(Z, X) @ v``
+* **Pallas fused Gram matvecs** — `ops.pallas_gram` computes ``K(Z, X) @ v``
   block-by-block in VMEM without materialising ``K`` in HBM.
+* **Native host runtime** — the run-once host hot spot (cover-tree build) is
+  OpenMP C++ (`cggp_tpu/native`), ctypes-loaded with a numpy fallback.
 """
 
 from cggp_tpu.config import Config, default_config, set_default_config

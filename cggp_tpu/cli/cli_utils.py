@@ -152,13 +152,16 @@ def create_model(
     seed: int = 0,
     dot: str = "standard",
     max_cg_iterations: Optional[int] = None,
+    jitter: float = 1e-6,
     **model_kwargs,
 ):
     """Build ``(model_spec, params)`` with a random-subset Z and likelihood
     variance 0.1 (reference cli_utils.py:143-168).
 
     ``dot="compensated"`` switches the CG inner products to Kahan summation
-    for fp32 TPU runs (BASELINE.md config 4)."""
+    for fp32 TPU runs (BASELINE.md config 4).  ``jitter`` reaches SGPR's Kuu
+    build (the reference's global ``default_jitter``); the CG models use
+    jitter 0 by design (reference models.py:300)."""
     x = np.asarray(data[0])
     n, dim = x.shape[0], x.shape[-1]
     if num_inducing_points is None:
@@ -193,7 +196,7 @@ def create_model(
             iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
         )
     elif model_name == "sgpr":
-        model = SGPR(kernel=kernel, **model_kwargs)
+        model = SGPR(kernel=kernel, jitter=jitter, **model_kwargs)
         params = model.init_params(
             iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
         )
@@ -206,12 +209,27 @@ def create_gpr_model(
     train_data: Tuple[Array, Array],
     kernel_fn: Callable,
     dtype=None,
+    positive_minimum: Optional[float] = None,
 ) -> Tuple[GPR, Dict]:
     """GPR factory (reference cli_utils.py:171-184 — which ignores its kernel
-    argument, SURVEY.md known-bugs 4; ours honours it)."""
+    argument, SURVEY.md known-bugs 4; ours honours it).
+
+    ``positive_minimum`` is the reference's global
+    ``set_default_positive_minimum`` (paper_cli_gpr.py:55) made explicit: the
+    lower bound of the positive bijectors on kernel + likelihood params.
+    """
+    import dataclasses as _dc
+
+    from cggp_tpu.models.base import GaussianLikelihood
+
     dim = np.asarray(train_data[0]).shape[-1]
     kernel, kernel_init = kernel_fn(dim)
-    model = GPR(kernel=kernel)
+    if positive_minimum is not None:
+        kernel = _dc.replace(kernel, positive_lower=positive_minimum)
+        model = GPR(kernel=kernel,
+                    likelihood=GaussianLikelihood(positive_lower=positive_minimum))
+    else:
+        model = GPR(kernel=kernel)
     params = model.init_params(
         input_dim=dim, noise_variance=0.1, dtype=dtype, **kernel_init
     )
@@ -353,6 +371,7 @@ def create_model_and_update_fn(
     dtype=None,
     seed: int = 0,
     dot: str = "standard",
+    jitter: float = 1e-6,
     model_kwargs: Optional[Dict] = None,
     clustering_kwargs: Optional[Dict] = None,
 ):
@@ -373,6 +392,7 @@ def create_model_and_update_fn(
         dtype=dtype,
         seed=seed,
         dot=dot if model_name == "cdgp" else "standard",
+        jitter=jitter,
         **model_kwargs,
     )
     update_fn = create_update_fn(

@@ -32,6 +32,7 @@ def _build_ip_ctx(ctx: click.Context, clustering_type: str, clustering_kwargs: D
         dtype=common_ctx.get("dtype"),
         seed=common_ctx.get("seed", 0),
         dot=common_ctx.get("dot", "standard"),
+        jitter=common_ctx.get("jitter", 1e-6),
         model_kwargs=common_ctx.get("model_kwargs"),
         clustering_kwargs=clustering_kwargs,
     )

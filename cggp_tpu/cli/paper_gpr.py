@@ -38,6 +38,7 @@ SIZE_LIMIT = 10000  # reference paper_cli_gpr.py:61
 @click.option("-n", "--num-iterations", type=int, required=True)
 @click.option("-d", "--dataset", type=DatasetType(), required=True)
 @click.option("-p", "--precision", type=FloatType(), default="fp64")
+@click.option("-pm", "--positive-minimum", type=float, default=1e-6)
 @click.option("-k", "--kernel", type=KernelType(), default="se")
 @click.option("-tb", "--test-batch-size", type=int)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
@@ -49,6 +50,7 @@ def main(
     num_iterations: int,
     dataset,
     precision,
+    positive_minimum: float,
     kernel,
     test_batch_size: Optional[int],
     tensorboard: bool,
@@ -63,7 +65,9 @@ def main(
     test_data = tuple(map(jax_array(precision), data.test))
     train_slice = tuple(d[:SIZE_LIMIT] for d in train_data)
 
-    model, params = create_gpr_model(train_slice, kernel, dtype=precision)
+    model, params = create_gpr_model(
+        train_slice, kernel, dtype=precision, positive_minimum=positive_minimum
+    )
 
     info = {
         "seed": seed,

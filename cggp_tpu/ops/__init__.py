@@ -21,7 +21,14 @@ from cggp_tpu.ops.cg import (
     NystromPreconditioner,
 )
 from cggp_tpu.ops.logdet import eval_logdet, slq_logdet
-from cggp_tpu.ops.rff import basis_theta_parameter, basis_vectors, rff_sample
+from cggp_tpu.ops.rff import (
+    basis_theta_parameter,
+    basis_vectors,
+    rff_preconditioner,
+    rff_sample,
+)
+from cggp_tpu.ops.pallas_gram import gram_matvec, kuu_matvec
+from cggp_tpu.ops.pallas_matvec import pallas_matvec
 
 __all__ = [
     "Bijector",
@@ -47,5 +54,9 @@ __all__ = [
     "slq_logdet",
     "basis_theta_parameter",
     "basis_vectors",
+    "rff_preconditioner",
     "rff_sample",
+    "gram_matvec",
+    "kuu_matvec",
+    "pallas_matvec",
 ]
