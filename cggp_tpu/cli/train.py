@@ -63,12 +63,22 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
 @click.option("-l", "--learning-rate", type=float, default=0.01)
 @click.option("-e", "--error-threshold", type=float, default=1e-5)
 @click.option("-r", "--record-step", type=int, default=100)
+@click.option(
+    "--num-devices", type=int, default=None,
+    help="Shard the inducing dimension over this many devices "
+         "(ShardedCGGP: psum-blocked CG over a mesh). Default: single chip.",
+)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, learning_rate,
-                    error_threshold, record_step, tensorboard):
-    """Adam training on the CGGP model (reference cli.py:79-162)."""
+                    error_threshold, record_step, num_devices, tensorboard):
+    """Adam training on the CGGP model (reference cli.py:79-162).
+
+    With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
+    (M sharded over the mesh, psum-blocked Gram matvecs); everything else —
+    clustering, monitor, config-dir output — is identical.
+    """
     obj = ctx.obj
     dataset = obj["dataset"]
     train_data, test_data = dataset.train, dataset.test
@@ -92,11 +102,33 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
     }
     click.echo(f"-> {json.dumps(info, indent=2)}")
 
-    model, params = create_model(
-        "cdgp", obj["kernel_fn"], train_data,
-        num_inducing_points=num_inducing_points,
-        error_threshold=error_threshold, seed=obj["seed"],
-    )
+    if num_devices is not None:
+        import numpy as _np
+
+        from cggp_tpu.parallel import ShardedCGGP, make_mesh
+        from cggp_tpu.cli.cli_utils import default_kernel_fn
+
+        mesh = make_mesh(num_devices)
+        x = train_data[0]
+        n, dim = x.shape
+        m0 = num_inducing_points or int(n * 0.1)
+        kernel, kernel_init = obj["kernel_fn"](dim)
+        model = ShardedCGGP(
+            kernel=kernel, mesh=mesh, num_data=n,
+            error_threshold=error_threshold,
+            max_cg_iterations=max(m0, 16),
+        )
+        rng = _np.random.RandomState(obj["seed"])
+        iv = _np.asarray(x)[rng.choice(n, m0, replace=False)]
+        params = model.init_params(iv, noise_variance=0.1, **kernel_init)
+        click.echo(f"sharded over {num_devices} devices; "
+                   f"M={m0} padded to {params['inducing_points'].shape[0]}")
+    else:
+        model, params = create_model(
+            "cdgp", obj["kernel_fn"], train_data,
+            num_inducing_points=num_inducing_points,
+            error_threshold=error_threshold, seed=obj["seed"],
+        )
     clustering_kwargs = {}
     if clustering_type in ("kmeans",):
         clustering_kwargs["max_points"] = (

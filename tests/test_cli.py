@@ -230,3 +230,17 @@ def test_uci_rff_preconditioner_slq_compensated(runner, tmp_path):
     assert out["logdet_variant"] == "slq"
     assert out["dot"] == "compensated"
     assert np.isfinite(out["test/rmse"]) and np.isfinite(out["train/elbo"])
+
+
+def test_train_cggp_adam_sharded(runner, tmp_path):
+    """Multi-chip training through the CLI on the 8-way virtual mesh."""
+    logdir = tmp_path / "sharded"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir), "-s", "0",
+        "train-cggp-adam", "-n", "3", "-b", "64", "-m", "10",
+        "-c", "kmeans", "-d", "euclidean", "--num-devices", "8",
+        "--no-tensorboard",
+    ])
+    assert "sharded over 8 devices" in result.output
+    assert "M=10 padded to 16" in result.output
+    assert (logdir / "params.npz").exists()
