@@ -281,8 +281,11 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
             )
             return out.astype(matrix.dtype)
     else:
+        # Full fp32 matmul precision: the TPU default (bf16 passes) floors
+        # the reachable residual ~1e-2 and can stall/diverge CG outright.
+        # The solve is HBM-bound, so the extra MXU passes are ~free.
         def matvec(p):
-            return p @ matrix
+            return jnp.matmul(p, matrix, precision=jax.lax.Precision.HIGHEST)
 
     return cg_loop(
         matvec,

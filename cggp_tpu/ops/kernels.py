@@ -21,6 +21,7 @@ import dataclasses
 import math
 from typing import Dict, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,12 +38,19 @@ _R2_FLOOR = 1e-36
 
 
 def scaled_squared_distance(x_scaled: jnp.ndarray, y_scaled: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """``r2[i, j] = ||xs_i - ys_j||^2`` with the cross term on the MXU."""
+    """``r2[i, j] = ||xs_i - ys_j||^2`` with the cross term on the MXU.
+
+    The cross term MUST run at full fp32 precision: JAX's TPU default
+    (bfloat16 matmul passes) loses ~2 decimal digits, and ``x2 + y2 - 2xy``
+    cancels catastrophically for nearby points — the resulting Gram-matrix
+    error makes ``Kuu + Lambda`` indefinite and CG diverges (observed at
+    N=435k/M=989: fp32-on-CPU healthy, TPU-default garbage).
+    """
     if y_scaled is None:
         y_scaled = x_scaled
     xs2 = jnp.sum(jnp.square(x_scaled), axis=-1, keepdims=True)  # [N, 1]
     ys2 = jnp.sum(jnp.square(y_scaled), axis=-1, keepdims=True)  # [M, 1]
-    cross = x_scaled @ y_scaled.T  # [N, M] — MXU
+    cross = jnp.matmul(x_scaled, y_scaled.T, precision=jax.lax.Precision.HIGHEST)
     r2 = xs2 + ys2.T - 2.0 * cross
     return jnp.maximum(r2, 0.0)
 

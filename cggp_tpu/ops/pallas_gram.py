@@ -70,11 +70,14 @@ def _gram_matvec_kernel(kernel_name, x_ref, z_ref, v_ref, var_ref, out_ref, acc_
     x2 = jnp.sum(jnp.square(xs), axis=-1, keepdims=True)  # [BN, 1]
     z2 = jnp.sum(jnp.square(zs), axis=-1, keepdims=True)  # [BM, 1]
     cross = jax.lax.dot_general(
-        xs, zs, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xs, zs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # bf16 passes cancel badly in r2
     )  # [BN, BM]
     r2 = jnp.maximum(x2 + z2.T - 2.0 * cross, 0.0)
     k_tile = _kernel_tile(kernel_name, r2, var_ref[0, 0])
-    acc_ref[:] += jnp.dot(k_tile, v_ref[:], preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(k_tile, v_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(j == nj - 1)
     def _():

@@ -34,7 +34,8 @@ def _matvec_kernel(a_ref, pt_ref, out_ref):
     # A row panels are CONTIGUOUS in HBM (row-major), so the stream hits full
     # DMA bandwidth; column panels (the naive p @ A tiling) are strided and
     # measured ~2x slower.
-    out_ref[:] = jnp.dot(a_ref[:], pt_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(a_ref[:], pt_ref[:], preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.jit, static_argnames=("block_i", "interpret"))

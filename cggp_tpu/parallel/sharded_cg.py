@@ -84,7 +84,10 @@ def _local_rows(kernel: Kernel, kp, z: Array, lam: Array, axis_name: str):
 def _make_local_matvec(a_rows: Array, offset, mb: int, axis_name: str):
     def matvec(p: Array) -> Array:  # p replicated [m, M] -> replicated [m, M]
         p_block = lax.dynamic_slice_in_dim(p, offset, mb, axis=1)
-        return lax.psum(p_block @ a_rows, axis_name)
+        # Full fp32 precision: TPU's default bf16 matmul passes break CG
+        # convergence (see ops/kernels.scaled_squared_distance).
+        partial = jnp.matmul(p_block, a_rows, precision=jax.lax.Precision.HIGHEST)
+        return lax.psum(partial, axis_name)
 
     return matvec
 

@@ -17,10 +17,11 @@ Array = jnp.ndarray
 
 
 def _pairwise_euclid(points: Array, centroids: Array) -> Array:
-    """[N, K] Euclidean distances with the cross term on the MXU."""
+    """[N, K] Euclidean distances with the cross term on the MXU (full fp32
+    precision: bf16 passes corrupt small distances via cancellation)."""
     p2 = jnp.sum(jnp.square(points), axis=-1, keepdims=True)
     c2 = jnp.sum(jnp.square(centroids), axis=-1, keepdims=True)
-    cross = points @ centroids.T
+    cross = jnp.matmul(points, centroids.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(p2 + c2.T - 2.0 * cross, 0.0)
     return jnp.sqrt(d2)
 

@@ -57,7 +57,7 @@ def test_native_no_lloyds_no_voronoi(rng):
 def test_native_faster_at_scale(rng):
     import time
 
-    data = _data(rng, n=40_000, d=4)
+    data = _data(rng, n=20_000, d=4)
     t0 = time.perf_counter()
     CoverTree(None, data, spatial_resolution=0.4, backend="native")
     t_native = time.perf_counter() - t0
