@@ -128,8 +128,68 @@ class CGGP(ClusterGP):
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
              key: Optional[jax.Array] = None) -> Array:
+        """ELBO with ALL CG right-hand sides fused into one row-block solve.
+
+        The reference runs the KL solve and the predict solve as separate CG
+        launches against the same ``Kmm + Lambda`` (models.py:303, :339-340);
+        fusing ``[u | probes | Kmn]`` into a single [1+P+B, M] solve halves
+        the number of CG loops per training step (forward AND backward),
+        which matters because small-M CG iterations are latency-dominated.
+        """
         if key is None:
             raise ValueError("CGGP.elbo requires a PRNG key for the trace/logdet probes")
+        if self.num_probes is None or not self.fuse_kl_solves:
+            return self._elbo_unfused(params, data, key)
+
+        x, y = data
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        m = z.shape[0]
+        dtype = z.dtype
+
+        kmm = self.kernel.K(kp, z)  # jitter = 0 (models.py:300, :333)
+        kmm_lambda = add_diagonal(kmm, var[:, 0])
+        kmn = self.kernel.K(kp, z, x)  # [M, B]
+
+        cg = self.conjugate_gradient
+        key_probes, key_logdet = jax.random.split(key)
+        probes = rademacher(key_probes, (m, self.num_probes), dtype)
+
+        rhs = jnp.concatenate([u, probes, kmn], axis=-1)  # [M, 1+P+B]
+        solved = cg(kmm_lambda, rhs)
+        inv_u = solved[:, :1]
+        inv_probes = solved[:, 1 : 1 + self.num_probes]
+        inv_kmn = solved[:, 1 + self.num_probes :]
+
+        # -- KL (models.py:293-322 semantics) --
+        kmm_probes = kmm @ probes
+        trace = jnp.sum(inv_probes * kmm_probes) / jnp.asarray(
+            self.num_probes, dtype=dtype
+        )
+        quad = jnp.sum((kmm @ inv_u) * inv_u)
+        if self.logdet_variant == "slq":
+            logdet = slq_logdet(kmm_lambda, cg, num_probes=self.num_probes,
+                                key=key_logdet, lanczos_iters=self.slq_lanczos_iters)
+        else:
+            logdet = eval_logdet(kmm_lambda, cg, num_probes=self.num_probes,
+                                 key=key_logdet)
+        const = jnp.sum(jnp.log(var))
+        kl = 0.5 * (quad - trace + logdet - const)
+
+        # -- data term (models.py:324-354 predict + variational expectations) --
+        knn = self.kernel.K_diag(kp, x)
+        f_var = (knn - jnp.sum(kmn * inv_kmn, axis=0))[:, None]
+        f_mean = kmn.T @ inv_u
+        var_exp = self.likelihood.variational_expectations(
+            params["likelihood"], f_mean, f_var, y
+        )
+        scale = minibatch_scale(self.num_data, x.shape[0], kl.dtype)
+        return jnp.sum(var_exp) * scale - kl
+
+    def _elbo_unfused(self, params: Dict, data: Tuple[Array, Array],
+                      key: jax.Array) -> Array:
         x, y = data
         kl = self.prior_kl(params, key)
         f_mean, f_var = self.predict_f(params, x, full_cov=False)

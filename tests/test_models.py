@@ -191,3 +191,33 @@ def test_elbo_jits_and_is_finite(rng):
     loss = jax.jit(lambda p, d, k: cggp.training_loss(p, d, k))
     val = loss(params, (x, y), jax.random.PRNGKey(0))
     assert np.isfinite(float(val))
+
+
+def test_cggp_fused_elbo_matches_unfused(rng):
+    """The single-solve ELBO must equal the two-solve path exactly (same
+    probes, same CG semantics)."""
+    import jax
+
+    from cggp_tpu.selection.update import labels_update_inducing_parameters
+
+    x = jnp.asarray(rng.uniform(-1, 1, (96, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])))
+    kernel = SquaredExponential()
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:12])
+    # max_iterations well above M: with the default (M) the multi-RHS solve
+    # truncates before 1e-14 and fused/unfused diverge at ~1e-3.
+    fused = CGGP(kernel=kernel, conjugate_gradient=ConjugateGradient(1e-14, max_iterations=96),
+                 num_data=96, num_probes=4, fuse_kl_solves=True)
+    unfused = CGGP(kernel=kernel, conjugate_gradient=ConjugateGradient(1e-14, max_iterations=96),
+                   num_data=96, num_probes=4, fuse_kl_solves=False)
+    params = fused.init_params(iv, pseudo_u=u, cluster_counts=counts)
+    key = jax.random.PRNGKey(0)
+    e_fused = float(fused.elbo(params, (x, y), key))
+    e_unfused = float(unfused.elbo(params, (x, y), key))
+    np.testing.assert_allclose(e_fused, e_unfused, rtol=1e-5)
+
+    g_fused = jax.grad(lambda p: fused.training_loss(p, (x, y), key))(params)
+    g_unfused = jax.grad(lambda p: unfused.training_loss(p, (x, y), key))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                    jax.tree_util.tree_leaves(g_unfused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
