@@ -26,7 +26,12 @@ from cggp_tpu.models.clustergp import ClusterGP
 from cggp_tpu.ops.cg import ConjugateGradient
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
-from cggp_tpu.ops.logdet import eval_logdet, rademacher, slq_logdet
+from cggp_tpu.ops.logdet import (
+    eval_logdet,
+    eval_logdet_from_solves,
+    rademacher,
+    slq_logdet,
+)
 
 Array = jnp.ndarray
 
@@ -156,12 +161,22 @@ class CGGP(ClusterGP):
         cg = self.conjugate_gradient
         key_probes, key_logdet = jax.random.split(key)
         probes = rademacher(key_probes, (m, self.num_probes), dtype)
+        use_slq = self.logdet_variant == "slq"
+        if use_slq:
+            logdet_probes = jnp.zeros((m, 0), dtype)
+        else:
+            # Independent probes for the logdet gradient (reference draws a
+            # fresh Rademacher batch, models.py:37-44) — but solved in the
+            # SAME fused CG launch.
+            logdet_probes = rademacher(key_logdet, (m, self.num_probes), dtype)
 
-        rhs = jnp.concatenate([u, probes, kmn], axis=-1)  # [M, 1+P+B]
+        p = self.num_probes
+        rhs = jnp.concatenate([u, probes, logdet_probes, kmn], axis=-1)
         solved = cg(kmm_lambda, rhs)
         inv_u = solved[:, :1]
-        inv_probes = solved[:, 1 : 1 + self.num_probes]
-        inv_kmn = solved[:, 1 + self.num_probes :]
+        inv_probes = solved[:, 1 : 1 + p]
+        inv_logdet_probes = solved[:, 1 + p : 1 + p + logdet_probes.shape[-1]]
+        inv_kmn = solved[:, 1 + p + logdet_probes.shape[-1] :]
 
         # -- KL (models.py:293-322 semantics) --
         kmm_probes = kmm @ probes
@@ -169,12 +184,16 @@ class CGGP(ClusterGP):
             self.num_probes, dtype=dtype
         )
         quad = jnp.sum((kmm @ inv_u) * inv_u)
-        if self.logdet_variant == "slq":
+        if use_slq:
             logdet = slq_logdet(kmm_lambda, cg, num_probes=self.num_probes,
                                 key=key_logdet, lanczos_iters=self.slq_lanczos_iters)
         else:
-            logdet = eval_logdet(kmm_lambda, cg, num_probes=self.num_probes,
-                                 key=key_logdet)
+            # The logdet gradient reuses this launch's probe solutions — zero
+            # extra CG loops (the reference re-solves in its custom gradient,
+            # models.py:32-44).
+            logdet = eval_logdet_from_solves(
+                kmm_lambda, logdet_probes, jax.lax.stop_gradient(inv_logdet_probes)
+            )
         const = jnp.sum(jnp.log(var))
         kl = 0.5 * (quad - trace + logdet - const)
 

@@ -125,6 +125,38 @@ def eval_logdet(
     )
 
 
+@jax.custom_vjp
+def eval_logdet_from_solves(matrix: Array, probes: Array, solved_probes: Array) -> Array:
+    """Zero-valued logdet whose gradient REUSES precomputed probe solves.
+
+    ``solved_probes`` must be ``A^{-1} probes`` ([n, P] columns), already
+    available when the caller batched the probe systems into its main CG
+    solve (CGGP's fused ELBO).  The backward rule is the same Hutchinson
+    estimator as :func:`eval_logdet` —
+    ``dA = df * (A^{-1}probes) probes^T / P`` — but costs zero extra CG
+    loops.  ``solved_probes`` is treated as a constant (stop-gradient
+    semantics), exactly like the reference's custom gradient which never
+    differentiates through the solver (models.py:21-48).
+    """
+    del matrix, solved_probes
+    return jnp.zeros((), dtype=probes.dtype)
+
+
+def _eval_logdet_from_solves_fwd(matrix, probes, solved_probes):
+    del matrix
+    return jnp.zeros((), dtype=probes.dtype), (probes, solved_probes)
+
+
+def _eval_logdet_from_solves_bwd(residuals, df):
+    probes, solved_probes = residuals
+    num_probes = probes.shape[-1]
+    dA = (df / jnp.asarray(num_probes, probes.dtype)) * (solved_probes @ probes.T)
+    return dA, jnp.zeros_like(probes), jnp.zeros_like(solved_probes)
+
+
+eval_logdet_from_solves.defvjp(_eval_logdet_from_solves_fwd, _eval_logdet_from_solves_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Stochastic Lanczos quadrature (value estimator, net-new)
 # ---------------------------------------------------------------------------

@@ -87,3 +87,28 @@ def test_slq_logdet_grad_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(g_slq[key]), np.asarray(g_dense[key]), rtol=0.15, atol=0.05
         )
+
+
+def test_eval_logdet_from_solves_matches_eval_logdet_grad(rng):
+    """Reusing precomputed probe solves must give the same Hutchinson
+    gradient as the re-solving estimator (same probes)."""
+    import jax
+
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.logdet import eval_logdet_from_solves
+
+    n = 24
+    a0 = rng.standard_normal((n, n))
+    a = jnp.asarray(a0 @ a0.T + n * np.eye(n))
+    probes = jnp.asarray(rng.choice([-1.0, 1.0], size=(n, 6)))
+
+    solved = jnp.linalg.solve(a, probes)
+
+    def via_solves(a_):
+        return eval_logdet_from_solves(a_, probes, solved)
+
+    g1 = jax.grad(via_solves)(a)
+    expected = (solved @ probes.T) / 6.0
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(expected), rtol=1e-12)
+    # value stays zero (reference models.py:46 semantics)
+    assert float(via_solves(a)) == 0.0
