@@ -47,6 +47,12 @@ class CGGP(ClusterGP):
     logdet_variant: str = "zero"  # "zero" (reference semantics) | "slq"
     slq_lanczos_iters: int = 25
     fuse_kl_solves: bool = True
+    # Per-step RFF/Woodbury preconditioning of the fused solve (net-new):
+    # rebuilt from the CURRENT hyperparameters each elbo call (a few skinny
+    # matmuls + one [2L, 2L] Cholesky), it tracks training instead of going
+    # stale like a fixed preconditioner.  Cuts CG iterations several-fold.
+    precondition: Optional[str] = None  # None | "rff"
+    precond_rank: int = 128  # number of Fourier bases L (factor rank = 2L)
 
     def __post_init__(self):
         if self.conjugate_gradient is None:
@@ -170,9 +176,21 @@ class CGGP(ClusterGP):
             # SAME fused CG launch.
             logdet_probes = rademacher(key_logdet, (m, self.num_probes), dtype)
 
+        precond = None
+        if self.precondition == "rff":
+            from cggp_tpu.ops.rff import rff_preconditioner
+
+            key_logdet, key_rff = jax.random.split(key_logdet)
+            # Solver state, not part of the differentiated model.
+            sg = jax.lax.stop_gradient
+            precond = rff_preconditioner(
+                self.kernel, sg(kp), sg(z), sg(var[:, 0]),
+                self.precond_rank, key_rff,
+            )
+
         p = self.num_probes
         rhs = jnp.concatenate([u, probes, logdet_probes, kmn], axis=-1)
-        solved = cg(kmm_lambda, rhs)
+        solved = cg(kmm_lambda, rhs, preconditioner=precond)
         inv_u = solved[:, :1]
         inv_probes = solved[:, 1 : 1 + p]
         inv_logdet_probes = solved[:, 1 + p : 1 + p + logdet_probes.shape[-1]]

@@ -401,7 +401,8 @@ class ConjugateGradient:
         self.matvec_impl = matvec_impl
 
     def solve_with_stats(
-        self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None
+        self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None,
+        preconditioner: Optional[CGPreconditioner] = None,
     ) -> Tuple[Array, CGStats]:
         rhs_t = rhs.T
         if initial_solution is None:
@@ -422,7 +423,7 @@ class ConjugateGradient:
             rhs_t,
             v0,
             self.error_threshold,
-            preconditioner=self.preconditioner,
+            preconditioner=preconditioner or self.preconditioner,
             max_iterations=max_iterations,
             max_steps_cycle=max_steps_cycle,
             dot=self.dot,
@@ -431,7 +432,10 @@ class ConjugateGradient:
         return solution.T, stats
 
     def __call__(
-        self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None
+        self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None,
+        preconditioner: Optional[CGPreconditioner] = None,
     ) -> Array:
-        solution, _stats = self.solve_with_stats(matrix, rhs, initial_solution)
+        solution, _stats = self.solve_with_stats(
+            matrix, rhs, initial_solution, preconditioner=preconditioner
+        )
         return solution

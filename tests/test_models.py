@@ -221,3 +221,31 @@ def test_cggp_fused_elbo_matches_unfused(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g_fused),
                     jax.tree_util.tree_leaves(g_unfused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_cggp_rff_preconditioned_elbo_matches(rng):
+    """Per-step RFF preconditioning must not change the ELBO (same solves,
+    converged) while cutting CG iterations."""
+    import jax
+
+    from cggp_tpu.ops.linalg import add_diagonal
+    from cggp_tpu.selection.update import labels_update_inducing_parameters
+
+    x = jnp.asarray(rng.uniform(-1, 1, (256, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])))
+    kernel = SquaredExponential()
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:64])
+    cg = ConjugateGradient(1e-12, max_iterations=256)
+    plain = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=256, num_probes=4)
+    precond = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=256, num_probes=4,
+                   precondition="rff", precond_rank=128)
+    params = plain.init_params(iv, pseudo_u=u, cluster_counts=counts)
+    key = jax.random.PRNGKey(0)
+    e_plain = float(plain.elbo(params, (x, y), key))
+    e_pre = float(precond.elbo(params, (x, y), key))
+    np.testing.assert_allclose(e_pre, e_plain, rtol=1e-6)
+
+    g_plain = jax.grad(lambda p: plain.training_loss(p, (x, y), key))(params)
+    g_pre = jax.grad(lambda p: precond.training_loss(p, (x, y), key))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pre), jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
