@@ -47,6 +47,34 @@ def _make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str):
     )
 
 
+def make_sharded_logdet_from_solves(matvec):
+    """Zero-valued logdet whose gradient reuses ALREADY-SOLVED probes
+    (``solved = A^{-1} probes`` rows from the fused launch): the Hutchinson
+    rule ``theta_bar = df/P * vjp(matvec at probes)(solved)`` costs zero
+    extra CG loops (single-device twin: ops.logdet.eval_logdet_from_solves)."""
+
+    @jax.custom_vjp
+    def logdet(kp, z, lam, probes, solved):
+        del kp, z, lam, solved
+        return jnp.zeros((), dtype=probes.dtype)
+
+    def fwd(kp, z, lam, probes, solved):
+        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, probes, solved)
+
+    def bwd(residuals, df):
+        kp, z, lam, probes, solved = residuals
+        num_probes = probes.shape[0]
+        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, probes), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        return kp_bar, z_bar, lam_bar, jnp.zeros_like(probes), jnp.zeros_like(solved)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
 def make_sharded_eval_logdet(matvec, solve):
     """Zero-valued logdet over the *implicit* sharded matrix; the gradient is
     the Rademacher/CG trace estimator (reference models.py:21-48 semantics),
@@ -107,6 +135,9 @@ class ShardedCGGP(ClusterGP):
         )
         object.__setattr__(
             self, "_logdet", make_sharded_eval_logdet(self._matvec, self._solve)
+        )
+        object.__setattr__(
+            self, "_logdet_from_solves", make_sharded_logdet_from_solves(self._matvec)
         )
 
     @property
@@ -178,8 +209,10 @@ class ShardedCGGP(ClusterGP):
         dtype = z.dtype
         zeros_lam = jnp.zeros_like(lam)
 
+        # Same key split as the fused elbo path, so both draw identical probes.
+        key_probes, _key_logdet = jax.random.split(key)
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
-        probes = rademacher(key, (self.num_probes, m), dtype) * mask_row  # rows
+        probes = rademacher(key_probes, (self.num_probes, m), dtype) * mask_row  # rows
         rhs = jnp.concatenate([u.T, probes], axis=0)  # [(1+P), M]
         solved, _stats = self._solve(kp, z, lam, rhs)
         nu = solved[:1]  # [1, M] row
@@ -219,11 +252,51 @@ class ShardedCGGP(ClusterGP):
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
              key: Optional[jax.Array] = None) -> Array:
+        """ELBO with one fused sharded solve per step: rows
+        ``[u | trace probes | logdet probes | Kmn(batch)]`` go through a
+        single psum-blocked CG launch (mirrors CGGP's fused path), and the
+        logdet gradient reuses this launch's probe solutions."""
         if key is None:
             raise ValueError("ShardedCGGP.elbo requires a PRNG key")
         x, y = data
-        kl = self.prior_kl(params, key)
-        f_mean, f_var = self.predict_f(params, x, full_cov=False)
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        lam = var[:, 0]
+        m = z.shape[0]
+        dtype = z.dtype
+        zeros_lam = jnp.zeros_like(lam)
+        p = self.num_probes
+
+        key_probes, key_logdet = jax.random.split(key)
+        mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
+        probes = rademacher(key_probes, (p, m), dtype) * mask_row
+        logdet_probes = rademacher(key_logdet, (p, m), dtype) * mask_row
+        kmn = self.kernel.K(kp, x, z)  # [B, M] rows
+
+        rhs = jnp.concatenate([u.T, probes, logdet_probes, kmn], axis=0)
+        solved, _stats = self._solve(kp, z, lam, rhs)
+        nu = solved[:1]
+        solved_probes = solved[1 : 1 + p]
+        solved_logdet = solved[1 + p : 1 + 2 * p]
+        inv_kmn = solved[1 + 2 * p :]
+
+        # -- KL --
+        kmm_nu = self._matvec(kp, z, zeros_lam, nu)
+        quad = jnp.sum(kmm_nu * nu)
+        kmm_probes = self._matvec(kp, z, zeros_lam, probes)
+        trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(p, dtype)
+        logdet = self._logdet_from_solves(
+            kp, z, lam, logdet_probes, jax.lax.stop_gradient(solved_logdet)
+        )
+        const = jnp.sum(mask_row[0] * jnp.log(lam))
+        kl = 0.5 * (quad - trace + logdet - const)
+
+        # -- data term --
+        knn = self.kernel.K_diag(kp, x)
+        f_var = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        f_mean = kmn @ nu.T
         var_exp = self.likelihood.variational_expectations(
             params["likelihood"], f_mean, f_var, y
         )

@@ -238,3 +238,29 @@ def test_sharded_assign_clusters_repads(mesh, rng):
     assert float(new_params["inducing_mask"].sum()) == 10.0
     mu, var = sharded.predict_f(new_params, x[:8])
     assert np.all(np.isfinite(np.asarray(mu)))
+
+
+def test_sharded_fused_elbo_consistent_with_parts(mesh, rng):
+    """The fused sharded ELBO must match KL + data-term computed via the
+    separate prior_kl / predict_f paths (same key => same probes)."""
+    sharded, params, _, _, data = _cluster_setup(rng, mesh, m=13, n=96)
+    x, y = data
+    key = jax.random.PRNGKey(3)
+    e_fused = float(sharded.elbo(params, (x, y), key))
+
+    kl = float(sharded.prior_kl(params, key))
+    mu, var = sharded.predict_f(params, x)
+    ve = float(jnp.sum(sharded.likelihood.variational_expectations(
+        params["likelihood"], mu, var, y)))
+    np.testing.assert_allclose(e_fused, ve - kl, rtol=1e-6)
+
+
+def test_sharded_fused_elbo_gradients_finite_and_pads_inert(mesh, rng):
+    sharded, params, _, _, data = _cluster_setup(rng, mesh, m=13, n=96)
+    key = jax.random.PRNGKey(4)
+    grads = jax.grad(lambda p: sharded.training_loss(p, data, key))(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # Gradients w.r.t. padded inducing rows must be exactly zero for pseudo_u
+    # (pads never touch the objective).
+    np.testing.assert_array_equal(np.asarray(grads["pseudo_u"][13:]), 0.0)
