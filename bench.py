@@ -8,8 +8,13 @@ north-star target from BASELINE.json: >=60% of the per-chip HBM roofline on
 the CG kernel-matvec.  ``vs_baseline`` is achieved GB/s divided by that
 target (1.0 = target met, >1 = beaten).
 
+M=16384 is the bandwidth-dominated regime (benchmarks/scaling_results_v5e.csv
+maps the curve; smaller M is iteration-latency-bound).  All matmuls run at
+HIGHEST precision — the numerically required mode (docs/PERF.md): the
+default bf16 precision is ~40% faster here but diverges CG outright.
+
 What is measured: the hot loop of every CGGP training step — row-batched PCG
-on ``Kuu + Lambda`` (M=4096, fp32, 16 RHS rows, fixed 100 iterations).  Each
+on ``Kuu + Lambda`` (M=16384, fp32, 16 RHS rows, fixed 100 iterations).  Each
 iteration streams the [M, M] matrix once from HBM for the ``p @ A`` matvec,
 so effective GB/s = iters * M^2 * 4 bytes / time.
 """
@@ -21,7 +26,7 @@ import time
 
 import numpy as np
 
-M = 8192
+M = 16384
 NUM_RHS = 16
 ITERS = 100
 REPEATS = 5
