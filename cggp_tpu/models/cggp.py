@@ -239,3 +239,29 @@ class CGGP(ClusterGP):
     def training_loss(self, params: Dict, data: Tuple[Array, Array],
                       key: Optional[jax.Array] = None) -> Array:
         return -self.elbo(params, data, key)
+
+    def cg_stats(self, params: Dict, data: Tuple[Array, Array],
+                 key: jax.Array) -> "CGStats":
+        """Solver stats (iterations, final residual) of the fused per-step
+        solve — the first-class observability the reference only exposes in
+        its Wasserstein harness (paper_condition_wasserstein.py:262-294)."""
+        from cggp_tpu.ops.cg import CGStats  # noqa: F401 (return type)
+
+        x, _y = data
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        m = z.shape[0]
+
+        kmm_lambda = add_diagonal(self.kernel.K(kp, z), var[:, 0])
+        kmn = self.kernel.K(kp, z, x)
+        p = self.num_probes or 0
+        probes = (
+            rademacher(key, (m, 2 * p), z.dtype)
+            if p
+            else jnp.zeros((m, 0), z.dtype)
+        )
+        rhs = jnp.concatenate([u, probes, kmn], axis=-1)
+        _, stats = self.conjugate_gradient.solve_with_stats(kmm_lambda, rhs)
+        return stats

@@ -4,6 +4,7 @@ from cggp_tpu.training.batching import minibatch_iterator
 from cggp_tpu.training.monitor import Monitor
 from cggp_tpu.training.optimize import (
     create_monitor,
+    make_cg_stats_callback,
     make_metrics_callback,
     make_param_callback,
     train_using_adam_and_update,
@@ -14,6 +15,7 @@ __all__ = [
     "minibatch_iterator",
     "Monitor",
     "create_monitor",
+    "make_cg_stats_callback",
     "make_metrics_callback",
     "make_param_callback",
     "train_using_adam_and_update",

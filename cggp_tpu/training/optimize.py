@@ -290,6 +290,30 @@ def bind_predict_fn(model, train_data):
     return lambda params, x: model.predict_f(params, x, full_cov=False)
 
 
+def make_cg_stats_callback(model, data: Tuple[Array, Array],
+                           batch_size: int = 2048,
+                           key: Optional[jax.Array] = None,
+                           use_jit: bool = True) -> Callable:
+    """Monitor callback logging the per-step CG iteration count and residual
+    (SURVEY.md section 5: solver stats as first-class observability)."""
+    x, y = data
+    n_eval = min(x.shape[0], batch_size)
+    batch = (x[:n_eval], y[:n_eval])
+    base_key = key if key is not None else jax.random.PRNGKey(0)
+    stats_fn = model.cg_stats
+    if use_jit:
+        stats_fn = jax.jit(stats_fn)
+
+    def cg_stats_fn(step: int, params: Dict) -> Dict:
+        stats = stats_fn(params, batch, jax.random.fold_in(base_key, step))
+        return {
+            "cg/steps": int(stats.steps),
+            "cg/max_error": float(np.max(np.asarray(stats.error))),
+        }
+
+    return cg_stats_fn
+
+
 def make_param_callback(model) -> Callable:
     """Constrained kernel/likelihood parameter dump (reference optimize.py:267-282)."""
 

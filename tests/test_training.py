@@ -208,3 +208,14 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cg_stats_callback(rng):
+    from cggp_tpu.training.optimize import make_cg_stats_callback
+
+    data = _toy_data(rng, n=64)
+    model, params = _make_cggp(data, m=8)
+    cb = make_cg_stats_callback(model, data, batch_size=32)
+    out = cb(0, params)
+    assert out["cg/steps"] > 0
+    assert np.isfinite(out["cg/max_error"])
