@@ -52,7 +52,9 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
     if precision == np.float64:
         jax.config.update("jax_enable_x64", True)
     np.random.seed(seed)
-    dataset = dataset_fn(seed)
+    from cggp_tpu.data import cast_bundle
+
+    dataset = cast_bundle(dataset_fn(seed), precision)
     ctx.obj = dict(
         common_ctx=dict(
             seed=seed,

@@ -93,7 +93,11 @@ def main(
         config_dir = "none"
 
     np.random.seed(seed)
-    dataset = DatasetType().convert(dataset_name, None, None)(seed)
+    from cggp_tpu.data import cast_bundle
+
+    dataset = cast_bundle(
+        DatasetType().convert(dataset_name, None, None)(seed), precision
+    )
 
     ctx.obj = dict(
         common_ctx=dict(

@@ -191,3 +191,9 @@ def load_data(
     return DatasetBundle(
         name, (cast(x_train), cast(y_train)), (cast(x_test), cast(y_test))
     )
+
+
+def cast_bundle(bundle: DatasetBundle, dtype) -> DatasetBundle:
+    """Cast all bundle arrays (used by drivers to honour --precision)."""
+    cast = lambda split: tuple(np.asarray(a, dtype=dtype) for a in split)
+    return DatasetBundle(bundle.name, cast(bundle.train), cast(bundle.test))
