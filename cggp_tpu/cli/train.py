@@ -25,6 +25,7 @@ from cggp_tpu.cli.cli_utils import (
 )
 from cggp_tpu.training.optimize import (
     create_monitor,
+    make_cg_stats_callback,
     make_metrics_callback,
     make_param_callback,
     train_using_adam_and_update,
@@ -151,6 +152,12 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         str(logdir), metrics_fn, make_param_callback(model),
         record_step=record_step, use_tensorboard=tensorboard,
     )
+    if hasattr(model, "cg_stats"):
+        # Solver observability: iterations + residual of the fused solve.
+        monitor.add_callback(
+            "cg", make_cg_stats_callback(model, train_data, batch_size=batch_size),
+            record_step=record_step,
+        )
 
     params = train_using_adam_and_update(
         params,

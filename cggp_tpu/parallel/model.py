@@ -306,3 +306,18 @@ class ShardedCGGP(ClusterGP):
     def training_loss(self, params: Dict, data: Tuple[Array, Array],
                       key: Optional[jax.Array] = None) -> Array:
         return -self.elbo(params, data, key)
+
+    def cg_stats(self, params: Dict, data: Tuple[Array, Array], key: jax.Array):
+        """Iterations/residual of the fused sharded solve (observability)."""
+        x, _y = data
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        lam = self.diag_variance(params)[:, 0]
+        m = z.shape[0]
+        mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
+        probes = rademacher(key, (2 * self.num_probes, m), z.dtype) * mask_row
+        kmn = self.kernel.K(kp, x, z)
+        rhs = jnp.concatenate([u.T, probes, kmn], axis=0)
+        _, stats = self._solve(kp, z, lam, rhs)
+        return stats
