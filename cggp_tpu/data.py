@@ -145,6 +145,12 @@ def synthetic(
     A fixed random-Fourier function of the inputs — smooth, stationary-ish,
     and cheap to generate at any N (used by the scaling benchmarks,
     BASELINE.md config 5).
+
+    Note: the spectral scale (1.5 per dimension) makes the target
+    increasingly high-frequency with ``dim`` — at dim >= ~6 it is
+    near-unlearnable at moderate N (verified: exact GPR reaches only ~0.93
+    RMSE at dim=8, N=3k). Use dim <= 4 for quality benchmarks; high dims
+    still exercise throughput paths.
     """
     rng = np.random.RandomState(seed)
     x = rng.uniform(-2.0, 2.0, size=(n, dim))
