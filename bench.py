@@ -28,8 +28,8 @@ import numpy as np
 
 M = 16384
 NUM_RHS = 16
-ITERS = 100
-REPEATS = 5
+ITERS = 600  # amortizes the ~30 ms device->host sync (docs/PERF.md)
+REPEATS = 3
 
 # Per-chip HBM bandwidth (GB/s) by platform; v5e = 819 GB/s.
 HBM_GBPS = {"tpu": 819.0, "cpu": 50.0, "gpu": 1000.0}

@@ -54,7 +54,9 @@ def main() -> None:
         return float(jnp.sum(x))
 
     # -- M sweep: CG throughput ------------------------------------------------
-    iters = 100
+    # 600 iterations per fetch: the ~30 ms device->host sync otherwise
+    # dominates the latency-bound small-M rows (docs/PERF.md methodology).
+    iters = 600
     m_values = (1024, 2048, 4096) if args.quick else (1024, 2048, 4096, 8192, 16384)
     for m in m_values:
         z = jnp.asarray(rng.uniform(-2, 2, (m, 8)), jnp.float32)
