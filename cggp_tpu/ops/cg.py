@@ -270,6 +270,30 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
                    dot_name, matvec_impl, matrix, rhs, v0, precond_state):
     dot = _DOT_FNS[dot_name]
 
+    if matvec_impl == "pallas_resident":
+        # Whole solve in one Pallas launch with A resident in VMEM (+~15% at
+        # large RHS blocks, M <= ~1500). Only the hot training configuration
+        # is supported in-kernel; anything else falls back to the loop.
+        eligible = (
+            precond_state == ()
+            and dot_name == "standard"
+            and max_steps_cycle > max_iterations
+        )
+        if eligible:
+            from cggp_tpu.ops.pallas_cg import pallas_cg_solve
+
+            hi = jax.lax.Precision.HIGHEST
+            # v0 support via the shifted system: (v0 + d) A = b.
+            shifted_rhs = rhs - jnp.matmul(v0, matrix, precision=hi)
+            delta, steps = pallas_cg_solve(
+                matrix, shifted_rhs, error_threshold, max_iterations
+            )
+            solution = v0 + delta
+            residual = rhs - jnp.matmul(solution, matrix, precision=hi)
+            error = 0.5 * jnp.sum(jnp.square(residual), axis=-1, keepdims=True)
+            return solution, CGStats(steps=steps, error=error)
+        matvec_impl = "xla"
+
     if matvec_impl == "pallas":
         # HBM-streaming Pallas panel matvec (see ops/pallas_matvec.py).  On
         # current v5e, XLA's matmul already reaches ~68% of HBM roofline at
