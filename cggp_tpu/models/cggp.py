@@ -47,12 +47,15 @@ class CGGP(ClusterGP):
     logdet_variant: str = "zero"  # "zero" (reference semantics) | "slq"
     slq_lanczos_iters: int = 25
     fuse_kl_solves: bool = True
-    # Per-step RFF/Woodbury preconditioning of the fused solve (net-new):
-    # rebuilt from the CURRENT hyperparameters each elbo call (a few skinny
-    # matmuls + one [2L, 2L] Cholesky), it tracks training instead of going
-    # stale like a fixed preconditioner.  Cuts CG iterations several-fold.
-    precondition: Optional[str] = None  # None | "rff"
-    precond_rank: int = 128  # number of Fourier bases L (factor rank = 2L)
+    # Per-step low-rank preconditioning of the fused solve (net-new):
+    # rebuilt from the CURRENT hyperparameters each elbo call, it tracks
+    # training instead of going stale like a fixed preconditioner.
+    #   "rff"     — random Fourier sketch of Kuu (a few skinny matmuls)
+    #   "pivchol" — greedy pivoted Cholesky of Kuu (targets the actual top
+    #               eigenspace; the preferred fp32 choice — both now apply
+    #               through the cancellation-free SPD SpectralPreconditioner)
+    precondition: Optional[str] = None  # None | "rff" | "pivchol"
+    precond_rank: int = 128  # factor rank (for "rff": Fourier bases L, rank = 2L)
 
     def __post_init__(self):
         if self.conjugate_gradient is None:
@@ -187,6 +190,15 @@ class CGGP(ClusterGP):
                 self.kernel, sg(kp), sg(z), sg(var[:, 0]),
                 self.precond_rank, key_rff,
             )
+        elif self.precondition == "pivchol":
+            from cggp_tpu.ops.cg import pivoted_cholesky_preconditioner
+
+            sg = jax.lax.stop_gradient
+            precond = pivoted_cholesky_preconditioner(
+                sg(kmm), sg(var[:, 0]), self.precond_rank
+            )
+        elif self.precondition is not None:
+            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
 
         p = self.num_probes
         rhs = jnp.concatenate([u, probes, logdet_probes, kmn], axis=-1)

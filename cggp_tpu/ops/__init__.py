@@ -9,7 +9,7 @@ from cggp_tpu.ops.kernels import (
     Matern52,
     kernel_by_name,
 )
-from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.ops.linalg import add_diagonal, pivoted_cholesky
 from cggp_tpu.ops.distance import euclid_distance, create_distance_fn
 from cggp_tpu.ops.cg import (
     CGState,
@@ -19,6 +19,8 @@ from cggp_tpu.ops.cg import (
     EyePreconditioner,
     BlockPreconditioner,
     NystromPreconditioner,
+    SpectralPreconditioner,
+    pivoted_cholesky_preconditioner,
 )
 from cggp_tpu.ops.logdet import eval_logdet, slq_logdet
 from cggp_tpu.ops.rff import (
@@ -41,6 +43,7 @@ __all__ = [
     "Matern52",
     "kernel_by_name",
     "add_diagonal",
+    "pivoted_cholesky",
     "euclid_distance",
     "create_distance_fn",
     "CGState",
@@ -50,6 +53,8 @@ __all__ = [
     "EyePreconditioner",
     "BlockPreconditioner",
     "NystromPreconditioner",
+    "SpectralPreconditioner",
+    "pivoted_cholesky_preconditioner",
     "eval_logdet",
     "slq_logdet",
     "basis_theta_parameter",

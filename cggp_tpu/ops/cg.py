@@ -172,7 +172,96 @@ class NystromPreconditioner:
         return self.apply(self.state, vec, mat)
 
 
-CGPreconditioner = Union[EyePreconditioner, BlockPreconditioner, NystromPreconditioner]
+class SpectralPreconditioner:
+    """Cancellation-free low-rank+diagonal preconditioner (net-new).
+
+    Same target operator as :class:`NystromPreconditioner` — the exact
+    inverse of ``U U^T + diag(lam)`` — but applied in a form that stays SPD
+    in fp32 on TPU, where the plain Woodbury identity cancels
+    catastrophically once ``||U||^2 / min(lam)`` is large (the measured
+    failure mode that made per-step RFF preconditioning regress, see
+    docs/PERF.md).
+
+    Construction diagonalizes the whitened factor ``W = D^{-1/2} U``:
+    with ``W^T W = V diag(s2) V^T`` and ``Q = W V diag(s2^{-1/2})``
+    (orthonormal columns),
+
+        (U U^T + D)^{-1} = D^{-1/2} [ (I - Q Q^T) + Q diag(1/(1+s2)) Q^T ] D^{-1/2}
+
+    — a sum of two PSD terms with no large-magnitude subtraction.  The apply
+    re-orthogonalizes the projection once (classic twice-is-enough) and
+    accumulates ``r^T z`` as ``||y_perp||^2 + sum(w t^2)``, which is positive
+    by construction, so CG never sees an indefinite preconditioner even at
+    fp32.  Cost per iteration: four skinny [m, n] x [n, k] matmuls.
+    """
+
+    def __init__(self, factor: Array, lam: Array):
+        hi = jax.lax.Precision.HIGHEST
+        factor = jnp.asarray(factor)
+        lam = jnp.asarray(lam).reshape(-1)
+        dtype = factor.dtype
+        d_inv_sqrt = jax.lax.rsqrt(lam.astype(dtype))
+        w_fac = factor * d_inv_sqrt[:, None]  # D^{-1/2} U, [n, k]
+        # QR first: Householder Q is orthonormal to machine precision no
+        # matter how ill-conditioned W is, unlike eigenvectors of W^T W
+        # (which squares the condition number — at fp32 with 1/lam ~ 1e4
+        # that route produced a far-from-orthonormal Q and a preconditioner
+        # that SLOWED CG down).
+        q, r_fac = jnp.linalg.qr(w_fac)
+        small = jnp.matmul(r_fac, r_fac.T, precision=hi)  # [k, k], = Q^T W W^T Q
+        # TPU's eigh (QDWH/Jacobi, not LAPACK) returns NaN on numerically
+        # rank-deficient SPD inputs; a relative ridge repairs that and only
+        # shifts the spectrum by O(eps) (weights 1/(1+s2) barely move).
+        k = small.shape[-1]
+        eps = jnp.asarray(jnp.finfo(dtype).eps, dtype=dtype)
+        ridge = 10.0 * eps * jnp.maximum(jnp.trace(small) / k, 1.0)
+        s2, v = jnp.linalg.eigh(small + ridge * jnp.eye(k, dtype=dtype))
+        s2 = jnp.maximum(s2 - ridge, 0.0)
+        q = jnp.matmul(q, v, precision=hi)  # still orthonormal (V orthogonal)
+        weights = 1.0 / (1.0 + s2)
+        self.state = (q, weights, d_inv_sqrt)
+
+    @staticmethod
+    def apply(state, vec: Array, mat: Array) -> Tuple[Array, Array]:
+        del mat
+        q, weights, d_inv_sqrt = state
+        hi = jax.lax.Precision.HIGHEST
+        y = vec * d_inv_sqrt[None, :]  # [m, n]
+        t = jnp.matmul(y, q, precision=hi)  # [m, k]
+        y_perp = y - jnp.matmul(t, q.T, precision=hi)
+        # Re-orthogonalize: after this, Q^T y_perp ~ 0 to working precision
+        # even when y is almost entirely inside span(Q).
+        t2 = jnp.matmul(y_perp, q, precision=hi)
+        y_perp = y_perp - jnp.matmul(t2, q.T, precision=hi)
+        wt = t * weights[None, :]
+        z = (y_perp + jnp.matmul(wt, q.T, precision=hi)) * d_inv_sqrt[None, :]
+        rz = jnp.sum(jnp.square(y_perp), axis=-1, keepdims=True) + jnp.sum(
+            wt * t, axis=-1, keepdims=True
+        )
+        return z, rz
+
+    def __call__(self, vec: Array, mat: Array) -> Tuple[Array, Array]:
+        return self.apply(self.state, vec, mat)
+
+
+def pivoted_cholesky_preconditioner(matrix: Array, lam: Array, rank: int) -> "SpectralPreconditioner":
+    """Rank-``rank`` pivoted-Cholesky preconditioner for ``matrix + diag(lam)``.
+
+    Factors ``matrix ~= L L^T`` greedily (largest-diagonal pivots — the
+    optimal trace-error choice) and wraps the stable SPD Woodbury apply.
+    This targets the actual top eigenspace of the kernel matrix, unlike the
+    randomized RFF sketch, so it is the preferred fp32 preconditioner for
+    ill-conditioned ``Kuu + Lambda`` systems.
+    """
+    from cggp_tpu.ops.linalg import pivoted_cholesky
+
+    factor = pivoted_cholesky(matrix, rank)
+    return SpectralPreconditioner(factor, lam)
+
+
+CGPreconditioner = Union[
+    EyePreconditioner, BlockPreconditioner, NystromPreconditioner, SpectralPreconditioner
+]
 
 
 # ---------------------------------------------------------------------------

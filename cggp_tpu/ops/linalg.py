@@ -54,3 +54,50 @@ def compensated_sum(x: jnp.ndarray, axis=-1, keepdims: bool = False) -> jnp.ndar
 def compensated_dot(a: jnp.ndarray, b: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
     """Row-wise dot product ``sum(a * b, -1)`` with compensated accumulation."""
     return compensated_sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def pivoted_cholesky(matrix: jnp.ndarray, rank: int) -> jnp.ndarray:
+    """Greedy partial pivoted Cholesky: ``L [n, rank]`` with ``L L^T ~= matrix``.
+
+    Each step picks the largest remaining diagonal (the greedy trace-error
+    pivot), so for kernel matrices with fast spectral decay the approximation
+    error drops geometrically in ``rank`` — this is the classic CG
+    preconditioner factor (net-new vs the reference, which has no
+    preconditioner construction beyond block-Jacobi,
+    conjugate_gradient.py:137-157).
+
+    Runs as a fixed-``rank`` ``fori_loop`` with static shapes (jit-safe).
+    Exhausted or numerically non-positive pivots contribute zero columns, so
+    requesting ``rank > numerical rank`` is safe.  Cost: one [n, rank]-by-
+    [rank] matvec + one gathered row of ``matrix`` per step, O(n * rank^2)
+    total.
+    """
+    import jax
+
+    n = matrix.shape[-1]
+    dtype = matrix.dtype
+    # Relative pivot floor: once the residual diagonal falls to rounding
+    # noise, further columns are amplified garbage (each is divided by
+    # sqrt(pivot)); stop contributing instead.
+    eps = float(jnp.finfo(dtype).eps)
+    tiny = 10.0 * eps * jnp.maximum(jnp.max(jnp.diagonal(matrix)), 1e-30)
+
+    def step(i, carry):
+        ell, d = carry
+        pivot = jnp.argmax(d)
+        val = d[pivot]
+        ok = val > tiny
+        row = jax.lax.dynamic_index_in_dim(matrix, pivot, axis=0, keepdims=False)
+        ell_pivot = jax.lax.dynamic_index_in_dim(ell, pivot, axis=0, keepdims=False)
+        cross = jnp.matmul(ell, ell_pivot, precision=jax.lax.Precision.HIGHEST)
+        inv_sqrt = jax.lax.rsqrt(jnp.maximum(val, tiny))
+        col = jnp.where(ok, (row - cross) * inv_sqrt, jnp.zeros_like(row))
+        ell = ell.at[:, i].set(col)
+        d = jnp.maximum(d - jnp.square(col), 0.0)
+        d = d.at[pivot].set(0.0)
+        return ell, d
+
+    ell0 = jnp.zeros((n, rank), dtype=dtype)
+    d0 = jnp.diagonal(matrix)
+    ell, _d = jax.lax.fori_loop(0, rank, step, (ell0, d0))
+    return ell

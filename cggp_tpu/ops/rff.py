@@ -76,20 +76,26 @@ def rff_preconditioner(
     lam: Array,
     num_bases: int,
     key: jax.Array,
+    stable: bool = True,
 ):
     """Low-rank RFF preconditioner for CG on ``K(Z,Z) + diag(lam)``
     (net-new; BASELINE.md config 4).
 
     Builds ``U`` with ``U U^T ~= K(Z, Z)`` from ``num_bases`` random Fourier
-    features and returns a :class:`~cggp_tpu.ops.cg.NystromPreconditioner`
-    applying the exact Woodbury inverse of ``U U^T + diag(lam)``.  Rebuild it
-    whenever the kernel params or Z change (it is a solver-state object, not
-    a trainable).
+    features and applies the exact Woodbury inverse of
+    ``U U^T + diag(lam)``.  By default through the cancellation-free
+    :class:`~cggp_tpu.ops.cg.SpectralPreconditioner` apply, which stays SPD
+    in fp32 (the plain Woodbury form cancels catastrophically once
+    ``||U||^2 / min(lam)`` is large — the measured fp32 regression in
+    docs/PERF.md); ``stable=False`` selects the reference-shaped
+    :class:`~cggp_tpu.ops.cg.NystromPreconditioner`.  Rebuild it whenever the
+    kernel params or Z change (it is a solver-state object, not a trainable).
     """
-    from cggp_tpu.ops.cg import NystromPreconditioner
+    from cggp_tpu.ops.cg import NystromPreconditioner, SpectralPreconditioner
 
     factor = rff_basis(z, kernel, params, num_bases, key)  # [M, 2L]
-    return NystromPreconditioner(factor, jnp.asarray(lam).reshape(-1))
+    cls = SpectralPreconditioner if stable else NystromPreconditioner
+    return cls(factor, jnp.asarray(lam).reshape(-1))
 
 
 def rff_sample(

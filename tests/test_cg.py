@@ -231,3 +231,117 @@ def test_cg_bf16_matvec_converges_on_well_conditioned_system(rng):
                                 jnp.asarray(rhs, jnp.float64).T).T
     rel = float(jnp.linalg.norm(sol_bf16 - expected) / jnp.linalg.norm(expected))
     assert rel < 5e-2, rel
+
+
+def test_pivoted_cholesky_factorization(rng):
+    """Greedy pivoted Cholesky must reproduce the matrix at full rank and
+    decay monotonically in trace error with rank."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import pivoted_cholesky
+
+    n = 120
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.3, lengthscales=[1.5, 1.5])
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    kmat = kernel.K(kp, x)
+
+    errs = []
+    for rank in (4, 16, 64, n):
+        ell = pivoted_cholesky(kmat, rank)
+        errs.append(float(jnp.abs(kmat - ell @ ell.T).max()))
+    assert errs[0] > errs[1] > errs[2], errs
+    assert errs[-1] < 1e-10, errs  # full rank: exact (fp64)
+    # over-requesting rank beyond numerical rank is safe (zero columns)
+    ell = pivoted_cholesky(kmat, n)
+    assert bool(jnp.isfinite(ell).all())
+
+
+def test_spectral_preconditioner_applies_exact_woodbury_inverse(rng):
+    """SpectralPreconditioner == (U U^T + diag(lam))^{-1}, with a positive
+    self-consistent rz, in fp64."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import SpectralPreconditioner
+
+    n, k = 60, 20
+    u = jnp.asarray(rng.normal(size=(n, k)))
+    lam = jnp.asarray(rng.uniform(0.1, 0.5, (n,)))
+    vec = jnp.asarray(rng.normal(size=(5, n)))
+
+    precond = SpectralPreconditioner(u, lam)
+    z, rz = precond(vec, None)
+
+    target = np.asarray(vec) @ np.linalg.inv(
+        np.asarray(u) @ np.asarray(u).T + np.diag(np.asarray(lam))
+    )
+    np.testing.assert_allclose(np.asarray(z), target, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(rz)[:, 0], np.sum(np.asarray(z) * np.asarray(vec), axis=1),
+        rtol=1e-8,
+    )
+    assert bool((rz > 0).all())
+
+
+def test_spectral_preconditioner_stays_spd_in_fp32(rng):
+    """The fp32 regime that breaks the plain Woodbury form (||U||^2/min(lam)
+    large): the stable apply must keep rz positive and still solve."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient, pivoted_cholesky_preconditioner
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 256
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=[2.0, 2.0], dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    kmat = kernel.K(kp, x)
+    lam = jnp.asarray(1e-4 * np.ones(n), jnp.float32)  # 1/lam = 1e4: cancellation regime
+    a = add_diagonal(kmat, lam)
+    rhs = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+
+    _, stats_plain = ConjugateGradient(1e-8, max_iterations=4 * n).solve_with_stats(a, rhs)
+    precond = pivoted_cholesky_preconditioner(kmat, lam, 64)
+    sol, stats_pre = ConjugateGradient(
+        1e-8, preconditioner=precond, max_iterations=4 * n
+    ).solve_with_stats(a, rhs)
+
+    expected = np.linalg.solve(np.asarray(a, np.float64), np.asarray(rhs, np.float64))
+    rel = np.abs(np.asarray(sol, np.float64) - expected).max() / np.abs(expected).max()
+    assert rel < 5e-2, rel
+    # the whole point: a several-fold iteration cut where RFF/Woodbury regressed
+    assert int(stats_pre.steps) * 4 < int(stats_plain.steps), (
+        int(stats_pre.steps), int(stats_plain.steps))
+
+
+def test_pivoted_cholesky_preconditioner_cuts_iterations_fp64(rng):
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient, pivoted_cholesky_preconditioner
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 300
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=[1.5, 1.5])
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    kmat = kernel.K(kp, x)
+    lam = jnp.asarray(1e-6 * np.ones(n))
+    a = add_diagonal(kmat, lam)
+    rhs = jnp.asarray(rng.standard_normal((n, 4)))
+
+    _, stats_plain = ConjugateGradient(1e-14, max_iterations=5000).solve_with_stats(a, rhs)
+    precond = pivoted_cholesky_preconditioner(kmat, lam, 64)
+    sol, stats_pre = ConjugateGradient(
+        1e-14, preconditioner=precond, max_iterations=5000
+    ).solve_with_stats(a, rhs)
+
+    expected = np.asarray(jnp.linalg.solve(a, rhs))
+    # cond(A) ~ 1e9: element-wise rtol is meaningless on the small entries;
+    # gate on the norm-relative error instead.
+    rel = np.abs(np.asarray(sol) - expected).max() / np.abs(expected).max()
+    assert rel < 1e-4, rel
+    assert int(stats_pre.steps) * 10 < int(stats_plain.steps), (
+        int(stats_pre.steps), int(stats_plain.steps))

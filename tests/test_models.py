@@ -223,9 +223,11 @@ def test_cggp_fused_elbo_matches_unfused(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
-def test_cggp_rff_preconditioned_elbo_matches(rng):
-    """Per-step RFF preconditioning must not change the ELBO (same solves,
-    converged) while cutting CG iterations."""
+@pytest.mark.parametrize("mode", ["rff", "pivchol"])
+def test_cggp_preconditioned_elbo_matches(rng, mode):
+    """Per-step low-rank preconditioning (RFF sketch or pivoted Cholesky)
+    must not change the ELBO (same solves, converged) while cutting CG
+    iterations."""
     import jax
 
     from cggp_tpu.ops.linalg import add_diagonal
@@ -238,7 +240,7 @@ def test_cggp_rff_preconditioned_elbo_matches(rng):
     cg = ConjugateGradient(1e-12, max_iterations=256)
     plain = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=256, num_probes=4)
     precond = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=256, num_probes=4,
-                   precondition="rff", precond_rank=128)
+                   precondition=mode, precond_rank=32 if mode == "pivchol" else 128)
     params = plain.init_params(iv, pseudo_u=u, cluster_counts=counts)
     key = jax.random.PRNGKey(0)
     e_plain = float(plain.elbo(params, (x, y), key))
