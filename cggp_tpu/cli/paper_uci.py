@@ -41,11 +41,16 @@ from cggp_tpu.utils.store import store_as_json
 @click.option("-c", "--config-dir", type=LogdirPath(mkdir=False))
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
 @click.option(
-    "-P", "--preconditioner", type=click.Choice(["eye", "rff"]), default="eye",
+    "-P", "--preconditioner", type=click.Choice(["eye", "rff", "pivchol"]),
+    default="eye",
     help="CG preconditioner; 'rff' applies the Woodbury inverse of a "
-         "random-Fourier low-rank + diagonal approximation.",
+         "random-Fourier low-rank + diagonal approximation; 'pivchol' a "
+         "pivoted-Cholesky factor of Kuu (the preferred fp32 choice for "
+         "ill-conditioned systems).",
 )
 @click.option("--num-rff-bases", type=int, default=256)
+@click.option("--precond-rank", type=int, default=128,
+              help="factor rank for the 'pivchol' preconditioner")
 @click.option(
     "--logdet-variant", type=click.Choice(["zero", "slq"]), default="zero",
     help="'zero' reproduces the reference's value-free logdet; 'slq' reports "
@@ -66,6 +71,7 @@ def main(
     error_threshold: float,
     preconditioner: str,
     num_rff_bases: int,
+    precond_rank: int,
     logdet_variant: str,
     dot: str,
     jit: bool,
@@ -115,6 +121,7 @@ def main(
             dot=dot,
             preconditioner=preconditioner,
             num_rff_bases=num_rff_bases,
+            precond_rank=precond_rank,
             model_kwargs={"logdet_variant": logdet_variant},
             jit=jit,
         )
@@ -144,19 +151,29 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
 
     params = update_fn(params)
 
-    if common_ctx.get("preconditioner") == "rff" and hasattr(model, "conjugate_gradient"):
+    if (common_ctx.get("preconditioner") in ("rff", "pivchol")
+            and hasattr(model, "conjugate_gradient")):
         # Preconditioner is solver state built from the post-update (Z, lam):
         # rebuild the model's CG with it (BASELINE.md config 4 path).
         import dataclasses as _dc
 
         from cggp_tpu.ops.cg import ConjugateGradient
-        from cggp_tpu.ops.rff import rff_preconditioner
 
         lam = model.diag_variance(params)[:, 0]
-        precond = rff_preconditioner(
-            model.kernel, params["kernel"], params["inducing_points"], lam,
-            common_ctx["num_rff_bases"], jax.random.PRNGKey(common_ctx["seed"] + 1),
-        )
+        if common_ctx["preconditioner"] == "pivchol":
+            from cggp_tpu.ops.cg import pivoted_cholesky_preconditioner
+
+            kmm = model.kernel.K(params["kernel"], params["inducing_points"])
+            precond = pivoted_cholesky_preconditioner(
+                kmm, lam, common_ctx["precond_rank"]
+            )
+        else:
+            from cggp_tpu.ops.rff import rff_preconditioner
+
+            precond = rff_preconditioner(
+                model.kernel, params["kernel"], params["inducing_points"], lam,
+                common_ctx["num_rff_bases"], jax.random.PRNGKey(common_ctx["seed"] + 1),
+            )
         old_cg = model.conjugate_gradient
         model = _dc.replace(
             model,

@@ -232,6 +232,22 @@ def test_uci_rff_preconditioner_slq_compensated(runner, tmp_path):
     assert np.isfinite(out["test/rmse"]) and np.isfinite(out["train/elbo"])
 
 
+def test_uci_pivchol_preconditioner(runner, tmp_path):
+    """Pivoted-Cholesky CG preconditioning reachable from the CLI."""
+    gpr_dir = tmp_path / "gpr"
+    _run(runner, ["gpr", "-d", "synthetic1d", "-n", "2", "-l", str(gpr_dir)])
+    uci_dir = tmp_path / "uci"
+    _run(runner, [
+        "uci", "-mc", "cdgp", "-p", "fp64", "-j", "1e-6", "-c", str(gpr_dir),
+        "-P", "pivchol", "--precond-rank", "8",
+        "kmeans", "-m", "16",
+        "compute-metrics", "-l", str(uci_dir),
+    ])
+    out = json.loads((uci_dir / "results.json").read_text())
+    assert out["preconditioner"] == "pivchol"
+    assert np.isfinite(out["test/rmse"]) and np.isfinite(out["train/elbo"])
+
+
 def test_train_cggp_adam_sharded(runner, tmp_path):
     """Multi-chip training through the CLI on the 8-way virtual mesh."""
     logdir = tmp_path / "sharded"
