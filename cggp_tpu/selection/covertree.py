@@ -21,14 +21,24 @@ Python object graph:
 * with ``voronoi=True`` (the default used by the update fn) all points are
   re-partitioned to their nearest center at each level (reference :118-156).
 
-Difference from the reference (documented, intentional): coverage claiming is
-global rather than restricted to the parent's ``r_neighbors`` node lists.
-The ``r_neighbors`` machinery is a locality optimisation that only affects
-*which* seeds get picked, not the two properties that matter downstream —
-(a) every final center is >= ``radius`` away from every other center (the
-minimum-separation guarantee that bounds the condition number of
-``Kuu + Lambda``) and (b) with Voronoi repartition the final clusters are the
-Voronoi cells of the centers.  Both hold here; see tests/test_covertree.py.
+Backends:
+
+* ``"auto"``/``"native"`` — multithreaded C++ builder (falls back to numpy);
+* ``"numpy"`` — vectorised numpy with *global* coverage claiming.  Documented
+  departure: the reference restricts claiming to the parent's ``r_neighbors``
+  node lists; globally-claimed trees satisfy the same two properties that
+  matter downstream — (a) every final center is >= ``radius`` away from every
+  other center (the minimum-separation guarantee that bounds the condition
+  number of ``Kuu + Lambda``) and (b) with Voronoi repartition the final
+  clusters are the Voronoi cells of the centers;
+* ``"reference"`` — exact tree-for-tree parity with the reference algorithm,
+  including the per-node ``r_neighbors`` locality lists
+  (covertree.py:87-115): seeds are the first remaining point of each parent,
+  Lloyd's separation is checked against children of the parent's
+  ``r_neighbors`` only, claiming and Voronoi repartition draw from those
+  lists, and ``neighbor_factor = 4 * (1 - 2^-k)`` gates the child lists.
+  Slower (per-node Python loops) but bit-faithful; use when reproducing the
+  reference's exact inducing sets matters more than build time.
 """
 
 from __future__ import annotations
@@ -92,6 +102,10 @@ class CoverTree:
             if backend == "native":
                 raise RuntimeError("native covertree backend unavailable")
 
+        if backend == "reference":
+            self._build_reference(x, y, spatial_resolution, num_levels, lloyds, voronoi)
+            return
+
         root = x.mean(axis=0)
         max_radius = float(np.linalg.norm(x - root, axis=-1).max())
         if spatial_resolution is not None:
@@ -154,6 +168,108 @@ class CoverTree:
         self._x = x
         self._y = y
         self._labels = labels
+
+    def _build_reference(self, x, y, spatial_resolution, num_levels, lloyds, voronoi):
+        """Exact-parity construction with ``r_neighbors`` locality lists
+        (reference covertree.py:42-156, translated node-for-node)."""
+        n = x.shape[0]
+        root_point = x.mean(axis=0)
+        max_radius = float(np.linalg.norm(x - root_point, axis=-1).max())
+        if spatial_resolution is not None:
+            num_levels = math.ceil(math.log2(max_radius / spatial_resolution)) + 1
+            max_radius = spatial_resolution * (2 ** (num_levels - 1))
+        self.max_radius = max_radius
+        self.num_levels = num_levels
+
+        class _Node:
+            __slots__ = ("point", "data_idx", "vor_idx", "r_neighbors", "children")
+
+            def __init__(self, point, data_idx):
+                self.point = point
+                self.data_idx = data_idx
+                self.vor_idx = np.empty(0, dtype=np.int64)
+                self.r_neighbors: List["_Node"] = [self]
+                self.children: List["_Node"] = []
+
+        root = _Node(root_point, np.arange(n, dtype=np.int64))
+        if voronoi:
+            root.vor_idx = root.data_idx.copy()
+        levels: List[List[_Node]] = [[root]]
+        # neighbor_factor[level] = 4 * (1 - 2^-(num_levels - level))
+        # (reference :65 builds it with np.arange(num_levels, -1, -1))
+        neighbor_factor = 4.0 * (1.0 - 1.0 / 2.0 ** np.arange(num_levels, -1, -1))
+
+        for level in range(1, num_levels):
+            radius = max_radius / (2**level)
+            current: List[_Node] = []
+            for parent in levels[level - 1]:
+                while parent.data_idx.size > 0:
+                    seed = x[parent.data_idx[0]]
+                    if lloyds:
+                        # Local mean of the seed's radius-neighbourhood within
+                        # the PARENT's remaining data only (reference :73-76).
+                        d_seed = np.linalg.norm(x[parent.data_idx] - seed, axis=-1)
+                        point = x[parent.data_idx[d_seed <= radius]].mean(axis=0)
+                        # Separation checked against children of the parent's
+                        # r_neighbors only (reference :77-84).
+                        violated = any(
+                            np.linalg.norm(point - child.point) < radius
+                            for rn in parent.r_neighbors
+                            for child in rn.children
+                        )
+                        if violated:
+                            point = seed
+                    else:
+                        point = seed
+                    # Claim points within radius from every r_neighbor's data
+                    # (reference :87-100) — NOT from the global pool.
+                    claimed = []
+                    for rn in parent.r_neighbors:
+                        if rn.data_idx.size == 0:
+                            continue
+                        d = np.linalg.norm(x[rn.data_idx] - point, axis=-1)
+                        take = d <= radius
+                        claimed.append(rn.data_idx[take])
+                        rn.data_idx = rn.data_idx[~take]
+                    child = _Node(point, np.concatenate(claimed) if claimed
+                                  else np.empty(0, dtype=np.int64))
+                    child.r_neighbors = []
+                    current.append(child)
+                    parent.children.append(child)
+            # Child r_neighbors: children of the parent's r_neighbors within
+            # neighbor_factor[level] * radius (reference :103-115).
+            for parent in levels[level - 1]:
+                potential = [c for rn in parent.r_neighbors for c in rn.children]
+                for child in parent.children:
+                    child.r_neighbors = [
+                        q for q in potential
+                        if np.linalg.norm(q.point - child.point)
+                        <= neighbor_factor[level] * radius
+                    ]
+            # Voronoi repartition of each parent's cell among the children of
+            # its r_neighbors (reference :118-156) — local, not global argmin.
+            if voronoi:
+                for parent in levels[level - 1]:
+                    vor_idx = parent.vor_idx
+                    if vor_idx.size == 0:
+                        continue
+                    potential = [c for rn in parent.r_neighbors for c in rn.children]
+                    pts = np.stack([c.point for c in potential])
+                    d = np.linalg.norm(pts[:, None, :] - x[vor_idx][None, :, :], axis=-1)
+                    nearest = np.argmin(d, axis=0)
+                    for idx, child in enumerate(potential):
+                        got = vor_idx[nearest == idx]
+                        if got.size:
+                            child.vor_idx = np.concatenate([child.vor_idx, got])
+                for child in current:
+                    child.data_idx = child.vor_idx.copy()
+            levels.append(current)
+
+        self.level_centers = [np.stack([node.point for node in lvl]) for lvl in levels]
+        labels = np.zeros(n, dtype=np.int64)
+        for i, node in enumerate(levels[-1]):
+            labels[node.data_idx] = i
+        self._x, self._y, self._labels = x, y, labels
 
     # -- outputs consumed by the update fn (reference covertree.py:160-176) --
 

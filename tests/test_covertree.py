@@ -82,3 +82,45 @@ def test_no_lloyds_no_voronoi(rng):
     assert tree.minimum_separation(-1) >= 0.5
     _, counts = tree.cluster_mean_and_counts
     assert counts.sum() == 400
+
+
+def test_reference_backend_invariants(rng):
+    """The exact-parity backend (r_neighbors locality lists) upholds the
+    separation guarantee and partitions the data."""
+    x, y = _data(rng)
+    res = 0.5
+    tree = CoverTree(None, (x, y), spatial_resolution=res, backend="reference")
+    assert tree.max_radius == pytest.approx(res * 2 ** (tree.num_levels - 1))
+    assert tree.minimum_separation(-1) >= res
+    m = tree.centroids.shape[0]
+    labels = tree.labels
+    assert labels.min() >= 0 and labels.max() < m
+    _means, counts = tree.cluster_mean_and_counts
+    assert counts.sum() == 400
+
+
+def test_reference_backend_matches_numpy_backend_on_separated_data(rng):
+    """Where locality lists cannot bind (few well-separated blobs), the
+    parity backend and the global-claiming backend build the same tree."""
+    centers = np.array([[0.0, 0.0], [8.0, 0.0], [0.0, 8.0], [8.0, 8.0]])
+    x = np.concatenate([c + 0.3 * rng.normal(size=(50, 2)) for c in centers])
+    y = rng.normal(size=(200, 1))
+    kwargs = dict(spatial_resolution=2.0)
+    t_ref = CoverTree(None, (x, y), backend="reference", **kwargs)
+    t_np = CoverTree(None, (x, y), backend="numpy", **kwargs)
+    assert t_ref.num_levels == t_np.num_levels
+    # same centers as sets (creation order may differ)
+    def canon(c):
+        return np.array(sorted(map(tuple, np.round(c, 9))))
+    np.testing.assert_allclose(canon(t_ref.centroids), canon(t_np.centroids),
+                               atol=1e-8)
+
+
+def test_reference_backend_no_lloyds_no_voronoi(rng):
+    x, y = _data(rng, n=200)
+    tree = CoverTree(None, (x, y), spatial_resolution=0.5, backend="reference",
+                     lloyds=False, voronoi=False)
+    # without voronoi, claimed clusters still partition the data
+    _means, counts = tree.cluster_mean_and_counts
+    assert counts.sum() == 200
+    assert tree.minimum_separation(-1) > 0
