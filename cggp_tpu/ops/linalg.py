@@ -74,20 +74,37 @@ def pivoted_cholesky(matrix: jnp.ndarray, rank: int) -> jnp.ndarray:
     """
     import jax
 
-    n = matrix.shape[-1]
-    dtype = matrix.dtype
+    def row_fn(pivot):
+        return jax.lax.dynamic_index_in_dim(matrix, pivot, axis=0, keepdims=False)
+
+    return pivoted_cholesky_matfree(row_fn, jnp.diagonal(matrix), rank)
+
+
+def pivoted_cholesky_matfree(row_fn, diag: jnp.ndarray, rank: int) -> jnp.ndarray:
+    """Matrix-free pivoted Cholesky: the matrix is exposed only through
+    ``row_fn(pivot) -> row [n]`` and its ``diag [n]``.
+
+    This is what makes preconditioning possible in the M-sharded regime
+    where ``Kuu`` is never materialised (parallel/sharded_cg.py): each step
+    evaluates ONE kernel row on the fly — O(rank * n * d) kernel work total
+    instead of an [n, n] Gram build.
+    """
+    import jax
+
+    n = diag.shape[0]
+    dtype = diag.dtype
     # Relative pivot floor: once the residual diagonal falls to rounding
     # noise, further columns are amplified garbage (each is divided by
     # sqrt(pivot)); stop contributing instead.
     eps = float(jnp.finfo(dtype).eps)
-    tiny = 10.0 * eps * jnp.maximum(jnp.max(jnp.diagonal(matrix)), 1e-30)
+    tiny = 10.0 * eps * jnp.maximum(jnp.max(diag), 1e-30)
 
     def step(i, carry):
         ell, d = carry
         pivot = jnp.argmax(d)
         val = d[pivot]
         ok = val > tiny
-        row = jax.lax.dynamic_index_in_dim(matrix, pivot, axis=0, keepdims=False)
+        row = row_fn(pivot)
         ell_pivot = jax.lax.dynamic_index_in_dim(ell, pivot, axis=0, keepdims=False)
         cross = jnp.matmul(ell, ell_pivot, precision=jax.lax.Precision.HIGHEST)
         inv_sqrt = jax.lax.rsqrt(jnp.maximum(val, tiny))
@@ -98,6 +115,5 @@ def pivoted_cholesky(matrix: jnp.ndarray, rank: int) -> jnp.ndarray:
         return ell, d
 
     ell0 = jnp.zeros((n, rank), dtype=dtype)
-    d0 = jnp.diagonal(matrix)
-    ell, _d = jax.lax.fori_loop(0, rank, step, (ell0, d0))
+    ell, _d = jax.lax.fori_loop(0, rank, step, (ell0, diag))
     return ell

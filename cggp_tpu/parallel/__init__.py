@@ -21,6 +21,8 @@ from cggp_tpu.parallel.data_parallel import (
 from cggp_tpu.parallel.sharded_cg import (
     make_sharded_cg,
     pad_inducing,
+    pivoted_cholesky_kernel,
+    spectral_precond_state,
     ShardedKuuSolver,
 )
 from cggp_tpu.parallel.model import ShardedCGGP, make_sharded_eval_logdet
@@ -33,6 +35,8 @@ __all__ = [
     "make_data_parallel_predict",
     "pad_inducing",
     "make_sharded_cg",
+    "pivoted_cholesky_kernel",
+    "spectral_precond_state",
     "ShardedKuuSolver",
     "ShardedCGGP",
     "make_sharded_eval_logdet",

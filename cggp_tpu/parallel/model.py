@@ -28,7 +28,12 @@ from cggp_tpu.models.clustergp import ClusterGP
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.logdet import rademacher
 from cggp_tpu.parallel.mesh import DATA_AXIS
-from cggp_tpu.parallel.sharded_cg import make_sharded_cg, pad_inducing
+from cggp_tpu.parallel.sharded_cg import (
+    make_sharded_cg,
+    pad_inducing,
+    pivoted_cholesky_kernel,
+    spectral_precond_state,
+)
 from jax.sharding import PartitionSpec as P
 
 Array = jnp.ndarray
@@ -117,6 +122,12 @@ class ShardedCGGP(ClusterGP):
     max_cg_iterations: int = 100
     num_probes: int = 5
     axis_name: str = DATA_AXIS
+    # Per-step matrix-free pivoted-Cholesky preconditioning of the fused
+    # solve (net-new; single-chip twin: CGGP.precondition).  The [M, k]
+    # factor is built from per-pivot kernel rows — no [M, M] Gram build —
+    # and applied replicated inside the sharded loop (no extra collectives).
+    precondition: Optional[str] = None  # None | "pivchol"
+    precond_rank: int = 128
 
     def __post_init__(self):
         if self.mesh is None:
@@ -143,6 +154,16 @@ class ShardedCGGP(ClusterGP):
     @property
     def num_devices(self) -> int:
         return self.mesh.devices.size
+
+    def _precond_state(self, kp, z, lam):
+        """Solver-state pytree for the fused solve; () = identity."""
+        if self.precondition is None:
+            return ()
+        if self.precondition != "pivchol":
+            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
+        sg = jax.lax.stop_gradient
+        factor = pivoted_cholesky_kernel(self.kernel, sg(kp), sg(z), self.precond_rank)
+        return spectral_precond_state(factor, sg(lam))
 
     def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
                     **kwargs) -> Dict:
@@ -214,7 +235,7 @@ class ShardedCGGP(ClusterGP):
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
         probes = rademacher(key_probes, (self.num_probes, m), dtype) * mask_row  # rows
         rhs = jnp.concatenate([u.T, probes], axis=0)  # [(1+P), M]
-        solved, _stats = self._solve(kp, z, lam, rhs)
+        solved, _stats = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
         nu = solved[:1]  # [1, M] row
         solved_probes = solved[1:]
 
@@ -241,7 +262,7 @@ class ShardedCGGP(ClusterGP):
 
         kmn = self.kernel.K(kp, x_new, z)  # [T, M] rows (replicated)
         rhs = jnp.concatenate([u.T, kmn], axis=0)  # [(1+T), M]
-        solved, _ = self._solve(kp, z, lam, rhs)
+        solved, _ = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
         inv_u = solved[:1]  # [1, M]
         inv_kmn = solved[1:]  # [T, M]
 
@@ -276,7 +297,7 @@ class ShardedCGGP(ClusterGP):
         kmn = self.kernel.K(kp, x, z)  # [B, M] rows
 
         rhs = jnp.concatenate([u.T, probes, logdet_probes, kmn], axis=0)
-        solved, _stats = self._solve(kp, z, lam, rhs)
+        solved, _stats = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
         nu = solved[:1]
         solved_probes = solved[1 : 1 + p]
         solved_logdet = solved[1 + p : 1 + 2 * p]
@@ -319,5 +340,5 @@ class ShardedCGGP(ClusterGP):
         probes = rademacher(key, (2 * self.num_probes, m), z.dtype) * mask_row
         kmn = self.kernel.K(kp, x, z)
         rhs = jnp.concatenate([u.T, probes, kmn], axis=0)
-        _, stats = self._solve(kp, z, lam, rhs)
+        _, stats = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
         return stats

@@ -97,6 +97,40 @@ def _eye_apply(state, vec, mat):
     return vec, jnp.sum(jnp.square(vec), axis=-1, keepdims=True)
 
 
+def _precond_apply(state, vec, mat):
+    """Identity when ``state`` is the empty pytree, else the stable low-rank
+    SpectralPreconditioner apply.  The branch is on pytree STRUCTURE (static
+    at trace time), so the unpreconditioned solve compiles with zero
+    preconditioner code.  The apply itself runs replicated — the [M, k]
+    factor is small next to the [M²/d] row blocks, and the loop state is
+    already replicated, so preconditioning adds no communication."""
+    if state == ():
+        return _eye_apply(state, vec, mat)
+    from cggp_tpu.ops.cg import SpectralPreconditioner
+
+    return SpectralPreconditioner.apply(state, vec, mat)
+
+
+def pivoted_cholesky_kernel(kernel: Kernel, kp, z: Array, rank: int) -> Array:
+    """Matrix-free pivoted-Cholesky factor of ``K(Z, Z)``: each step
+    evaluates ONE kernel row on the fly, so no [M, M] Gram matrix is ever
+    built — the preconditioner construction for the sharded regime."""
+    from cggp_tpu.ops.linalg import pivoted_cholesky_matfree
+
+    def row_fn(pivot):
+        z_p = lax.dynamic_slice_in_dim(z, pivot, 1, axis=0)
+        return kernel.K(kp, z_p, z)[0]
+
+    return pivoted_cholesky_matfree(row_fn, kernel.K_diag(kp, z), rank)
+
+
+def spectral_precond_state(factor: Array, lam: Array):
+    """Build SpectralPreconditioner state (pure jnp ops; jit-safe)."""
+    from cggp_tpu.ops.cg import SpectralPreconditioner
+
+    return SpectralPreconditioner(factor, lam).state
+
+
 def make_sharded_cg(
     kernel: Kernel,
     mesh: Mesh,
@@ -116,13 +150,13 @@ def make_sharded_cg(
         max_steps_cycle = max_iterations + 1
     specs_in = (P(), P(), P(), P())
 
-    def _solve_body(kp, z, lam, rhs):
+    def _solve_body(kp, z, lam, rhs, precond_state):
         a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
         matvec = _make_local_matvec(a_rows, offset, mb, axis_name)
         return cg_loop(
             matvec,
-            _eye_apply,
-            (),
+            _precond_apply,
+            precond_state,
             rhs,
             jnp.zeros_like(rhs),
             error_threshold=error_threshold,
@@ -131,7 +165,7 @@ def make_sharded_cg(
         )
 
     sharded_solve = jax.shard_map(
-        _solve_body, mesh=mesh, in_specs=specs_in,
+        _solve_body, mesh=mesh, in_specs=specs_in + (P(),),
         out_specs=(P(), CGStats(P(), P())),
     )
 
@@ -144,27 +178,33 @@ def make_sharded_cg(
     )
 
     @jax.custom_vjp
-    def solve(kp, z, lam, rhs):
-        solution, stats = sharded_solve(kp, z, lam, rhs)
+    def _solve_cvjp(kp, z, lam, rhs, precond_state):
+        solution, stats = sharded_solve(kp, z, lam, rhs, precond_state)
         return solution, CGStats(*stats)
 
-    def solve_fwd(kp, z, lam, rhs):
-        solution, stats = sharded_solve(kp, z, lam, rhs)
-        return (solution, CGStats(*stats)), (kp, z, lam, solution)
+    def solve_fwd(kp, z, lam, rhs, precond_state):
+        solution, stats = sharded_solve(kp, z, lam, rhs, precond_state)
+        return (solution, CGStats(*stats)), (kp, z, lam, solution, precond_state)
 
     def solve_bwd(residuals, cotangents):
-        kp, z, lam, solution = residuals
+        kp, z, lam, solution, precond_state = residuals
         v_bar, _stats_bar = cotangents
-        w, _ = sharded_solve(kp, z, lam, v_bar)  # backward = another CG solve
+        # Backward = another (equally preconditioned) CG solve.
+        w, _ = sharded_solve(kp, z, lam, v_bar, precond_state)
         # theta_bar = -vjp of (theta -> solution @ A(theta)) at cotangent w.
         _, matvec_vjp = jax.vjp(
             lambda kp_, z_, lam_: sharded_matvec(kp_, z_, lam_, solution), kp, z, lam
         )
         kp_bar, z_bar, lam_bar = matvec_vjp(w)
         neg = lambda t: jax.tree_util.tree_map(jnp.negative, t)
-        return neg(kp_bar), neg(z_bar), neg(lam_bar), w
+        d_state = jax.tree_util.tree_map(jnp.zeros_like, precond_state)
+        return neg(kp_bar), neg(z_bar), neg(lam_bar), w, d_state
 
-    solve.defvjp(solve_fwd, solve_bwd)
+    _solve_cvjp.defvjp(solve_fwd, solve_bwd)
+
+    def solve(kp, z, lam, rhs, precond_state=()):
+        return _solve_cvjp(kp, z, lam, rhs, precond_state)
+
     return solve
 
 
@@ -189,10 +229,12 @@ class ShardedKuuSolver:
             kernel, mesh, error_threshold, max_iterations, max_steps_cycle, axis_name
         )
 
-    def solve_with_stats(self, kp, z: Array, lam: Array, rhs: Array):
+    def solve_with_stats(self, kp, z: Array, lam: Array, rhs: Array,
+                         precond_state=()):
         """``rhs`` is [M, m] column-major like the dense facade."""
-        solution, stats = self._solve(kp, z, lam.reshape(-1), rhs.T)
+        solution, stats = self._solve(kp, z, lam.reshape(-1), rhs.T, precond_state)
         return solution.T, stats
 
-    def __call__(self, kp, z: Array, lam: Array, rhs: Array) -> Array:
-        return self.solve_with_stats(kp, z, lam, rhs)[0]
+    def __call__(self, kp, z: Array, lam: Array, rhs: Array,
+                 precond_state=()) -> Array:
+        return self.solve_with_stats(kp, z, lam, rhs, precond_state)[0]
