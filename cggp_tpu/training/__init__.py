@@ -9,6 +9,8 @@ from cggp_tpu.training.optimize import (
     make_param_callback,
     train_using_adam_and_update,
     train_using_lbfgs_and_update,
+    train_vanilla_using_lbfgs,
+    train_vanilla_using_lbfgs_and_standard_ip_update,
 )
 
 __all__ = [
@@ -20,4 +22,6 @@ __all__ = [
     "make_param_callback",
     "train_using_adam_and_update",
     "train_using_lbfgs_and_update",
+    "train_vanilla_using_lbfgs",
+    "train_vanilla_using_lbfgs_and_standard_ip_update",
 ]

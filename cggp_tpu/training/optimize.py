@@ -208,6 +208,56 @@ def train_using_lbfgs_and_update(
     return final
 
 
+def train_vanilla_using_lbfgs(
+    params: Dict,
+    loss_fn: Callable[[Dict], Array],
+    max_iterations: int,
+    trainable_mask: Optional[Dict] = None,
+) -> Dict:
+    """Plain L-BFGS with no inducing update and no monitor
+    (reference optimize.py:132-150 ``train_vanilla_using_lbfgs``)."""
+    return train_using_lbfgs_and_update(
+        params, loss_fn, max_iterations, trainable_mask=trainable_mask
+    )
+
+
+def train_vanilla_using_lbfgs_and_standard_ip_update(
+    params: Dict,
+    loss_fn: Callable[[Dict], Array],
+    clustering_fn: Callable[[], Array],
+    max_iterations: int,
+    trainable_mask: Optional[Dict] = None,
+) -> Dict:
+    """L-BFGS re-assigning ONLY the inducing inputs Z from ``clustering_fn``
+    after every gradient step (reference optimize.py:101-129).  The reference
+    carries a warning that re-clustering every step can converge to poor
+    local minima (:113-116) — preserved behaviour, preserved caveat.  The
+    clustering must return a same-shape Z (no M changes inside L-BFGS).
+
+    Z is excluded from the L-BFGS vector (it is *assigned*, not optimized —
+    otherwise the line search would immediately overwrite each assignment).
+    """
+
+    def update_fn(p: Dict) -> Dict:
+        new_iv = jnp.asarray(clustering_fn(), dtype=p["inducing_points"].dtype)
+        out = dict(p)
+        out["inducing_points"] = new_iv
+        return out
+
+    if trainable_mask is None:
+        trainable_mask = jax.tree_util.tree_map(lambda _: True, params)
+    else:
+        trainable_mask = dict(trainable_mask)
+    trainable_mask["inducing_points"] = jax.tree_util.tree_map(
+        lambda _: False, params["inducing_points"]
+    )
+
+    return train_using_lbfgs_and_update(
+        params, loss_fn, max_iterations, update_fn=update_fn,
+        trainable_mask=trainable_mask,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------

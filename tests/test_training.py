@@ -219,3 +219,38 @@ def test_cg_stats_callback(rng):
     out = cb(0, params)
     assert out["cg/steps"] > 0
     assert np.isfinite(out["cg/max_error"])
+
+
+def test_vanilla_lbfgs_variants(rng):
+    """Reference optimize.py:101-150 twins: plain L-BFGS and the
+    Z-only-per-step update variant."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import SGPR
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.training.optimize import (
+        train_vanilla_using_lbfgs,
+        train_vanilla_using_lbfgs_and_standard_ip_update,
+    )
+
+    x = jnp.asarray(rng.uniform(-1, 1, (64, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])))
+    model = SGPR(kernel=SquaredExponential())
+    params = model.init_params(x[:8])
+    loss = lambda p: model.training_loss(p, (x, y))
+
+    before = float(loss(params))
+    out = train_vanilla_using_lbfgs(params, loss, 15)
+    assert float(loss(out)) < before
+
+    calls = {"n": 0}
+
+    def clustering_fn():
+        calls["n"] += 1
+        return np.asarray(x[:8]) + 0.01 * calls["n"]
+
+    out2 = train_vanilla_using_lbfgs_and_standard_ip_update(params, loss, clustering_fn, 10)
+    assert calls["n"] >= 1  # ran once per optimizer iteration
+    np.testing.assert_allclose(
+        np.asarray(out2["inducing_points"]),
+        np.asarray(x[:8]) + 0.01 * calls["n"], rtol=1e-6)
