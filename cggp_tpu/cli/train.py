@@ -69,11 +69,19 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     help="Shard the inducing dimension over this many devices "
          "(ShardedCGGP: psum-blocked CG over a mesh). Default: single chip.",
 )
+@click.option(
+    "-P", "--precondition", type=click.Choice(["none", "pivchol", "rff"]),
+    default="none",
+    help="Per-step low-rank CG preconditioning rebuilt from current "
+         "hyperparameters ('rff' is single-chip only).",
+)
+@click.option("--precond-rank", type=int, default=128)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, learning_rate,
-                    error_threshold, record_step, num_devices, tensorboard):
+                    error_threshold, record_step, num_devices, precondition,
+                    precond_rank, tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -114,10 +122,15 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         n, dim = x.shape
         m0 = num_inducing_points or int(n * 0.1)
         kernel, kernel_init = obj["kernel_fn"](dim)
+        if precondition == "rff":
+            raise click.UsageError("--precondition rff is single-chip only; "
+                                   "use pivchol with --num-devices")
         model = ShardedCGGP(
             kernel=kernel, mesh=mesh, num_data=n,
             error_threshold=error_threshold,
             max_cg_iterations=max(m0, 16),
+            precondition=None if precondition == "none" else precondition,
+            precond_rank=precond_rank,
         )
         rng = _np.random.RandomState(obj["seed"])
         iv = _np.asarray(x)[rng.choice(n, m0, replace=False)]
@@ -130,6 +143,12 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             num_inducing_points=num_inducing_points,
             error_threshold=error_threshold, seed=obj["seed"],
         )
+        if precondition != "none":
+            import dataclasses as _dc
+
+            model = _dc.replace(
+                model, precondition=precondition, precond_rank=precond_rank
+            )
     clustering_kwargs = {}
     if clustering_type in ("kmeans",):
         clustering_kwargs["max_points"] = (

@@ -260,3 +260,27 @@ def test_train_cggp_adam_sharded(runner, tmp_path):
     assert "sharded over 8 devices" in result.output
     assert "M=10 padded to 16" in result.output
     assert (logdir / "params.npz").exists()
+
+
+def test_train_cggp_adam_preconditioned(runner, tmp_path):
+    """Per-step pivoted-Cholesky preconditioning reachable from the train
+    CLI, single-chip and sharded."""
+    logdir = tmp_path / "pre"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir), "-s", "0",
+        "train-cggp-adam", "-n", "3", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean", "-P", "pivchol",
+        "--precond-rank", "6", "--no-tensorboard",
+    ])
+    assert (logdir / "params.npz").exists()
+    assert "Script finished" in result.output
+
+    logdir2 = tmp_path / "pre_sharded"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir2), "-s", "0",
+        "train-cggp-adam", "-n", "3", "-b", "64", "-m", "10",
+        "-c", "kmeans", "-d", "euclidean", "--num-devices", "8",
+        "-P", "pivchol", "--precond-rank", "6", "--no-tensorboard",
+    ])
+    assert "sharded over 8 devices" in result.output
+    assert (logdir2 / "params.npz").exists()
