@@ -61,6 +61,27 @@ class CGGP(ClusterGP):
         if self.conjugate_gradient is None:
             raise ValueError("CGGP requires a ConjugateGradient instance")
 
+    def _build_preconditioner(self, kp, z, kmm, var, key):
+        """Per-step solver-state preconditioner (None when disabled); shared
+        by the fused ELBO and cg_stats so observability matches training."""
+        if self.precondition is None:
+            return None
+        sg = jax.lax.stop_gradient
+        if self.precondition == "rff":
+            from cggp_tpu.ops.rff import rff_preconditioner
+
+            return rff_preconditioner(
+                self.kernel, sg(kp), sg(z), sg(var[:, 0]),
+                self.precond_rank, key,
+            )
+        if self.precondition == "pivchol":
+            from cggp_tpu.ops.cg import pivoted_cholesky_preconditioner
+
+            return pivoted_cholesky_preconditioner(
+                sg(kmm), sg(var[:, 0]), self.precond_rank
+            )
+        raise ValueError(f"unknown precondition mode: {self.precondition!r}")
+
     def prior_kl(self, params: Dict, key: jax.Array) -> Array:
         kp = params["kernel"]
         z = params["inducing_points"]
@@ -179,26 +200,12 @@ class CGGP(ClusterGP):
             # SAME fused CG launch.
             logdet_probes = rademacher(key_logdet, (m, self.num_probes), dtype)
 
-        precond = None
         if self.precondition == "rff":
-            from cggp_tpu.ops.rff import rff_preconditioner
-
             key_logdet, key_rff = jax.random.split(key_logdet)
-            # Solver state, not part of the differentiated model.
-            sg = jax.lax.stop_gradient
-            precond = rff_preconditioner(
-                self.kernel, sg(kp), sg(z), sg(var[:, 0]),
-                self.precond_rank, key_rff,
-            )
-        elif self.precondition == "pivchol":
-            from cggp_tpu.ops.cg import pivoted_cholesky_preconditioner
-
-            sg = jax.lax.stop_gradient
-            precond = pivoted_cholesky_preconditioner(
-                sg(kmm), sg(var[:, 0]), self.precond_rank
-            )
-        elif self.precondition is not None:
-            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
+        else:
+            key_rff = key_logdet
+        # Solver state, not part of the differentiated model.
+        precond = self._build_preconditioner(kp, z, kmm, var, key_rff)
 
         p = self.num_probes
         rhs = jnp.concatenate([u, probes, logdet_probes, kmn], axis=-1)
@@ -266,14 +273,21 @@ class CGGP(ClusterGP):
         var = self.diag_variance(params)
         m = z.shape[0]
 
-        kmm_lambda = add_diagonal(self.kernel.K(kp, z), var[:, 0])
+        kmm = self.kernel.K(kp, z)
+        kmm_lambda = add_diagonal(kmm, var[:, 0])
         kmn = self.kernel.K(kp, z, x)
         p = self.num_probes or 0
+        key_probes, key_pre = jax.random.split(key)
         probes = (
-            rademacher(key, (m, 2 * p), z.dtype)
+            rademacher(key_probes, (m, 2 * p), z.dtype)
             if p
             else jnp.zeros((m, 0), z.dtype)
         )
         rhs = jnp.concatenate([u, probes, kmn], axis=-1)
-        _, stats = self.conjugate_gradient.solve_with_stats(kmm_lambda, rhs)
+        # Same preconditioner as the training solve: stats reflect what the
+        # optimizer actually pays.
+        precond = self._build_preconditioner(kp, z, kmm, var, key_pre)
+        _, stats = self.conjugate_gradient.solve_with_stats(
+            kmm_lambda, rhs, preconditioner=precond
+        )
         return stats
