@@ -76,12 +76,17 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
          "hyperparameters ('rff' is single-chip only).",
 )
 @click.option("--precond-rank", type=int, default=128)
+@click.option(
+    "--relative-threshold/--absolute-threshold", default=False,
+    help="Scale each CG row's stopping target by its own RHS norm "
+         "(net-new; the reference rule is absolute and scale-dependent).",
+)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, learning_rate,
                     error_threshold, record_step, num_devices, precondition,
-                    precond_rank, tensorboard):
+                    precond_rank, relative_threshold, tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -131,6 +136,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             max_cg_iterations=max(m0, 16),
             precondition=None if precondition == "none" else precondition,
             precond_rank=precond_rank,
+            relative_threshold=relative_threshold,
         )
         rng = _np.random.RandomState(obj["seed"])
         iv = _np.asarray(x)[rng.choice(n, m0, replace=False)]
@@ -143,11 +149,22 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             num_inducing_points=num_inducing_points,
             error_threshold=error_threshold, seed=obj["seed"],
         )
-        if precondition != "none":
+        if precondition != "none" or relative_threshold:
             import dataclasses as _dc
 
+            cg = model.conjugate_gradient
+            if relative_threshold:
+                from cggp_tpu.ops.cg import ConjugateGradient as _CG
+
+                cg = _CG(cg.error_threshold, preconditioner=cg.preconditioner,
+                         max_iterations=cg.max_iterations,
+                         max_steps_cycle=cg.max_steps_cycle, dot=cg.dot,
+                         matvec_impl=cg.matvec_impl, relative_threshold=True)
             model = _dc.replace(
-                model, precondition=precondition, precond_rank=precond_rank
+                model,
+                precondition=None if precondition == "none" else precondition,
+                precond_rank=precond_rank,
+                conjugate_gradient=cg,
             )
     clustering_kwargs = {}
     if clustering_type in ("kmeans",):

@@ -281,17 +281,28 @@ def cg_loop(
     max_steps_cycle: int,
     dot: Callable[[Array, Array], Array] = _standard_dot,
     mat_for_precond: Optional[Array] = None,
+    relative_threshold: bool = False,
 ) -> Tuple[Array, CGStats]:
     """Run PCG on ``v A = b`` (row convention) with an abstract matvec.
 
     ``matvec(p)`` must return ``p @ A`` for the (implicit) symmetric matrix A.
     Inside ``shard_map`` the caller supplies a psum-reducing matvec and the
     rest of the loop runs on replicated [m, n] blocks unchanged.
+
+    ``relative_threshold=False`` is the reference's absolute rule — stop when
+    all ``0.5 ||r_i||^2 <= threshold`` (conjugate_gradient.py:59-62).  With
+    large fused RHS blocks an absolute target is scale-dependent and can be
+    unreachable within the iteration budget; ``relative_threshold=True``
+    (net-new) scales each row's target by its own ``0.5 ||b_i||^2``.
     """
     dtype = v0.dtype
     min_float = jnp.asarray(1e-16, dtype=dtype)
     zero = jnp.asarray(0.0, dtype=dtype)
     threshold = jnp.asarray(error_threshold, dtype=dtype)
+    if relative_threshold:
+        threshold = threshold * 0.5 * jnp.sum(
+            jnp.square(b), axis=-1, keepdims=True
+        )  # [m, 1] per-row targets
 
     def stopping_condition(state: CGState) -> Array:
         norm_r_sq = jnp.sum(jnp.square(state.r), axis=-1, keepdims=True)
@@ -345,18 +356,18 @@ def cg_loop(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _cg_dense(precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-              matvec_impl, matrix, rhs, v0, precond_state):
+              matvec_impl, relative, matrix, rhs, v0, precond_state):
     solution, stats = _cg_dense_impl(
         precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-        matvec_impl, matrix, rhs, v0, precond_state,
+        matvec_impl, relative, matrix, rhs, v0, precond_state,
     )
     return solution, stats
 
 
 def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cycle,
-                   dot_name, matvec_impl, matrix, rhs, v0, precond_state):
+                   dot_name, matvec_impl, relative, matrix, rhs, v0, precond_state):
     dot = _DOT_FNS[dot_name]
 
     if matvec_impl == "pallas_resident":
@@ -367,6 +378,7 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
             precond_state == ()
             and dot_name == "standard"
             and max_steps_cycle > max_iterations
+            and not relative  # in-kernel stop rule is absolute
         )
         if eligible:
             from cggp_tpu.ops.pallas_cg import pallas_cg_solve
@@ -424,26 +436,27 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
         max_steps_cycle=max_steps_cycle,
         dot=dot,
         mat_for_precond=matrix,
+        relative_threshold=relative,
     )
 
 
 def _cg_dense_fwd(precond_apply, error_threshold, max_iterations, max_steps_cycle,
-                  dot_name, matvec_impl, matrix, rhs, v0, precond_state):
+                  dot_name, matvec_impl, relative, matrix, rhs, v0, precond_state):
     solution, stats = _cg_dense_impl(
         precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-        matvec_impl, matrix, rhs, v0, precond_state,
+        matvec_impl, relative, matrix, rhs, v0, precond_state,
     )
     return (solution, stats), (matrix, solution, v0, precond_state)
 
 
 def _cg_dense_bwd(precond_apply, error_threshold, max_iterations, max_steps_cycle,
-                  dot_name, matvec_impl, residuals, cotangents):
+                  dot_name, matvec_impl, relative, residuals, cotangents):
     matrix, solution, v0, precond_state = residuals
     dx, _dstats = cotangents
     # Backward pass = another CG solve: db = A^{-1} dx (reference :100-118).
     db, _ = _cg_dense_impl(
         precond_apply, error_threshold, max_iterations, max_steps_cycle, dot_name,
-        matvec_impl, matrix, dx, jnp.zeros_like(dx), precond_state,
+        matvec_impl, relative, matrix, dx, jnp.zeros_like(dx), precond_state,
     )
     dA = -solution.T @ db
     dv0 = jnp.zeros_like(v0)
@@ -464,6 +477,7 @@ def conjugate_gradient(
     max_steps_cycle: int = 100,
     dot: str = "standard",
     matvec_impl: str = "xla",
+    relative_threshold: bool = False,
 ) -> Tuple[Array, CGStats]:
     """Solve ``v A = b`` for a batch of row RHS (reference :24-122 semantics).
 
@@ -493,6 +507,7 @@ def conjugate_gradient(
         int(max_steps_cycle),
         dot,
         matvec_impl,
+        bool(relative_threshold),
         matrix,
         rhs,
         initial_solution,
@@ -518,6 +533,7 @@ class ConjugateGradient:
         max_steps_cycle: Optional[int] = None,
         dot: str = "standard",
         matvec_impl: str = "xla",
+        relative_threshold: bool = False,
     ):
         self.error_threshold = error_threshold
         self.preconditioner = preconditioner if preconditioner is not None else EyePreconditioner()
@@ -525,6 +541,7 @@ class ConjugateGradient:
         self.max_steps_cycle = max_steps_cycle
         self.dot = dot
         self.matvec_impl = matvec_impl
+        self.relative_threshold = relative_threshold
 
     def solve_with_stats(
         self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None,
@@ -554,6 +571,7 @@ class ConjugateGradient:
             max_steps_cycle=max_steps_cycle,
             dot=self.dot,
             matvec_impl=self.matvec_impl,
+            relative_threshold=self.relative_threshold,
         )
         return solution.T, stats
 

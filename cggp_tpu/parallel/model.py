@@ -128,6 +128,10 @@ class ShardedCGGP(ClusterGP):
     # and applied replicated inside the sharded loop (no extra collectives).
     precondition: Optional[str] = None  # None | "pivchol"
     precond_rank: int = 128
+    # Net-new stopping rule: scale each RHS row's target by its own norm
+    # (see ops.cg.cg_loop) — recommended for large fused batches, where the
+    # reference's absolute rule is scale-dependent.
+    relative_threshold: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
@@ -139,6 +143,7 @@ class ShardedCGGP(ClusterGP):
             make_sharded_cg(
                 self.kernel, self.mesh, self.error_threshold,
                 self.max_cg_iterations, axis_name=self.axis_name,
+                relative_threshold=self.relative_threshold,
             ),
         )
         object.__setattr__(

@@ -138,6 +138,7 @@ def make_sharded_cg(
     max_iterations: int,
     max_steps_cycle: Optional[int] = None,
     axis_name: str = DATA_AXIS,
+    relative_threshold: bool = False,
 ):
     """Build a differentiable sharded solver
     ``solve(kp, z, lam, rhs [m, M]) -> (solution [m, M], CGStats)``.
@@ -162,6 +163,7 @@ def make_sharded_cg(
             error_threshold=error_threshold,
             max_iterations=max_iterations,
             max_steps_cycle=max_steps_cycle,
+            relative_threshold=relative_threshold,
         )
 
     sharded_solve = jax.shard_map(
@@ -221,12 +223,14 @@ class ShardedKuuSolver:
         max_iterations: int,
         max_steps_cycle: Optional[int] = None,
         axis_name: str = DATA_AXIS,
+        relative_threshold: bool = False,
     ):
         self.kernel = kernel
         self.mesh = mesh
         self.num_devices = mesh.devices.size
         self._solve = make_sharded_cg(
-            kernel, mesh, error_threshold, max_iterations, max_steps_cycle, axis_name
+            kernel, mesh, error_threshold, max_iterations, max_steps_cycle,
+            axis_name, relative_threshold=relative_threshold,
         )
 
     def solve_with_stats(self, kp, z: Array, lam: Array, rhs: Array,

@@ -345,3 +345,36 @@ def test_pivoted_cholesky_preconditioner_cuts_iterations_fp64(rng):
     assert rel < 1e-4, rel
     assert int(stats_pre.steps) * 10 < int(stats_plain.steps), (
         int(stats_pre.steps), int(stats_plain.steps))
+
+
+def test_relative_threshold_scale_invariance(rng):
+    """Net-new stopping rule: with relative_threshold the iteration count is
+    invariant to RHS scaling, where the reference's absolute rule is not."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 128
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=[1.0, 1.0])
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    a = add_diagonal(kernel.K(kp, x), 0.1 * jnp.ones(n))
+    rhs = jnp.asarray(rng.standard_normal((n, 3)))
+
+    rel = ConjugateGradient(1e-12, max_iterations=n, relative_threshold=True)
+    _, s1 = rel.solve_with_stats(a, rhs)
+    _, s2 = rel.solve_with_stats(a, 1e4 * rhs)
+    assert int(s1.steps) == int(s2.steps)
+
+    absolute = ConjugateGradient(1e-12, max_iterations=n)
+    _, a1 = absolute.solve_with_stats(a, rhs)
+    _, a2 = absolute.solve_with_stats(a, 1e4 * rhs)
+    assert int(a2.steps) > int(a1.steps)  # absolute rule is scale-dependent
+
+    # and the relative solve is still correct (residual 1e-6 relative =>
+    # solution error ~ cond * 1e-6)
+    sol, _ = rel.solve_with_stats(a, rhs)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(jnp.linalg.solve(a, rhs)),
+                               rtol=1e-3, atol=1e-4)
