@@ -81,12 +81,23 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     help="Scale each CG row's stopping target by its own RHS norm "
          "(net-new; the reference rule is absolute and scale-dependent).",
 )
+@click.option(
+    "--resume-from", type=click.Path(exists=True), default=None,
+    help="Resume from a previous run's logdir: restores the latest orbax "
+         "checkpoint under <dir>/ckpt if present, else the final params.npz "
+         "(the config-dir contract).",
+)
+@click.option(
+    "--checkpoint-every", type=int, default=None,
+    help="Write an orbax checkpoint to <logdir>/ckpt every N steps.",
+)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, learning_rate,
                     error_threshold, record_step, num_devices, precondition,
-                    precond_rank, relative_threshold, tensorboard):
+                    precond_rank, relative_threshold, resume_from,
+                    checkpoint_every, tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -166,6 +177,20 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                 precond_rank=precond_rank,
                 conjugate_gradient=cg,
             )
+    if resume_from is not None:
+        from pathlib import Path as _Path
+
+        from cggp_tpu.utils.store import assign_flat, load_checkpoint, load_config_dir
+
+        ckpt_dir = _Path(resume_from) / "ckpt"
+        if ckpt_dir.is_dir():
+            params = load_checkpoint(ckpt_dir, params)
+            click.echo(f"resumed from orbax checkpoint {ckpt_dir}")
+        else:
+            flat, _info = load_config_dir(resume_from)
+            params = assign_flat(params, flat)
+            click.echo(f"resumed from config dir {resume_from}")
+
     clustering_kwargs = {}
     if clustering_type in ("kmeans",):
         clustering_kwargs["max_points"] = (
@@ -188,6 +213,14 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         str(logdir), metrics_fn, make_param_callback(model),
         record_step=record_step, use_tensorboard=tensorboard,
     )
+    if checkpoint_every is not None:
+        from cggp_tpu.utils.store import save_checkpoint
+
+        monitor.add_callback(
+            "checkpoint",
+            lambda step, p: save_checkpoint(Path(logdir) / "ckpt", p, step),
+            record_step=checkpoint_every,
+        )
     if hasattr(model, "cg_stats"):
         # Solver observability: iterations + residual of the fused solve.
         monitor.add_callback(

@@ -284,3 +284,41 @@ def test_train_cggp_adam_preconditioned(runner, tmp_path):
     ])
     assert "sharded over 8 devices" in result.output
     assert (logdir2 / "params.npz").exists()
+
+
+def test_train_checkpoint_and_resume(runner, tmp_path):
+    """Periodic orbax checkpoints + --resume-from (both the ckpt dir and the
+    params.npz config-dir fallback)."""
+    run1 = tmp_path / "run1"
+    _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(run1), "-s", "0",
+        "train-cggp-adam", "-n", "4", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean", "--checkpoint-every", "2",
+        "--no-tensorboard",
+    ])
+    assert (run1 / "ckpt").is_dir()
+    assert any(p.name.isdigit() for p in (run1 / "ckpt").iterdir())
+
+    run2 = tmp_path / "run2"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(run2), "-s", "1",
+        "train-cggp-adam", "-n", "2", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean",
+        "--resume-from", str(run1), "--no-tensorboard",
+    ])
+    assert "resumed from orbax checkpoint" in result.output
+
+    # config-dir fallback: point at a logdir with params.npz but no ckpt/
+    import shutil
+
+    run1_nockpt = tmp_path / "run1_nockpt"
+    shutil.copytree(run1, run1_nockpt)
+    shutil.rmtree(run1_nockpt / "ckpt")
+    run3 = tmp_path / "run3"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(run3), "-s", "2",
+        "train-cggp-adam", "-n", "2", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean",
+        "--resume-from", str(run1_nockpt), "--no-tensorboard",
+    ])
+    assert "resumed from config dir" in result.output
