@@ -40,6 +40,15 @@ TARGET_FRACTION = 0.60
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: first-compile through the remote-device
+    # tunnel is minutes; cached re-runs start in seconds (docs/PERF.md).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax without these flags: just compile
+
     import jax.numpy as jnp
 
     from cggp_tpu.ops.cg import conjugate_gradient
