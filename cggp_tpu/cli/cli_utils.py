@@ -423,14 +423,33 @@ def batch_posterior_computation(predict_fn, data, batch_size: int):
     return np.concatenate(means, axis=0), np.concatenate(variances, axis=0)
 
 
-def covariance_properties(model, params: Dict, jitter: float) -> Dict:
+def covariance_properties(model, params: Dict, jitter: float,
+                          method: str = "auto") -> Dict:
     """condition_number / eig_min / eig_max of ``Kuu + jitter I``
-    (reference paper_cli_uci.py:174-185)."""
+    (reference paper_cli_uci.py:174-185).
+
+    ``method``: "exact" = dense eigvalsh (the reference's O(M^3) route);
+    "lanczos" = extremal Ritz values (O(iters * M^2), for large M);
+    "auto" switches to lanczos above M = 4096.
+    """
     z = params["inducing_points"]
+    m = z.shape[0]
     kuu = model.kernel.K(params["kernel"], z)
-    kuu = kuu + jitter * jnp.eye(z.shape[0], dtype=z.dtype)
-    eigvals = np.asarray(jnp.linalg.eigvalsh(kuu))
-    eig_min, eig_max = float(eigvals.min()), float(eigvals.max())
+    kuu = kuu + jitter * jnp.eye(m, dtype=z.dtype)
+    if method == "auto":
+        method = "exact" if m <= 4096 else "lanczos"
+    if method == "lanczos":
+        import jax
+
+        from cggp_tpu.ops.logdet import lanczos_extremal_eigs
+
+        lo, hi = lanczos_extremal_eigs(kuu, jax.random.PRNGKey(0),
+                                       num_iters=min(96, m))
+        eig_min, eig_max = float(lo), float(hi)
+    else:
+        eigvals = np.asarray(jnp.linalg.eigvalsh(kuu))
+        eig_min, eig_max = float(eigvals.min()), float(eigvals.max())
     return dict(
-        condition_number=eig_max / eig_min, eig_min=eig_min, eig_max=eig_max
+        condition_number=eig_max / eig_min, eig_min=eig_min, eig_max=eig_max,
+        condition_method=method,
     )

@@ -41,7 +41,7 @@ def _logdet_grad(df, matrix, probes, precond_apply, precond_state, threshold,
         eye = jnp.eye(n, dtype=matrix.dtype)
         inv, _ = _cg_dense_impl(
             precond_apply, threshold, max_iterations, max_steps_cycle, dot_name,
-            "xla", matrix, eye, jnp.zeros_like(eye), precond_state,
+            "xla", False, matrix, eye, jnp.zeros_like(eye), precond_state,
         )
         # Row-convention solve of the identity is A^{-T}; transpose as the
         # reference does (models.py:35) even though A is symmetric.
@@ -50,7 +50,7 @@ def _logdet_grad(df, matrix, probes, precond_apply, precond_state, threshold,
     rv = df * probes  # [n, P] — valid since logdet is a scalar
     lv, _ = _cg_dense_impl(
         precond_apply, threshold, max_iterations, max_steps_cycle, dot_name,
-        "xla", matrix, probes.T, jnp.zeros_like(probes.T), precond_state,
+        "xla", False, matrix, probes.T, jnp.zeros_like(probes.T), precond_state,
     )  # [P, n] row solutions of A x = probe
     return (lv.T @ rv.T) / jnp.asarray(num_probes, dtype=matrix.dtype)
 
@@ -271,3 +271,31 @@ def slq_logdet(
         apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
         int(lanczos_iters), matrix, probes, state,
     )
+
+
+def lanczos_extremal_eigs(matrix: Array, key: jax.Array, num_iters: int = 64):
+    """Estimate (eig_min, eig_max) of a symmetric PSD matrix via the extremal
+    Ritz values of a ``num_iters``-step Lanczos tridiagonalisation (net-new:
+    the reference computes condition numbers with dense ``eigvalsh``,
+    paper_cli_uci.py:174-185 — O(M^3), unusable at large M; this is
+    O(num_iters * M^2) with the matvec on the MXU).
+
+    Extremal Ritz values converge to the extremal eigenvalues first, so a few
+    dozen iterations give percent-level estimates on kernel spectra; the
+    returned ``eig_min`` is an over-estimate and ``eig_max`` an under-estimate
+    (condition numbers are mildly optimistic).
+    """
+    n = matrix.shape[-1]
+    dtype = matrix.dtype
+    v0 = jax.random.normal(key, (n,), dtype)
+    alphas, betas = _lanczos_tridiag(matrix, v0, num_iters)
+    # If Lanczos terminated early (beta == 0, Krylov space exhausted), the
+    # trailing rows are zero; fill their diagonal with a Rayleigh quotient
+    # (guaranteed inside [eig_min, eig_max]) so they are never extremal.
+    bad = jnp.concatenate([jnp.zeros((1,), bool), betas <= 0.0])
+    used = jnp.cumsum(bad) == 0
+    diag = jnp.where(used, alphas, alphas[0])
+    off = jnp.where(used[1:], betas, 0.0)
+    t = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    evs = jnp.linalg.eigvalsh(t)
+    return evs[0], evs[-1]

@@ -112,3 +112,28 @@ def test_eval_logdet_from_solves_matches_eval_logdet_grad(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(expected), rtol=1e-12)
     # value stays zero (reference models.py:46 semantics)
     assert float(via_solves(a)) == 0.0
+
+
+def test_lanczos_extremal_eigs_matches_dense(rng):
+    """Extremal Ritz values vs dense eigvalsh on a kernel spectrum."""
+    import jax
+
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+    from cggp_tpu.ops.logdet import lanczos_extremal_eigs
+
+    n = 300
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.5, lengthscales=[1.0, 1.0])
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    a = add_diagonal(kernel.K(kp, x), 0.05 * jnp.ones(n))
+
+    lo, hi = lanczos_extremal_eigs(a, jax.random.PRNGKey(0), num_iters=64)
+    dense = np.linalg.eigvalsh(np.asarray(a))
+    np.testing.assert_allclose(float(hi), dense[-1], rtol=1e-6)
+    # eig_min estimate is an over-estimate but must be in the right ballpark
+    assert dense[0] <= float(lo) <= dense[0] * 1.5
+    # and the implied condition number within ~2x
+    cond_est = float(hi) / float(lo)
+    cond = dense[-1] / dense[0]
+    assert cond / 2 <= cond_est <= cond * 1.05
