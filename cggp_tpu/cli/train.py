@@ -91,13 +91,18 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     "--checkpoint-every", type=int, default=None,
     help="Write an orbax checkpoint to <logdir>/ckpt every N steps.",
 )
+@click.option(
+    "--steps-per-call", type=int, default=1,
+    help="Run K optimizer steps per dispatch (lax.scan): amortizes host "
+         "dispatch overhead. Inducing updates/monitor then fire every K steps.",
+)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, learning_rate,
                     error_threshold, record_step, num_devices, precondition,
                     precond_rank, relative_threshold, resume_from,
-                    checkpoint_every, tensorboard):
+                    checkpoint_every, steps_per_call, tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -239,6 +244,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         update_fn=update_fn,  # re-cluster during training (cli.py:153-162)
         trainable_mask=model.trainable_mask(params),
         monitor=monitor,
+        steps_per_call=steps_per_call,
     )
     save_config_dir(logdir, params, info)
     monitor.close()

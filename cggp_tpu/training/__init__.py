@@ -7,6 +7,7 @@ from cggp_tpu.training.optimize import (
     make_cg_stats_callback,
     make_metrics_callback,
     make_param_callback,
+    make_adam_multi_step,
     train_using_adam_and_update,
     train_using_lbfgs_and_update,
     train_vanilla_using_lbfgs,
@@ -20,6 +21,7 @@ __all__ = [
     "make_cg_stats_callback",
     "make_metrics_callback",
     "make_param_callback",
+    "make_adam_multi_step",
     "train_using_adam_and_update",
     "train_using_lbfgs_and_update",
     "train_vanilla_using_lbfgs",

@@ -48,3 +48,26 @@ def batched_indices(n: int, batch_size: int) -> Iterator[np.ndarray]:
     """Sequential index batches for full-dataset evaluation passes."""
     for start in range(0, n, batch_size):
         yield np.arange(start, min(start + batch_size, n))
+
+
+def minibatch_index_iterator(
+    key: jax.Array,
+    n: int,
+    batch_size: int,
+    chunk: int,
+) -> Iterator[jnp.ndarray]:
+    """Infinite stream of [chunk, batch_size] int32 index blocks drawn from
+    epoch permutations — the device-side-gather companion of
+    :func:`minibatch_iterator` for the K-steps-per-dispatch training path."""
+    batch_size = min(int(batch_size), n)
+    seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
+    rng = np.random.default_rng(seed)
+    buf = []
+    while True:
+        perm = rng.permutation(n)
+        limit = (n // batch_size) * batch_size
+        for start in range(0, limit, batch_size):
+            buf.append(perm[start : start + batch_size])
+            if len(buf) == chunk:
+                yield jnp.asarray(np.stack(buf), dtype=jnp.int32)
+                buf = []

@@ -60,6 +60,44 @@ def make_adam_step(
     return step
 
 
+def make_adam_multi_step(
+    loss_fn: LossFn,
+    optimizer: optax.GradientTransformation,
+    data: Tuple[Array, Array],
+    trainable_mask: Optional[Dict] = None,
+):
+    """Build a jitted K-step Adam driver: ``lax.scan`` over a chunk of batch
+    indices, ONE dispatch per K optimizer steps (net-new vs the reference's
+    step-per-dispatch loop, optimize.py:230-240).
+
+    Host-side per-step overhead (dispatch, PRNG splits, batch gathers) is
+    what bounds small-step training throughput — measured 18.5 ms of compute
+    inside a 72 ms wall step on a remote-tunnel chip.  The scan keeps the
+    whole chunk on device: batches are gathered from the device-resident
+    dataset by an [K, B] index array, keys are split inside the scan.
+    """
+    x, y = data
+
+    @jax.jit
+    def multi_step(params, opt_state, idx_chunk, key):
+        def body(carry, idx):
+            params, opt_state, key = carry
+            key, step_key = jax.random.split(key)
+            batch = (jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0))
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_key)
+            grads = _mask_grads(grads, trainable_mask)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, _key), losses = jax.lax.scan(
+            body, (params, opt_state, key), idx_chunk
+        )
+        return params, opt_state, losses
+
+    return multi_step
+
+
 def _tree_shapes(params: Dict):
     return jax.tree_util.tree_map(lambda x: tuple(x.shape), params)
 
@@ -79,6 +117,7 @@ def train_using_adam_and_update(
     profile_dir: Optional[str] = None,
     profile_steps: Tuple[int, int] = (2, 6),
     scalar_record_step: int = 1,
+    steps_per_call: int = 1,
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
@@ -88,15 +127,55 @@ def train_using_adam_and_update(
     re-initialised and the step recompiles — matching the reference's
     behaviour of re-tracing on re-clustered shapes.
 
+    ``steps_per_call > 1`` (net-new) runs K optimizer steps per dispatch via
+    ``lax.scan`` (see :func:`make_adam_multi_step`) — host dispatch overhead
+    is what bounds small-step throughput, especially on remote-tunnel
+    devices.  ``update_fn`` / monitor then run every K steps and
+    ``iterations`` rounds up to a multiple of K.
+
     Observability (SURVEY.md section 5 additions over the reference): per-step
     wall time goes to the monitor as ``train/step_time_ms``; with
     ``profile_dir`` set, steps ``profile_steps[0]..[1]`` are captured with
     ``jax.profiler`` for xprof/TensorBoard.
     """
     key, data_key = jax.random.split(key)
-    batches = minibatch_iterator(data_key, data, batch_size)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+
+    if steps_per_call > 1:
+        from cggp_tpu.training.batching import minibatch_index_iterator
+
+        multi_step = make_adam_multi_step(loss_fn, optimizer, data, trainable_mask)
+        idx_chunks = minibatch_index_iterator(
+            data_key, data[0].shape[0], batch_size, steps_per_call
+        )
+        num_chunks = -(-int(iterations) // int(steps_per_call))
+        record_chunks = max(int(scalar_record_step) // int(steps_per_call), 1)
+        for chunk_i in range(num_chunks):
+            if update_fn is not None and update_during_training:
+                shapes_before = _tree_shapes(params)
+                params = update_fn(params)
+                if _tree_shapes(params) != shapes_before:
+                    opt_state = optimizer.init(params)
+            idx_chunk = next(idx_chunks)
+            key, chunk_key = jax.random.split(key)
+            t0 = time.perf_counter()
+            params, opt_state, losses = multi_step(
+                params, opt_state, idx_chunk, chunk_key
+            )
+            iteration = (chunk_i + 1) * int(steps_per_call) - 1
+            if monitor is not None:
+                if chunk_i % record_chunks == 0:
+                    loss_value = float(losses[-1])
+                    dt_ms = (time.perf_counter() - t0) * 1e3 / steps_per_call
+                    monitor.add_scalar("train/step_time_ms", dt_ms, iteration)
+                    monitor.add_scalar("train/loss", loss_value, iteration)
+                monitor(iteration, params)
+        if monitor is not None:
+            monitor.flush()
+        return params
+
+    batches = minibatch_iterator(data_key, data, batch_size)
     step = make_adam_step(loss_fn, optimizer, trainable_mask)
 
     for iteration in range(int(iterations)):

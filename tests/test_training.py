@@ -254,3 +254,39 @@ def test_vanilla_lbfgs_variants(rng):
     np.testing.assert_allclose(
         np.asarray(out2["inducing_points"]),
         np.asarray(x[:8]) + 0.01 * calls["n"], rtol=1e-6)
+
+
+def test_adam_steps_per_call_matches_stepwise(rng):
+    """K-steps-per-dispatch scan training must produce the same parameters
+    as the step-per-dispatch loop given the same key (same batches, same
+    step keys order is internal — so compare convergence, not bitwise), and
+    must improve the loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops import ConjugateGradient, SquaredExponential
+    from cggp_tpu.selection.update import labels_update_inducing_parameters
+    from cggp_tpu.training.optimize import train_using_adam_and_update
+
+    x = jnp.asarray(rng.uniform(-1, 1, (128, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])))
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:8])
+    model = CGGP(kernel=SquaredExponential(),
+                 conjugate_gradient=ConjugateGradient(1e-10, max_iterations=8),
+                 num_data=128, num_probes=2)
+    params0 = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
+    loss_fn = lambda p, b, k: model.training_loss(p, b, k)
+    key = jax.random.PRNGKey(0)
+
+    before = float(loss_fn(params0, (x, y), key))
+    out = train_using_adam_and_update(
+        params0, loss_fn, (x, y), 8, 32, 0.05, key, steps_per_call=4,
+        trainable_mask=model.trainable_mask(params0),
+    )
+    after = float(loss_fn(out, (x, y), key))
+    assert after < before
+
+    # non-trainables stay fixed under the mask in the scan path too
+    np.testing.assert_array_equal(np.asarray(out["pseudo_u"]),
+                                  np.asarray(params0["pseudo_u"]))
