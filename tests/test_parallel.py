@@ -312,3 +312,24 @@ def test_sharded_pivchol_under_jit(mesh, rng):
     loss = jax.jit(lambda p, k: model.training_loss(p, (x, y), k))
     val = loss(params, jax.random.PRNGKey(0))
     assert np.isfinite(float(val))
+
+
+def test_sharded_training_with_steps_per_call(mesh, rng):
+    """The K-steps-per-dispatch scan composes with the shard_map'd model."""
+    from cggp_tpu.training.optimize import train_using_adam_and_update
+
+    x = jnp.asarray(rng.uniform(-1, 1, (96, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])))
+    kernel = Matern32()
+    model = ShardedCGGP(kernel=kernel, mesh=mesh, num_data=96, num_probes=2,
+                        error_threshold=1e-10, max_cg_iterations=32)
+    counts = jnp.ones((11, 1), x.dtype)
+    params = model.init_params(x[:11], pseudo_u=y[:11], cluster_counts=counts)
+    loss_fn = lambda p, b, k: model.training_loss(p, b, k)
+    key = jax.random.PRNGKey(0)
+    before = float(loss_fn(params, (x, y), key))
+    out = train_using_adam_and_update(params, loss_fn, (x, y), 6, 32, 0.05, key,
+                                      steps_per_call=3,
+                                      trainable_mask=model.trainable_mask(params))
+    after = float(loss_fn(out, (x, y), key))
+    assert np.isfinite(after) and after < before
