@@ -79,9 +79,15 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
 @click.option("-l", "--learning-rate", type=float, default=0.01)
 @click.option("-r", "--record-step", type=int, default=50)
 @click.option("--tip/--no-tip", type=bool, default=False)
+@click.option(
+    "--steps-per-call", type=int, default=1,
+    help="Run K optimizer steps per dispatch (lax.scan); monitor/updates "
+         "fire every K steps.",
+)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=True)
 @click.pass_context
 def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
+               steps_per_call,
                record_step, tip, tensorboard):
     """Reference paper_cli_geospatial.py:207-321."""
     common_ctx = ctx.obj["common_ctx"]
@@ -144,6 +150,7 @@ def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
         iterations=num_iterations, batch_size=batch_size,
         learning_rate=learning_rate, key=key,
         update_fn=None, trainable_mask=trainable_mask, monitor=monitor,
+        steps_per_call=steps_per_call,
     )
     click.echo("=== Training finished ===")
 

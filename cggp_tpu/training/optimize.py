@@ -377,13 +377,15 @@ def make_metrics_callback(
         elbo_batch = jax.jit(elbo_batch)
 
     def metrics_fn(step: int, params: Dict) -> Dict:
-        sq_err_total = 0.0
-        lpd_total = 0.0
+        # Accumulate ON DEVICE and fetch once: a float() per batch costs a
+        # host sync each (~30 ms on remote-tunnel devices, x N/batch batches).
+        sq_err_total = None
+        lpd_total = None
         for idx in batched_indices(n_test, batch_size):
             se, lpd = predict_batch(params, x_test[idx], y_test[idx])
-            sq_err_total += float(se)
-            lpd_total += float(lpd)
-        rmse = float(np.sqrt(sq_err_total / n_test))
+            sq_err_total = se if sq_err_total is None else sq_err_total + se
+            lpd_total = lpd if lpd_total is None else lpd_total + lpd
+        rmse = float(jnp.sqrt(sq_err_total / n_test))
         nlpd = float(-lpd_total / n_test)
 
         x_train, y_train = train_data
