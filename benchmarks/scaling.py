@@ -30,6 +30,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="benchmarks")
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--train", action="store_true",
+                        help="also measure end-to-end CDGP training steps/s "
+                             "at reference scale (N=435k)")
     args = parser.parse_args()
 
     import jax
@@ -114,6 +117,64 @@ def main() -> None:
             "value": round(t_pallas * 1e3, 3), "unit": "ms(pallas)",
             "xla_ms": round(t_xla * 1e3, 3),
             "pallas_speedup": round(t_xla / t_pallas, 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    # -- end-to-end training throughput (reference scale) -----------------------
+    if args.train:
+        import optax
+
+        from cggp_tpu.data import load_data
+        from cggp_tpu.models import CGGP
+        from cggp_tpu.ops.cg import ConjugateGradient
+        from cggp_tpu.selection.update import labels_update_inducing_parameters
+        from cggp_tpu.training.optimize import make_adam_multi_step
+
+        n_train, dim, m_ind, batch, chunk = 435_000, 3, 652, 2048, 25
+        bundle = load_data("synthetic", dtype=np.float32,
+                           synthetic_n=n_train, synthetic_dim=dim)
+        x, y = map(jnp.asarray, bundle.train)
+        # Random-subset Z + Voronoi cluster stats (covertree selection does
+        # not change per-step cost; it changes conditioning, which the
+        # preconditioner + relative stop rule absorb).
+        iv, u, counts = labels_update_inducing_parameters((x, y), x[:m_ind])
+        model = CGGP(
+            kernel=kernel,
+            conjugate_gradient=ConjugateGradient(
+                1e-6, max_iterations=m_ind, relative_threshold=True),
+            num_data=x.shape[0], num_probes=5,
+            precondition="pivchol", precond_rank=128,
+        )
+        kp_t = kernel.init_params(variance=1.0, lengthscales=np.ones(dim),
+                                  dtype=jnp.float32)
+        params = model.init_params(iv, pseudo_u=u, cluster_counts=counts,
+                                   dtype=x.dtype)
+        params["kernel"] = kp_t
+        opt = optax.adam(0.01)
+        opt_state = opt.init(params)
+        multi = make_adam_multi_step(
+            lambda p, b, k: model.training_loss(p, b, k), opt, (x, y),
+            model.trainable_mask(params),
+        )
+        idx_rng = np.random.default_rng(0)
+
+        def idx_chunk():
+            return jnp.asarray(
+                idx_rng.integers(0, x.shape[0], (chunk, batch)), jnp.int32)
+
+        p, s, losses = multi(params, opt_state, idx_chunk(), jax.random.PRNGKey(0))
+        sync(losses)
+        num_chunks = 4 if args.quick else 12
+        t0 = time.perf_counter()
+        for i in range(num_chunks):
+            p, s, losses = multi(p, s, idx_chunk(), jax.random.PRNGKey(i + 1))
+        sync(losses)
+        dt = time.perf_counter() - t0
+        rows.append({
+            "bench": "train_step", "M": m_ind, "N": n_train,
+            "value": round(num_chunks * chunk / dt, 2), "unit": "steps/s",
+            "ms_per_step": round(dt / (num_chunks * chunk) * 1e3, 2),
+            "batch": batch, "steps_per_call": chunk,
         })
         print(json.dumps(rows[-1]), flush=True)
 
