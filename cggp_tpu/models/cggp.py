@@ -146,8 +146,10 @@ class CGGP(ClusterGP):
         cg = self.conjugate_gradient
         # Batch [u | Kmn] into a single row-block CG solve (reference runs two
         # solves, models.py:339-340; one fused solve keeps the MXU fed).
+        # The serving path gets the same per-call preconditioner as training.
+        precond = self._build_preconditioner(kp, z, kmm, var, jax.random.PRNGKey(0))
         rhs = jnp.concatenate([u, kmn], axis=-1)
-        solved = cg(kmm_lambda, rhs)
+        solved = cg(kmm_lambda, rhs, preconditioner=precond)
         kmm_lambda_inv_u = solved[:, :1]
         kmm_lambda_inv_kmn = solved[:, 1:]
 
