@@ -51,6 +51,13 @@ def run_sweep(config: Dict, dry_run: bool = False, echo=print) -> List[int]:
     num_proc = int(flags.get("num_proc", 1))
     restart = bool(flags.get("restart", False))
     device_indices = flags.get("gpu_indices", flags.get("device_indices", None))
+    # TPU-native analogue of the reference's gpu_indices pinning: a platform
+    # (or per-process round-robin list) exported as JAX_PLATFORMS to each
+    # child.  A single-chip/tunnel TPU cannot host concurrent processes -
+    # pin sweeps to "cpu", or run num_proc=1 for device sweeps.
+    platforms = flags.get("platforms", None)
+    if isinstance(platforms, str):
+        platforms = [platforms]
 
     jobs = list(expand_experiments(config))
     echo(f"sweep: {len(jobs)} jobs, num_proc={num_proc}")
@@ -66,6 +73,8 @@ def run_sweep(config: Dict, dry_run: bool = False, echo=print) -> List[int]:
             env["JAX_DEFAULT_DEVICE_INDEX"] = str(
                 device_indices[i % len(device_indices)]
             )
+        if platforms:
+            env["JAX_PLATFORMS"] = str(platforms[i % len(platforms)])
         echo(f"[{i}] {job['cmd']}")
         if dry_run:
             return 0
@@ -79,10 +88,14 @@ def run_sweep(config: Dict, dry_run: bool = False, echo=print) -> List[int]:
 @click.command("sweep")
 @click.argument("config_path", type=click.Path(exists=True))
 @click.option("--dry-run/--no-dry-run", default=False)
-def main(config_path, dry_run):
+@click.option("--platform", default=None,
+              help="Override [flags] platforms: JAX_PLATFORMS for every job.")
+def main(config_path, dry_run, platform):
     """Run a TOML sweep grid (reference configs/*.toml format)."""
     with open(config_path, "rb") as fh:
         config = tomllib.load(fh)
+    if platform:
+        config.setdefault("flags", {})["platforms"] = platform
     codes = run_sweep(config, dry_run=dry_run, echo=click.echo)
     failed = sum(1 for c in codes if c != 0)
     click.echo(f"sweep finished: {len(codes) - failed} ok, {failed} failed")

@@ -322,3 +322,24 @@ def test_train_checkpoint_and_resume(runner, tmp_path):
         "--resume-from", str(run1_nockpt), "--no-tensorboard",
     ])
     assert "resumed from config dir" in result.output
+
+
+def test_sweep_platform_pinning(runner, tmp_path):
+    """[flags] platforms / --platform export JAX_PLATFORMS to sweep children
+    (the TPU-native analogue of the reference's gpu_indices pinning)."""
+    config_path = tmp_path / "sweep.toml"
+    config_path.write_text(
+        'cmd = "python -c \\"import os; print(os.environ.get(chr(74)+chr(65)+chr(88)+chr(95)+chr(80)+chr(76)+chr(65)+chr(84)+chr(70)+chr(79)+chr(82)+chr(77)+chr(83)))\\""\n'
+        "[[exp]]\n"
+        'cmd = "{cmd}"\n'
+        'uid = ""\n'
+        "dummy = [1]\n"
+        "[flags]\n"
+        'platforms = "cpu"\n'
+    )
+    from cggp_tpu.cli.sweep import run_sweep
+    import tomllib
+
+    config = tomllib.load(open(config_path, "rb"))
+    codes = run_sweep(config, dry_run=False, echo=lambda *a: None)
+    assert codes == [0]
