@@ -290,3 +290,27 @@ def test_adam_steps_per_call_matches_stepwise(rng):
     # non-trainables stay fixed under the mask in the scan path too
     np.testing.assert_array_equal(np.asarray(out["pseudo_u"]),
                                   np.asarray(params0["pseudo_u"]))
+
+
+def test_predict_in_batches_matches_single_call(rng):
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    data = _toy_data(rng, n=100)
+    model, params = _make_cggp(data, m=8)
+    x_query = _toy_data(rng, n=37)[0]  # non-multiple of batch_size -> padding
+
+    mu_b, var_b = predict_in_batches(model, params, x_query, batch_size=16)
+    mu, var = model.predict_f(params, x_query)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var), rtol=1e-3, atol=1e-5)
+    assert mu_b.shape == (37, 1) and var_b.shape == (37, 1)
+
+    # GPR path (predict needs train data)
+    from cggp_tpu.models import GPR
+
+    gpr = GPR(kernel=SquaredExponential())
+    gp = gpr.init_params(input_dim=2)
+    mu_b, var_b = predict_in_batches(gpr, gp, x_query, batch_size=16,
+                                     train_data=data)
+    mu, var = gpr.predict_f(gp, data, x_query)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), rtol=1e-4, atol=1e-6)
