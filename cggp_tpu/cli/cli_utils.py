@@ -418,9 +418,14 @@ def batch_posterior_computation(predict_fn, data, batch_size: int):
     means, variances = [], []
     for start in range(0, n, batch_size):
         mu, var = predict_fn(x[start : start + batch_size])
-        means.append(np.asarray(mu))
-        variances.append(np.asarray(var))
-    return np.concatenate(means, axis=0), np.concatenate(variances, axis=0)
+        # Keep device arrays in flight: np.asarray here would force a host
+        # sync per batch and serialize the pipeline (docs/PERF.md).
+        means.append(mu)
+        variances.append(var)
+    return (
+        np.concatenate([np.asarray(m) for m in means], axis=0),
+        np.concatenate([np.asarray(v) for v in variances], axis=0),
+    )
 
 
 def covariance_properties(model, params: Dict, jitter: float,
