@@ -37,8 +37,12 @@ def expand_experiments(config: Dict) -> Iterator[Dict]:
             values = dict(scalars)
             values.update(dict(zip(axis_names, combo)))
             # Resolve in two passes: base cmd first, then uid, then exp cmd.
+            # The base template is only rendered when this block actually
+            # references {cmd} — stage blocks with self-contained commands
+            # need not define the base template's fields.
+            uses_base = "{cmd}" in exp.get("cmd", "{cmd}")
             rendered_cmd_base = base_cmd.format(**values, uid="{uid}", cmd="{cmd}") \
-                if base_cmd else ""
+                if (base_cmd and uses_base) else ""
             uid = exp.get("uid", "").format(**values, cmd="")
             values["uid"] = uid
             values["cmd"] = rendered_cmd_base.replace("{uid}", uid)
