@@ -259,6 +259,19 @@ def pivoted_cholesky_preconditioner(matrix: Array, lam: Array, rank: int) -> "Sp
     return SpectralPreconditioner(factor, lam)
 
 
+def precond_apply_or_identity(state, vec: Array, mat) -> Tuple[Array, Array]:
+    """Identity when ``state`` is the empty pytree, else the stable low-rank
+    :class:`SpectralPreconditioner` apply.  The branch is on pytree STRUCTURE
+    (static at trace time), so unpreconditioned solves compile with zero
+    preconditioner code.  Shared by the matrix-free and sharded solvers,
+    whose solve functions take a preconditioner *state* pytree rather than a
+    preconditioner object."""
+    if state == ():
+        del mat
+        return vec, jnp.sum(jnp.square(vec), axis=-1, keepdims=True)
+    return SpectralPreconditioner.apply(state, vec, mat)
+
+
 CGPreconditioner = Union[
     EyePreconditioner, BlockPreconditioner, NystromPreconditioner, SpectralPreconditioner
 ]

@@ -29,10 +29,24 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from cggp_tpu.ops.cg import CGStats, cg_loop
+from cggp_tpu.ops.cg import CGStats, cg_loop, precond_apply_or_identity
 from cggp_tpu.ops.kernels import Kernel
 
 Array = jnp.ndarray
+
+
+def pivoted_cholesky_kernel(kernel: Kernel, kp, z: Array, rank: int) -> Array:
+    """Matrix-free pivoted-Cholesky factor of ``K(Z, Z)``: each step
+    evaluates ONE kernel row on the fly, so no [M, M] Gram matrix is ever
+    built — the preconditioner construction for the matrix-free and sharded
+    regimes."""
+    from cggp_tpu.ops.linalg import pivoted_cholesky_matfree
+
+    def row_fn(pivot):
+        z_p = lax.dynamic_slice_in_dim(z, pivot, 1, axis=0)
+        return kernel.K(kp, z_p, z)[0]
+
+    return pivoted_cholesky_matfree(row_fn, kernel.K_diag(kp, z), rank)
 
 
 def blocked_kuu_matvec(
@@ -71,12 +85,17 @@ def make_implicit_cg(
     max_steps_cycle: Optional[int] = None,
     block: int = 2048,
     use_pallas: bool = False,
+    relative_threshold: bool = False,
 ):
-    """Build ``solve(kp, z, lam, rhs [R, M]) -> (solution, CGStats)``.
+    """Build ``solve(kp, z, lam, rhs [R, M], precond_state=()) ->
+    (solution, CGStats)``.
 
     ``use_pallas=True`` runs the forward/backward solve matvecs through the
     fused Pallas kernel (TPU only); the gradient's matvec-VJP always goes
-    through the differentiable blocked XLA path.
+    through the differentiable blocked XLA path.  ``precond_state`` is a
+    :func:`cggp_tpu.ops.cg.spectral` state pytree (build one matrix-free
+    with :func:`pivoted_cholesky_kernel` + ``SpectralPreconditioner``); the
+    backward solve reuses it.
     """
     if max_steps_cycle is None:
         max_steps_cycle = max_iterations + 1
@@ -91,35 +110,33 @@ def make_implicit_cg(
             )
         return blocked_kuu_matvec(kernel, kp, z, lam, p, block=block)
 
-    def eye_apply(state, vec, mat):
-        del state, mat
-        return vec, jnp.sum(jnp.square(vec), axis=-1, keepdims=True)
-
-    def run_solve(kp, z, lam, rhs):
+    def run_solve(kp, z, lam, rhs, precond_state):
         return cg_loop(
             lambda p: matvec_for_solve(kp, z, lam, p),
-            eye_apply,
-            (),
+            precond_apply_or_identity,
+            precond_state,
             rhs,
             jnp.zeros_like(rhs),
             error_threshold=error_threshold,
             max_iterations=max_iterations,
             max_steps_cycle=max_steps_cycle,
+            relative_threshold=relative_threshold,
         )
 
     @jax.custom_vjp
-    def solve(kp, z, lam, rhs):
-        solution, stats = run_solve(kp, z, lam, rhs)
+    def _solve_cvjp(kp, z, lam, rhs, precond_state):
+        solution, stats = run_solve(kp, z, lam, rhs, precond_state)
         return solution, CGStats(*stats)
 
-    def solve_fwd(kp, z, lam, rhs):
-        solution, stats = run_solve(kp, z, lam, rhs)
-        return (solution, CGStats(*stats)), (kp, z, lam, solution)
+    def solve_fwd(kp, z, lam, rhs, precond_state):
+        solution, stats = run_solve(kp, z, lam, rhs, precond_state)
+        return (solution, CGStats(*stats)), (kp, z, lam, solution, precond_state)
 
     def solve_bwd(residuals, cotangents):
-        kp, z, lam, solution = residuals
+        kp, z, lam, solution, precond_state = residuals
         v_bar, _ = cotangents
-        w, _ = run_solve(kp, z, lam, v_bar)
+        # Backward = another (equally preconditioned) matrix-free solve.
+        w, _ = run_solve(kp, z, lam, v_bar, precond_state)
         _, matvec_vjp = jax.vjp(
             lambda kp_, z_, lam_: blocked_kuu_matvec(
                 kernel, kp_, z_, lam_, solution, block=block
@@ -128,7 +145,12 @@ def make_implicit_cg(
         )
         kp_bar, z_bar, lam_bar = matvec_vjp(w)
         neg = lambda t: jax.tree_util.tree_map(jnp.negative, t)
-        return neg(kp_bar), neg(z_bar), neg(lam_bar), w
+        d_state = jax.tree_util.tree_map(jnp.zeros_like, precond_state)
+        return neg(kp_bar), neg(z_bar), neg(lam_bar), w, d_state
 
-    solve.defvjp(solve_fwd, solve_bwd)
+    _solve_cvjp.defvjp(solve_fwd, solve_bwd)
+
+    def solve(kp, z, lam, rhs, precond_state=()):
+        return _solve_cvjp(kp, z, lam, rhs, precond_state)
+
     return solve

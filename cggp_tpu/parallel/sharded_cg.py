@@ -97,31 +97,11 @@ def _eye_apply(state, vec, mat):
     return vec, jnp.sum(jnp.square(vec), axis=-1, keepdims=True)
 
 
-def _precond_apply(state, vec, mat):
-    """Identity when ``state`` is the empty pytree, else the stable low-rank
-    SpectralPreconditioner apply.  The branch is on pytree STRUCTURE (static
-    at trace time), so the unpreconditioned solve compiles with zero
-    preconditioner code.  The apply itself runs replicated — the [M, k]
-    factor is small next to the [M²/d] row blocks, and the loop state is
-    already replicated, so preconditioning adds no communication."""
-    if state == ():
-        return _eye_apply(state, vec, mat)
-    from cggp_tpu.ops.cg import SpectralPreconditioner
-
-    return SpectralPreconditioner.apply(state, vec, mat)
-
-
-def pivoted_cholesky_kernel(kernel: Kernel, kp, z: Array, rank: int) -> Array:
-    """Matrix-free pivoted-Cholesky factor of ``K(Z, Z)``: each step
-    evaluates ONE kernel row on the fly, so no [M, M] Gram matrix is ever
-    built — the preconditioner construction for the sharded regime."""
-    from cggp_tpu.ops.linalg import pivoted_cholesky_matfree
-
-    def row_fn(pivot):
-        z_p = lax.dynamic_slice_in_dim(z, pivot, 1, axis=0)
-        return kernel.K(kp, z_p, z)[0]
-
-    return pivoted_cholesky_matfree(row_fn, kernel.K_diag(kp, z), rank)
+# The dispatching apply runs replicated inside the shard_map'd loop: the
+# [M, k] factor is small next to the [M^2/d] row blocks and the CG state is
+# already replicated, so preconditioning adds no communication.
+from cggp_tpu.ops.cg import precond_apply_or_identity as _precond_apply
+from cggp_tpu.ops.cg_implicit import pivoted_cholesky_kernel  # re-export
 
 
 def spectral_precond_state(factor: Array, lam: Array):
