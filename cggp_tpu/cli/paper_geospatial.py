@@ -45,9 +45,16 @@ from cggp_tpu.utils import save_config_dir
 @click.option("-s", "--seed", type=int, default=0)
 @click.option("--jit/--no-jit", type=bool, default=True)
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
+@click.option(
+    "-P", "--preconditioner", type=click.Choice(["eye", "rff", "pivchol"]),
+    default="eye",
+    help="Per-step CG preconditioning for the cdgp model (see the uci/train "
+         "groups).",
+)
+@click.option("--precond-rank", type=int, default=128)
 @click.pass_context
 def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
-         jit, error_threshold):
+         jit, error_threshold, preconditioner, precond_rank):
     """Reference paper_cli_geospatial.py:57-116."""
     if precision == np.float64:
         jax.config.update("jax_enable_x64", True)
@@ -68,6 +75,11 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
             error_threshold=error_threshold,
             precision=precision_names[precision],
             dtype=precision,
+            model_kwargs=(
+                {"precondition": preconditioner, "precond_rank": precond_rank}
+                if (model_class == "cdgp" and preconditioner != "eye")
+                else {}
+            ),
         )
     )
 
