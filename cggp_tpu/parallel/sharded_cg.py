@@ -92,11 +92,6 @@ def _make_local_matvec(a_rows: Array, offset, mb: int, axis_name: str):
     return matvec
 
 
-def _eye_apply(state, vec, mat):
-    del state, mat
-    return vec, jnp.sum(jnp.square(vec), axis=-1, keepdims=True)
-
-
 # The dispatching apply runs replicated inside the shard_map'd loop: the
 # [M, k] factor is small next to the [M^2/d] row blocks and the CG state is
 # already replicated, so preconditioning adds no communication.

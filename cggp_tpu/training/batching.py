@@ -33,13 +33,17 @@ def minibatch_iterator(
     """
     x, y = data
     n = x.shape[0]
+    if drop_remainder:
+        for idx_block in minibatch_index_iterator(key, n, batch_size, 1):
+            idx = idx_block[0]
+            yield x[idx], y[idx]
+        return
     batch_size = min(int(batch_size), n)
     seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
     rng = np.random.default_rng(seed)
     while True:
         perm = rng.permutation(n)
-        limit = (n // batch_size) * batch_size if drop_remainder else n
-        for start in range(0, limit, batch_size):
+        for start in range(0, n, batch_size):
             idx = jnp.asarray(perm[start : start + batch_size])
             yield x[idx], y[idx]
 

@@ -151,7 +151,18 @@ def train_using_adam_and_update(
         )
         num_chunks = -(-int(iterations) // int(steps_per_call))
         record_chunks = max(int(scalar_record_step) // int(steps_per_call), 1)
+        profiling = False
         for chunk_i in range(num_chunks):
+            # The monitor step is the chunk's FIRST global step: multiples of
+            # K, so `step % record_step == 0` stays satisfiable whenever
+            # record_step is a multiple of K (e.g. the CLI defaults K=25,
+            # record_step=50).  Using the chunk's last step (25c-1) made the
+            # gate unsatisfiable and silently disabled metrics/checkpoints.
+            iteration = chunk_i * int(steps_per_call)
+            if profile_dir is not None and not profiling and \
+                    iteration + steps_per_call > profile_steps[0]:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
             if update_fn is not None and update_during_training:
                 shapes_before = _tree_shapes(params)
                 params = update_fn(params)
@@ -163,7 +174,6 @@ def train_using_adam_and_update(
             params, opt_state, losses = multi_step(
                 params, opt_state, idx_chunk, chunk_key
             )
-            iteration = (chunk_i + 1) * int(steps_per_call) - 1
             if monitor is not None:
                 if chunk_i % record_chunks == 0:
                     loss_value = float(losses[-1])
@@ -171,6 +181,11 @@ def train_using_adam_and_update(
                     monitor.add_scalar("train/step_time_ms", dt_ms, iteration)
                     monitor.add_scalar("train/loss", loss_value, iteration)
                 monitor(iteration, params)
+            if profiling and iteration + steps_per_call > profile_steps[1]:
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:
+            jax.profiler.stop_trace()
         if monitor is not None:
             monitor.flush()
         return params

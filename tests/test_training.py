@@ -314,3 +314,29 @@ def test_predict_in_batches_matches_single_call(rng):
                                      train_data=data)
     mu, var = gpr.predict_f(gp, data, x_query)
     np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), rtol=1e-4, atol=1e-6)
+
+
+def test_monitor_fires_in_chunked_training(rng, tmp_path):
+    """Regression (code-review finding): with steps_per_call=K the monitor
+    step must stay a multiple of K so record_step gates remain satisfiable —
+    the old last-step-of-chunk numbering (K*c - 1) silently disabled every
+    metrics/checkpoint callback under the CLI defaults (K=25, r=50)."""
+    data = _toy_data(rng)
+    model, params = _make_cggp(data)
+    seen = []
+
+    monitor = create_monitor(str(tmp_path), use_tensorboard=False)
+    monitor.add_callback("spy", lambda step, p: seen.append(step), record_step=4)
+    train_using_adam_and_update(
+        params,
+        lambda p, b, k: model.training_loss(p, b, k),
+        data,
+        iterations=8,
+        batch_size=64,
+        learning_rate=0.05,
+        key=jax.random.PRNGKey(2),
+        trainable_mask=model.trainable_mask(params),
+        monitor=monitor,
+        steps_per_call=2,
+    )
+    assert seen == [0, 4], seen  # chunks start at steps 0,2,4,6 -> gate at 0,4
