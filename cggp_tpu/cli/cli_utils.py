@@ -80,15 +80,32 @@ class LogdirPath(click.Path):
 
 
 class DatasetType(click.ParamType):
+    """Dataset name, with optional inline size parameters for the hermetic
+    synthetic family: ``synthetic:n=435000:dim=3`` (net-new — lets the CLI
+    drive reference-scale runs without dataset files)."""
+
     name = "dataset"
     datasets = DATASET_NAMES
 
     def convert(self, value, param, ctx):
-        if value not in self.datasets:
-            self.fail(f"{value} dataset is not supported", param, ctx)
+        name, *conf = value.split(":")
+        kwargs = {}
+        if conf:
+            if not name.startswith("synthetic"):
+                self.fail(f"inline parameters are only supported for "
+                          f"synthetic datasets, got {value!r}", param, ctx)
+            try:
+                for kv in conf:
+                    k, v = kv.split("=")
+                    kwargs[{"n": "synthetic_n", "dim": "synthetic_dim"}[k]] = int(v)
+            except (ValueError, KeyError):
+                self.fail(f"bad synthetic parameters in {value!r}; use "
+                          f"synthetic:n=NNN:dim=D", param, ctx)
+        if name not in self.datasets:
+            self.fail(f"{name} dataset is not supported", param, ctx)
 
         def load_data_fn(seed: int):
-            return load_data(value, seed=seed)
+            return load_data(name, seed=seed, **kwargs)
 
         return load_data_fn
 

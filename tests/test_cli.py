@@ -343,3 +343,17 @@ def test_sweep_platform_pinning(runner, tmp_path):
     config = tomllib.load(open(config_path, "rb"))
     codes = run_sweep(config, dry_run=False, echo=lambda *a: None)
     assert codes == [0]
+
+
+def test_dataset_type_synthetic_inline_params():
+    """synthetic:n=NNN:dim=D inline sizing (net-new; reference-scale CLI runs
+    without dataset files)."""
+    from cggp_tpu.cli.cli_utils import DatasetType
+
+    fn = DatasetType().convert("synthetic:n=500:dim=3", None, None)
+    bundle = fn(0)
+    assert bundle.train[0].shape[1] == 3
+    assert bundle.train[0].shape[0] + bundle.test[0].shape[0] == 500
+
+    fn = DatasetType().convert("synthetic1d", None, None)  # plain names still work
+    assert fn(0).train[0].shape[1] == 1
