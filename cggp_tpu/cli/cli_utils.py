@@ -170,6 +170,7 @@ def create_model(
     dot: str = "standard",
     max_cg_iterations: Optional[int] = None,
     jitter: float = 1e-6,
+    relative_threshold: bool = False,
     **model_kwargs,
 ):
     """Build ``(model_spec, params)`` with a random-subset Z and likelihood
@@ -194,7 +195,8 @@ def create_model(
         model = CGGP(
             kernel=kernel,
             conjugate_gradient=ConjugateGradient(
-                error_threshold, max_iterations=max_cg_iterations, dot=dot
+                error_threshold, max_iterations=max_cg_iterations, dot=dot,
+                relative_threshold=relative_threshold,
             ),
             num_data=n,
             **model_kwargs,
@@ -389,6 +391,7 @@ def create_model_and_update_fn(
     seed: int = 0,
     dot: str = "standard",
     jitter: float = 1e-6,
+    relative_threshold: bool = False,
     model_kwargs: Optional[Dict] = None,
     clustering_kwargs: Optional[Dict] = None,
 ):
@@ -399,7 +402,8 @@ def create_model_and_update_fn(
         # CG-solver knobs only apply to the CG-powered model.
         model_kwargs = {
             k: v for k, v in model_kwargs.items()
-            if k not in ("num_probes", "logdet_variant")
+            if k not in ("num_probes", "logdet_variant", "precondition",
+                         "precond_rank")
         }
     model, params = create_model(
         model_name,
@@ -410,6 +414,7 @@ def create_model_and_update_fn(
         seed=seed,
         dot=dot if model_name == "cdgp" else "standard",
         jitter=jitter,
+        relative_threshold=relative_threshold,
         **model_kwargs,
     )
     update_fn = create_update_fn(

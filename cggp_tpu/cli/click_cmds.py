@@ -33,6 +33,7 @@ def _build_ip_ctx(ctx: click.Context, clustering_type: str, clustering_kwargs: D
         seed=common_ctx.get("seed", 0),
         dot=common_ctx.get("dot", "standard"),
         jitter=common_ctx.get("jitter", 1e-6),
+        relative_threshold=common_ctx.get("relative_threshold", False),
         model_kwargs=common_ctx.get("model_kwargs"),
         clustering_kwargs=clustering_kwargs,
     )

@@ -52,9 +52,14 @@ from cggp_tpu.utils import save_config_dir
          "groups).",
 )
 @click.option("--precond-rank", type=int, default=128)
+@click.option(
+    "--relative-threshold/--absolute-threshold", default=False,
+    help="Scale each CG row's stopping target by its own RHS norm "
+         "(net-new; recommended with -P pivchol — see docs/PERF.md).",
+)
 @click.pass_context
 def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
-         jit, error_threshold, preconditioner, precond_rank):
+         jit, error_threshold, preconditioner, precond_rank, relative_threshold):
     """Reference paper_cli_geospatial.py:57-116."""
     if precision == np.float64:
         jax.config.update("jax_enable_x64", True)
@@ -75,6 +80,7 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
             error_threshold=error_threshold,
             precision=precision_names[precision],
             dtype=precision,
+            relative_threshold=relative_threshold,
             model_kwargs=(
                 {"precondition": preconditioner, "precond_rank": precond_rank}
                 if (model_class == "cdgp" and preconditioner != "eye")

@@ -60,6 +60,11 @@ from cggp_tpu.utils.store import store_as_json
     "--dot", type=click.Choice(["standard", "compensated"]), default="standard",
     help="CG inner products; 'compensated' = Kahan summation for fp32 runs.",
 )
+@click.option(
+    "--relative-threshold/--absolute-threshold", default=False,
+    help="Scale each CG row's stopping target by its own RHS norm "
+         "(net-new; recommended with -P pivchol — see docs/PERF.md).",
+)
 @click.option("--jit/--no-jit", type=bool, default=True)
 @click.pass_context
 def main(
@@ -74,6 +79,7 @@ def main(
     precond_rank: int,
     logdet_variant: str,
     dot: str,
+    relative_threshold: bool,
     jit: bool,
 ):
     """Core command shared by all UCI evaluation runs
@@ -119,6 +125,7 @@ def main(
             precision=precision_names[precision],
             dtype=precision,
             dot=dot,
+            relative_threshold=relative_threshold,
             preconditioner=preconditioner,
             num_rff_bases=num_rff_bases,
             precond_rank=precond_rank,
