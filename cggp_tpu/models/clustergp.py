@@ -52,11 +52,21 @@ class ClusterGP:
             "cluster_counts": counts,
         }
 
-    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False) -> Dict:
-        """Only kernel + likelihood train (reference models.py:219-220)."""
+    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False,
+                       trainable_pseudo_u: bool = False) -> Dict:
+        """Only kernel + likelihood train by default (reference
+        models.py:219-220).
+
+        ``trainable_pseudo_u=True`` (net-new) frees the pseudo-observations —
+        a CG-powered variational mean in the cluster parameterization.
+        Measured at reference scale (N=435k, M=652, 400 steps): RMSE
+        0.176 -> 0.137, NLPD -0.32 -> -0.57 vs fixed cluster means, at
+        identical step cost; freeing Z or counts on top adds nothing (and
+        counts must stay positive, so they remain fixed).  See docs/PERF.md.
+        """
         mask = jax.tree_util.tree_map(lambda _: True, params)
         mask["inducing_points"] = trainable_inducing_points
-        mask["pseudo_u"] = False
+        mask["pseudo_u"] = trainable_pseudo_u
         mask["cluster_counts"] = False
         return mask
 

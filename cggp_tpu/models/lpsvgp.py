@@ -62,7 +62,11 @@ class LpSVGP:
             "raw_diag_variance": self._var_bijector.inverse(var),
         }
 
-    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False) -> Dict:
+    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False,
+                       trainable_pseudo_u: bool = False) -> Dict:
+        # nu IS the free variational mean here; trainable_pseudo_u is
+        # accepted for a uniform driver interface and has nothing to free.
+        del trainable_pseudo_u
         mask = jax.tree_util.tree_map(lambda _: True, params)
         mask["inducing_points"] = trainable_inducing_points
         return mask

@@ -198,8 +198,10 @@ class ShardedCGGP(ClusterGP):
         params["inducing_mask"] = mask_t.T
         return params
 
-    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False) -> Dict:
-        mask = super().trainable_mask(params, trainable_inducing_points)
+    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False,
+                       trainable_pseudo_u: bool = False) -> Dict:
+        mask = super().trainable_mask(params, trainable_inducing_points,
+                                      trainable_pseudo_u=trainable_pseudo_u)
         mask["inducing_mask"] = False
         return mask
 

@@ -251,3 +251,16 @@ def test_cggp_preconditioned_elbo_matches(rng, mode):
     g_pre = jax.grad(lambda p: precond.training_loss(p, (x, y), key))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g_pre), jax.tree_util.tree_leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
+
+
+def test_trainable_pseudo_u_mask():
+    """Net-new free-variational mode: trainable_pseudo_u frees the cluster
+    means only (counts stay fixed — they must remain positive)."""
+    model = ClusterGP(kernel=SquaredExponential(), num_data=10)
+    params = model.init_params(jnp.zeros((4, 2)))
+    m0 = model.trainable_mask(params)
+    assert m0["pseudo_u"] is False and m0["cluster_counts"] is False
+    m1 = model.trainable_mask(params, trainable_pseudo_u=True)
+    assert m1["pseudo_u"] is True
+    assert m1["cluster_counts"] is False
+    assert m1["inducing_points"] is False
