@@ -357,3 +357,16 @@ def test_dataset_type_synthetic_inline_params():
 
     fn = DatasetType().convert("synthetic1d", None, None)  # plain names still work
     assert fn(0).train[0].shape[1] == 1
+
+
+def test_train_cggp_adam_trainable_u(runner, tmp_path):
+    """--trainable-u (free-variational pseudo-observations) trains end-to-end."""
+    logdir = tmp_path / "tu"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir), "-s", "0",
+        "train-cggp-adam", "-n", "3", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean", "--trainable-u",
+        "--no-tensorboard",
+    ])
+    assert (logdir / "params.npz").exists()
+    assert "Script finished" in result.output
