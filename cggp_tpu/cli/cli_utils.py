@@ -101,11 +101,18 @@ class DatasetType(click.ParamType):
             except (ValueError, KeyError):
                 self.fail(f"bad synthetic parameters in {value!r}; use "
                           f"synthetic:n=NNN:dim=D", param, ctx)
+            if name == "synthetic1d" and "synthetic_dim" in kwargs:
+                self.fail("synthetic1d is fixed to dim=1; use synthetic:dim=D",
+                          param, ctx)
         if name not in self.datasets:
             self.fail(f"{name} dataset is not supported", param, ctx)
 
         def load_data_fn(seed: int):
-            return load_data(name, seed=seed, **kwargs)
+            bundle = load_data(name, seed=seed, **kwargs)
+            # Keep the FULL spec as the dataset name so saved configs
+            # (info.json dataset_name) round-trip to the same-sized dataset
+            # when re-loaded through this type (e.g. uci --config-dir).
+            return bundle._replace(name=value) if conf else bundle
 
         return load_data_fn
 

@@ -148,6 +148,10 @@ def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
         "distance_type": ip_ctx["distance_type"],
         "model_class": common_ctx["model_class"],
         "trainable_inducing_points": tip,
+        "trainable_u": trainable_u,
+        "preconditioner": common_ctx.get("model_kwargs", {}).get("precondition", "eye"),
+        "relative_threshold": common_ctx.get("relative_threshold", False),
+        "steps_per_call": steps_per_call,
     }
     click.echo(f"-> {json.dumps(info, indent=2, default=str)}")
 

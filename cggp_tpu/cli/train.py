@@ -135,6 +135,12 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         "input_dimension": int(train_data[0].shape[-1]),
         "clustering_type": clustering_type,
         "distance_type": distance_type,
+        "precondition": precondition,
+        "precond_rank": precond_rank,
+        "relative_threshold": relative_threshold,
+        "trainable_u": trainable_u,
+        "steps_per_call": steps_per_call,
+        "num_devices": num_devices,
     }
     click.echo(f"-> {json.dumps(info, indent=2)}")
 
@@ -170,24 +176,10 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             "cdgp", obj["kernel_fn"], train_data,
             num_inducing_points=num_inducing_points,
             error_threshold=error_threshold, seed=obj["seed"],
+            relative_threshold=relative_threshold,
+            precondition=None if precondition == "none" else precondition,
+            precond_rank=precond_rank,
         )
-        if precondition != "none" or relative_threshold:
-            import dataclasses as _dc
-
-            cg = model.conjugate_gradient
-            if relative_threshold:
-                from cggp_tpu.ops.cg import ConjugateGradient as _CG
-
-                cg = _CG(cg.error_threshold, preconditioner=cg.preconditioner,
-                         max_iterations=cg.max_iterations,
-                         max_steps_cycle=cg.max_steps_cycle, dot=cg.dot,
-                         matvec_impl=cg.matvec_impl, relative_threshold=True)
-            model = _dc.replace(
-                model,
-                precondition=None if precondition == "none" else precondition,
-                precond_rank=precond_rank,
-                conjugate_gradient=cg,
-            )
     if resume_from is not None:
         from pathlib import Path as _Path
 
@@ -239,6 +231,12 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             record_step=record_step,
         )
 
+    if trainable_u:
+        # Per-step re-clustering would overwrite the trained variational
+        # mean every dispatch (assign_clusters resets pseudo_u): cluster
+        # ONCE up front, then train pseudo_u freely.
+        params = update_fn(params)
+        update_fn = None
     params = train_using_adam_and_update(
         params,
         lambda p, b, k: model.training_loss(p, b, k),

@@ -370,3 +370,20 @@ def test_train_cggp_adam_trainable_u(runner, tmp_path):
     ])
     assert (logdir / "params.npz").exists()
     assert "Script finished" in result.output
+
+
+def test_dataset_type_round_trips_inline_sizing():
+    """Saved configs must record the FULL synthetic spec so --config-dir
+    reloads rebuild the same-sized dataset (code-review finding)."""
+    from cggp_tpu.cli.cli_utils import DatasetType
+
+    bundle = DatasetType().convert("synthetic:n=600:dim=3", None, None)(0)
+    assert bundle.name == "synthetic:n=600:dim=3"
+    again = DatasetType().convert(bundle.name, None, None)(0)
+    np.testing.assert_array_equal(again.train[0], bundle.train[0])
+
+    # synthetic1d is fixed to dim=1: explicit dim must be rejected
+    import click
+
+    with pytest.raises(click.exceptions.UsageError):
+        DatasetType().convert("synthetic1d:dim=3", None, None)
