@@ -480,10 +480,19 @@ def covariance_properties(model, params: Dict, jitter: float,
         lo, hi = lanczos_extremal_eigs(kuu, jax.random.PRNGKey(0),
                                        num_iters=min(96, m))
         eig_min, eig_max = float(lo), float(hi)
+        estimator = "lanczos"
     else:
         eigvals = np.asarray(jnp.linalg.eigvalsh(kuu))
         eig_min, eig_max = float(eigvals.min()), float(eigvals.max())
+        estimator = "eigvalsh"
     return dict(
         condition_number=eig_max / eig_min, eig_min=eig_min, eig_max=eig_max,
         condition_method=method,
+        # Which estimator actually produced the numbers, so sweep CSVs mixing
+        # sizes stay unambiguous (the reference computes dense-only,
+        # paper_cli_uci.py:174-185).  Lanczos Ritz values converge from the
+        # interior: eig_min is an OVER-estimate (condition_number optimistic)
+        # — do not compare lanczos rows against eigvalsh rows directly.
+        estimator=estimator,
+        eig_min_is_upper_bound=(estimator == "lanczos"),
     )

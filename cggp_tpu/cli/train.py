@@ -234,8 +234,11 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
     if trainable_u:
         # Per-step re-clustering would overwrite the trained variational
         # mean every dispatch (assign_clusters resets pseudo_u): cluster
-        # ONCE up front, then train pseudo_u freely.
-        params = update_fn(params)
+        # ONCE up front, then train pseudo_u freely.  When resuming, the
+        # checkpoint already carries the trained pseudo_u/Z/counts — an
+        # upfront re-cluster would silently discard them, so skip it.
+        if resume_from is None:
+            params = update_fn(params)
         update_fn = None
     params = train_using_adam_and_update(
         params,

@@ -77,23 +77,55 @@ def _split(x: np.ndarray, y: np.ndarray, prop: float, seed: int) -> Tuple[Datase
     return (x[tr], y[tr]), (x[te], y[te])
 
 
-def snelson1d(target_dir: Optional[str] = None) -> Tuple[Dataset, Dataset]:
-    """Snelson's 200-point 1-D set from the local cache (reference data.py:26-60).
+SNELSON_URL = "http://www.gatsby.ucl.ac.uk/~snelson/SPGP_dist.zip"
+
+
+def snelson1d(
+    target_dir: Optional[str] = None, allow_download: Optional[bool] = None
+) -> Tuple[Dataset, Dataset]:
+    """Snelson's 200-point 1-D set (reference data.py:26-60).
+
+    Served from the local cache; on a miss, downloads and caches SPGP_dist.zip
+    (the reference's auto-acquisition semantics) when ``allow_download`` is
+    true — explicitly, or via ``CGGP_ALLOW_DOWNLOAD=1`` for network-enabled
+    environments.  Hermetic environments keep the offline-safe error.
 
     Train and test are the same arrays, as in the reference.
     """
     target = Path(target_dir) if target_dir else data_dir() / "snelson1d"
     inputs_path = target / "snelson_train_inputs"
     outputs_path = target / "snelson_train_outputs"
+    if allow_download is None:
+        allow_download = os.environ.get("CGGP_ALLOW_DOWNLOAD", "") == "1"
     if not (inputs_path.exists() and outputs_path.exists()):
-        raise FileNotFoundError(
-            f"snelson1d data not found under {target}. Download SPGP_dist.zip "
-            "(gatsby.ucl.ac.uk/~snelson) and place train_inputs/train_outputs "
-            f"there as snelson_train_inputs / snelson_train_outputs."
-        )
+        if allow_download:
+            _download_snelson(target, inputs_path, outputs_path)
+        else:
+            raise FileNotFoundError(
+                f"snelson1d data not found under {target}. Download "
+                "SPGP_dist.zip (gatsby.ucl.ac.uk/~snelson) and place "
+                "train_inputs/train_outputs there as snelson_train_inputs / "
+                "snelson_train_outputs, or set CGGP_ALLOW_DOWNLOAD=1 / pass "
+                "allow_download=True in a network-enabled environment."
+            )
     x = np.loadtxt(inputs_path)[:, None]
     y = np.loadtxt(outputs_path)[:, None]
     return (x, y), (x, y)
+
+
+def _download_snelson(target: Path, inputs_path: Path, outputs_path: Path) -> None:
+    """Fetch + unzip + cache (reference data.py:26-60 download path)."""
+    import io
+    import zipfile
+    from urllib.request import urlopen
+
+    target.mkdir(parents=True, exist_ok=True)
+    with urlopen(SNELSON_URL, timeout=60) as response:
+        blob = response.read()
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = {Path(n).name: n for n in zf.namelist()}
+        inputs_path.write_bytes(zf.read(names["train_inputs"]))
+        outputs_path.write_bytes(zf.read(names["train_outputs"]))
 
 
 def east_africa(

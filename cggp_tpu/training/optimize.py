@@ -158,6 +158,10 @@ def train_using_adam_and_update(
             # record_step is a multiple of K (e.g. the CLI defaults K=25,
             # record_step=50).  Using the chunk's last step (25c-1) made the
             # gate unsatisfiable and silently disabled metrics/checkpoints.
+            # NOTE: the logged VALUES (losses[-1], metrics, checkpoints)
+            # therefore describe the post-chunk state, i.e. up to K-1 steps
+            # after the label — step labels mark chunk starts, values reflect
+            # chunk ends.
             iteration = chunk_i * int(steps_per_call)
             if profile_dir is not None and not profiling and \
                     iteration + steps_per_call > profile_steps[0]:
@@ -441,7 +445,17 @@ def make_cg_stats_callback(model, data: Tuple[Array, Array],
                            key: Optional[jax.Array] = None,
                            use_jit: bool = True) -> Callable:
     """Monitor callback logging the per-step CG iteration count and residual
-    (SURVEY.md section 5: solver stats as first-class observability)."""
+    (SURVEY.md section 5: solver stats as first-class observability).
+
+    Also flags UNCONVERGED solves: the reference facade silently drops stats
+    (conjugate_gradient.py:204-212), and the production fused solve has been
+    measured running into the iteration cap under the reference's absolute
+    default threshold (docs/PERF.md) — silently-wrong training.  When the
+    solver stops at its iteration cap a ``cg/unconverged`` scalar is logged
+    and a one-time host warning is emitted.
+    """
+    import warnings as _warnings
+
     x, y = data
     n_eval = min(x.shape[0], batch_size)
     batch = (x[:n_eval], y[:n_eval])
@@ -450,11 +464,36 @@ def make_cg_stats_callback(model, data: Tuple[Array, Array],
     if use_jit:
         stats_fn = jax.jit(stats_fn)
 
+    # Iteration cap of the model's solver: CGGP carries a ConjugateGradient
+    # facade; ShardedCGGP carries max_cg_iterations directly.
+    if hasattr(model, "conjugate_gradient"):
+        cap = model.conjugate_gradient.max_iterations  # may be None (=> M)
+    else:
+        cap = getattr(model, "max_cg_iterations", None)
+    warned = []
+
     def cg_stats_fn(step: int, params: Dict) -> Dict:
         stats = stats_fn(params, batch, jax.random.fold_in(base_key, step))
+        steps = int(stats.steps)
+        max_error = float(np.max(np.asarray(stats.error)))
+        limit = cap if cap is not None else params["inducing_points"].shape[0]
+        # The loop only reaches the cap when the stop rule was still unmet
+        # (while: any-over-threshold AND i < cap).
+        unconverged = steps >= int(limit)
+        if unconverged and not warned:
+            warned.append(step)
+            _warnings.warn(
+                f"CG solve hit max_iterations={limit} without converging at "
+                f"step {step} (residual 0.5*rz={max_error:.3e}). Results may "
+                "be silently inaccurate — raise max_iterations, enable "
+                "relative_threshold, or add a preconditioner (pivchol/rff).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return {
-            "cg/steps": int(stats.steps),
-            "cg/max_error": float(np.max(np.asarray(stats.error))),
+            "cg/steps": steps,
+            "cg/max_error": max_error,
+            "cg/unconverged": int(unconverged),
         }
 
     return cg_stats_fn

@@ -49,6 +49,10 @@ def test_gpr_then_uci_compute_metrics(runner, tmp_path):
     assert out["num_inducing_points"] == 16
     assert np.isfinite(out["test/rmse"])
     assert out["condition_number"] > 1.0
+    # Estimator provenance: dense eigvalsh at M=16; lanczos rows are tagged
+    # so aggregated CSVs never silently mix the two.
+    assert out["estimator"] == "eigvalsh"
+    assert out["eig_min_is_upper_bound"] is False
     assert "Script finished" in result.output
 
 
@@ -157,6 +161,26 @@ def test_sweep_dry_run(runner, tmp_path):
     )
     result = _run(runner, ["sweep", str(config_path), "--dry-run"])
     assert "4 jobs" in result.output
+
+
+def test_sweep_dry_run_checked_in_configs(runner):
+    """Every checked-in grid (all 5 reference mirrors + net-new smokes)
+    expands through the sweep runner."""
+    import tomllib
+
+    for name in ("gpr", "uci-cdgp", "uci-sgpr", "geospatial", "geospatial-csv",
+                  "smoke", "smoke-uci"):
+        path = Path("configs") / f"{name}.toml"
+        assert path.exists(), path
+        config = tomllib.load(open(path, "rb"))
+        jobs = list(expand_experiments(config))
+        assert jobs, f"{name}.toml expanded to zero jobs"
+        result = _run(runner, ["sweep", str(path), "--dry-run"])
+        assert "jobs" in result.output
+
+    # geospatial-csv mirrors the reference grid exactly: 10 seeds x 1 dataset.
+    config = tomllib.load(open(Path("configs/geospatial-csv.toml"), "rb"))
+    assert len(list(expand_experiments(config))) == 10
 
 
 def test_kernel_type_inline_params(runner, tmp_path):
@@ -370,6 +394,37 @@ def test_train_cggp_adam_trainable_u(runner, tmp_path):
     ])
     assert (logdir / "params.npz").exists()
     assert "Script finished" in result.output
+
+
+def test_train_resume_preserves_trainable_u(runner, tmp_path):
+    """--resume-from + --trainable-u must NOT re-cluster after restore: the
+    trained variational mean (pseudo_u) and inducing state survive verbatim
+    (advisor finding: the upfront update_fn ran after checkpoint restore and
+    silently reset pseudo_u/Z/cluster_counts)."""
+    run1 = tmp_path / "tu1"
+    _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(run1), "-s", "0",
+        "train-cggp-adam", "-n", "3", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean", "--trainable-u",
+        "--no-tensorboard",
+    ])
+    trained = dict(np.load(run1 / "params.npz"))
+
+    # Resume with ZERO further iterations: the saved params of run2 must be
+    # exactly the restored state — any re-cluster would change pseudo_u.
+    run2 = tmp_path / "tu2"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(run2), "-s", "7",
+        "train-cggp-adam", "-n", "0", "-b", "64", "-m", "8",
+        "-c", "kmeans", "-d", "euclidean", "--trainable-u",
+        "--resume-from", str(run1), "--no-tensorboard",
+    ])
+    assert "resumed from config dir" in result.output
+    resumed = dict(np.load(run2 / "params.npz"))
+    for name in ("pseudo_u", "inducing_points", "cluster_counts"):
+        np.testing.assert_array_equal(
+            resumed[name], trained[name], err_msg=f"{name} clobbered on resume"
+        )
 
 
 def test_dataset_type_round_trips_inline_sizing():

@@ -68,3 +68,43 @@ def test_reference_dataset_names_present():
                  "houseelectric", "3droad", "buzz", "keggdirected",
                  "keggundirected", "song", "east_africa"]:
         assert name in DATASET_NAMES
+
+
+def test_snelson_download_path(tmp_path, monkeypatch):
+    """--allow-download semantics (reference data.py:26-60): cache miss +
+    allow_download fetches SPGP_dist.zip, extracts, caches; offline-safe via
+    a file:// URL so no network is touched."""
+    import io
+    import zipfile
+
+    import cggp_tpu.data as data_mod
+
+    x = np.linspace(0.0, 6.0, 200)
+    y = np.sin(x)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("SPGP_dist/train_inputs", "\n".join(f"{v:.8f}" for v in x))
+        zf.writestr("SPGP_dist/train_outputs", "\n".join(f"{v:.8f}" for v in y))
+    zip_path = tmp_path / "SPGP_dist.zip"
+    zip_path.write_bytes(buf.getvalue())
+    monkeypatch.setattr(data_mod, "SNELSON_URL", zip_path.as_uri())
+
+    cache = tmp_path / "cache"
+    # Offline default: cache miss raises, mentioning the opt-in.
+    with pytest.raises(FileNotFoundError, match="CGGP_ALLOW_DOWNLOAD"):
+        data_mod.snelson1d(target_dir=str(cache))
+
+    (xt, yt), (xv, yv) = data_mod.snelson1d(target_dir=str(cache), allow_download=True)
+    assert xt.shape == (200, 1) and yt.shape == (200, 1)
+    np.testing.assert_allclose(xt[:, 0], x, atol=1e-6)
+    # Cached: a second load needs no download (URL removed to prove it).
+    monkeypatch.setattr(data_mod, "SNELSON_URL", "http://unreachable.invalid/x.zip")
+    (xt2, _), _ = data_mod.snelson1d(target_dir=str(cache))
+    np.testing.assert_allclose(xt2, xt)
+
+    # Env-var opt-in path resolves the default.
+    monkeypatch.setenv("CGGP_ALLOW_DOWNLOAD", "1")
+    monkeypatch.setattr(data_mod, "SNELSON_URL", zip_path.as_uri())
+    cache2 = tmp_path / "cache2"
+    (xt3, _), _ = data_mod.snelson1d(target_dir=str(cache2))
+    np.testing.assert_allclose(xt3, xt)

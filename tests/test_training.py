@@ -220,6 +220,57 @@ def test_cg_stats_callback(rng):
     assert out["cg/steps"] > 0
     assert np.isfinite(out["cg/max_error"])
 
+    # With an achievable (fp32) threshold the solve converges under the cap
+    # and the unconverged flag stays clear.
+    model_ok = CGGP(
+        kernel=SquaredExponential(),
+        conjugate_gradient=ConjugateGradient(
+            error_threshold=1e-4, max_iterations=64
+        ),
+        num_data=data[0].shape[0],
+        num_probes=3,
+    )
+    cb_ok = make_cg_stats_callback(model_ok, data, batch_size=32)
+    out_ok = cb_ok(0, params)
+    assert out_ok["cg/unconverged"] == 0
+
+
+def test_cg_stats_callback_warns_on_unconverged(rng):
+    """A deliberately-capped solve (2 iterations, tight threshold) must raise
+    a one-time RuntimeWarning and log cg/unconverged=1 — the reference facade
+    silently drops stats (conjugate_gradient.py:204-212)."""
+    import warnings
+
+    from cggp_tpu.training.optimize import make_cg_stats_callback
+
+    data = _toy_data(rng, n=64)
+    x, y = data
+    model = CGGP(
+        kernel=SquaredExponential(),
+        conjugate_gradient=ConjugateGradient(
+            error_threshold=1e-14, max_iterations=2
+        ),
+        num_data=x.shape[0],
+        num_probes=3,
+    )
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:16])
+    params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
+
+    cb = make_cg_stats_callback(model, data, batch_size=32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = cb(0, params)
+        assert out["cg/unconverged"] == 1
+        assert any(
+            issubclass(w.category, RuntimeWarning)
+            and "max_iterations" in str(w.message)
+            for w in caught
+        )
+        # One-time: a second call does not warn again.
+        n_warn = len(caught)
+        cb(1, params)
+        assert len(caught) == n_warn
+
 
 def test_vanilla_lbfgs_variants(rng):
     """Reference optimize.py:101-150 twins: plain L-BFGS and the
