@@ -35,18 +35,32 @@ from cggp_tpu.ops.kernels import Kernel
 Array = jnp.ndarray
 
 
-def pivoted_cholesky_kernel(kernel: Kernel, kp, z: Array, rank: int) -> Array:
+def pivoted_cholesky_kernel(kernel: Kernel, kp, z: Array, rank: int,
+                            mask: Optional[Array] = None) -> Array:
     """Matrix-free pivoted-Cholesky factor of ``K(Z, Z)``: each step
     evaluates ONE kernel row on the fly, so no [M, M] Gram matrix is ever
     built — the preconditioner construction for the matrix-free and sharded
-    regimes."""
+    regimes.
+
+    ``mask`` (1 real / 0 pad) zeroes pad entries of the greedy-pivot diagonal
+    and of each evaluated row: pads otherwise keep the full constant
+    ``K_diag = variance`` and get picked early, wasting up to
+    ``num_devices - 1`` of the ``rank`` columns on no-op directions.
+    """
     from cggp_tpu.ops.linalg import pivoted_cholesky_matfree
+
+    if mask is not None:
+        mask = mask.reshape(-1)
 
     def row_fn(pivot):
         z_p = lax.dynamic_slice_in_dim(z, pivot, 1, axis=0)
-        return kernel.K(kp, z_p, z)[0]
+        row = kernel.K(kp, z_p, z)[0]
+        return row if mask is None else row * mask
 
-    return pivoted_cholesky_matfree(row_fn, kernel.K_diag(kp, z), rank)
+    diag = kernel.K_diag(kp, z)
+    if mask is not None:
+        diag = diag * mask
+    return pivoted_cholesky_matfree(row_fn, diag, rank)
 
 
 def blocked_kuu_matvec(

@@ -40,15 +40,18 @@ Array = jnp.ndarray
 
 
 def _make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str):
-    """Replicated-in/replicated-out ``p @ (K(Z,Z) + diag(lam))`` matvec."""
+    """Replicated-in/replicated-out ``p @ (K(Z,Z) + diag(lam))`` matvec.
+
+    ``mask`` (1 real / 0 pad) zeroes pad couplings exactly — see
+    :func:`~cggp_tpu.parallel.sharded_cg._local_rows`."""
     from cggp_tpu.parallel.sharded_cg import _local_rows, _make_local_matvec
 
-    def body(kp, z, lam, p):
-        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
+    def body(kp, z, lam, mask, p):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
         return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
 
     return jax.shard_map(
-        body, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P()
+        body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()), out_specs=P()
     )
 
 
@@ -59,22 +62,23 @@ def make_sharded_logdet_from_solves(matvec):
     extra CG loops (single-device twin: ops.logdet.eval_logdet_from_solves)."""
 
     @jax.custom_vjp
-    def logdet(kp, z, lam, probes, solved):
-        del kp, z, lam, solved
+    def logdet(kp, z, lam, mask, probes, solved):
+        del kp, z, lam, mask, solved
         return jnp.zeros((), dtype=probes.dtype)
 
-    def fwd(kp, z, lam, probes, solved):
-        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, probes, solved)
+    def fwd(kp, z, lam, mask, probes, solved):
+        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, mask, probes, solved)
 
     def bwd(residuals, df):
-        kp, z, lam, probes, solved = residuals
+        kp, z, lam, mask, probes, solved = residuals
         num_probes = probes.shape[0]
         w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
         _, matvec_vjp = jax.vjp(
-            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, probes), kp, z, lam
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
         )
         kp_bar, z_bar, lam_bar = matvec_vjp(w)
-        return kp_bar, z_bar, lam_bar, jnp.zeros_like(probes), jnp.zeros_like(solved)
+        return (kp_bar, z_bar, lam_bar, jnp.zeros_like(mask),
+                jnp.zeros_like(probes), jnp.zeros_like(solved))
 
     logdet.defvjp(fwd, bwd)
     return logdet
@@ -86,24 +90,24 @@ def make_sharded_eval_logdet(matvec, solve):
     computed with sharded solves and a VJP of the sharded matvec."""
 
     @jax.custom_vjp
-    def logdet(kp, z, lam, probes):
-        del kp, z, lam
+    def logdet(kp, z, lam, mask, probes):
+        del kp, z, lam, mask
         return jnp.zeros((), dtype=probes.dtype)
 
-    def fwd(kp, z, lam, probes):
-        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, probes)
+    def fwd(kp, z, lam, mask, probes):
+        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, mask, probes)
 
     def bwd(residuals, df):
-        kp, z, lam, probes = residuals
+        kp, z, lam, mask, probes = residuals
         num_probes = probes.shape[0]
-        solved, _ = solve(kp, z, lam, probes)  # [P, M] rows of A^{-1} p
+        solved, _ = solve(kp, z, lam, probes, (), mask)  # [P, M] rows of A^{-1} p
         w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
         # d logdet / d theta = tr(A^{-1} dA/dtheta) ~= (1/P) sum_p solved_p^T dA probe_p
         _, matvec_vjp = jax.vjp(
-            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, probes), kp, z, lam
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
         )
         kp_bar, z_bar, lam_bar = matvec_vjp(w)
-        return kp_bar, z_bar, lam_bar, jnp.zeros_like(probes)
+        return kp_bar, z_bar, lam_bar, jnp.zeros_like(mask), jnp.zeros_like(probes)
 
     logdet.defvjp(fwd, bwd)
     return logdet
@@ -160,14 +164,19 @@ class ShardedCGGP(ClusterGP):
     def num_devices(self) -> int:
         return self.mesh.devices.size
 
-    def _precond_state(self, kp, z, lam):
+    def _precond_state(self, kp, z, lam, mask=None):
         """Solver-state pytree for the fused solve; () = identity."""
         if self.precondition is None:
             return ()
         if self.precondition != "pivchol":
             raise ValueError(f"unknown precondition mode: {self.precondition!r}")
         sg = jax.lax.stop_gradient
-        factor = pivoted_cholesky_kernel(self.kernel, sg(kp), sg(z), self.precond_rank)
+        # Pads keep the full constant K_diag; left unmasked, greedy pivoting
+        # would burn up to num_devices-1 precond columns on no-op directions.
+        factor = pivoted_cholesky_kernel(
+            self.kernel, sg(kp), sg(z), self.precond_rank,
+            mask=None if mask is None else sg(mask),
+        )
         return spectral_precond_state(factor, sg(lam))
 
     def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
@@ -240,19 +249,22 @@ class ShardedCGGP(ClusterGP):
         # Same key split as the fused elbo path, so both draw identical probes.
         key_probes, _key_logdet = jax.random.split(key)
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
+        mask = mask_row[0]
         probes = rademacher(key_probes, (self.num_probes, m), dtype) * mask_row  # rows
         rhs = jnp.concatenate([u.T, probes], axis=0)  # [(1+P), M]
-        solved, _stats = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
+        solved, _stats = self._solve(
+            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
+        )
         nu = solved[:1]  # [1, M] row
         solved_probes = solved[1:]
 
-        kmm_nu = self._matvec(kp, z, zeros_lam, nu)
+        kmm_nu = self._matvec(kp, z, zeros_lam, mask, nu)
         quad = jnp.sum(kmm_nu * nu)
-        kmm_probes = self._matvec(kp, z, zeros_lam, probes)
+        kmm_probes = self._matvec(kp, z, zeros_lam, mask, probes)
         trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(
             self.num_probes, dtype=dtype
         )
-        logdet = self._logdet(kp, z, lam, probes)
+        logdet = self._logdet(kp, z, lam, mask, probes)
         const = jnp.sum(mask_row[0] * jnp.log(var[:, 0]))
         return 0.5 * (quad - trace + logdet - const)
 
@@ -267,9 +279,12 @@ class ShardedCGGP(ClusterGP):
         var = self.diag_variance(params)
         lam = var[:, 0]
 
-        kmn = self.kernel.K(kp, x_new, z)  # [T, M] rows (replicated)
+        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
+        kmn = self.kernel.K(kp, x_new, z) * mask[None, :]  # [T, M] rows (replicated)
         rhs = jnp.concatenate([u.T, kmn], axis=0)  # [(1+T), M]
-        solved, _ = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
+        solved, _ = self._solve(
+            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
+        )
         inv_u = solved[:1]  # [1, M]
         inv_kmn = solved[1:]  # [T, M]
 
@@ -299,24 +314,27 @@ class ShardedCGGP(ClusterGP):
 
         key_probes, key_logdet = jax.random.split(key)
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
+        mask = mask_row[0]
         probes = rademacher(key_probes, (p, m), dtype) * mask_row
         logdet_probes = rademacher(key_logdet, (p, m), dtype) * mask_row
-        kmn = self.kernel.K(kp, x, z)  # [B, M] rows
+        kmn = self.kernel.K(kp, x, z) * mask_row  # [B, M] rows
 
         rhs = jnp.concatenate([u.T, probes, logdet_probes, kmn], axis=0)
-        solved, _stats = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
+        solved, _stats = self._solve(
+            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
+        )
         nu = solved[:1]
         solved_probes = solved[1 : 1 + p]
         solved_logdet = solved[1 + p : 1 + 2 * p]
         inv_kmn = solved[1 + 2 * p :]
 
         # -- KL --
-        kmm_nu = self._matvec(kp, z, zeros_lam, nu)
+        kmm_nu = self._matvec(kp, z, zeros_lam, mask, nu)
         quad = jnp.sum(kmm_nu * nu)
-        kmm_probes = self._matvec(kp, z, zeros_lam, probes)
+        kmm_probes = self._matvec(kp, z, zeros_lam, mask, probes)
         trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(p, dtype)
         logdet = self._logdet_from_solves(
-            kp, z, lam, logdet_probes, jax.lax.stop_gradient(solved_logdet)
+            kp, z, lam, mask, logdet_probes, jax.lax.stop_gradient(solved_logdet)
         )
         const = jnp.sum(mask_row[0] * jnp.log(lam))
         kl = 0.5 * (quad - trace + logdet - const)
@@ -344,8 +362,11 @@ class ShardedCGGP(ClusterGP):
         lam = self.diag_variance(params)[:, 0]
         m = z.shape[0]
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
+        mask = mask_row[0]
         probes = rademacher(key, (2 * self.num_probes, m), z.dtype) * mask_row
-        kmn = self.kernel.K(kp, x, z)
+        kmn = self.kernel.K(kp, x, z) * mask_row
         rhs = jnp.concatenate([u.T, probes, kmn], axis=0)
-        _, stats = self._solve(kp, z, lam, rhs, self._precond_state(kp, z, lam))
+        _, stats = self._solve(
+            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
+        )
         return stats

@@ -66,8 +66,16 @@ def pad_inducing(
     return (z_pad, lam_pad, *padded_rhs)
 
 
-def _local_rows(kernel: Kernel, kp, z: Array, lam: Array, axis_name: str):
-    """This device's row block of ``K(Z, Z) + diag(Λ)``: [M/d, M]."""
+def _local_rows(kernel: Kernel, kp, z: Array, lam: Array, axis_name: str,
+                mask: Optional[Array] = None):
+    """This device's row block of ``K(Z, Z) + diag(Λ)``: [M/d, M].
+
+    ``mask`` (1 = real inducing point, 0 = pad) zeroes the kernel coupling of
+    pad rows/columns BEFORE the diagonal add, making the padded system exactly
+    block-diagonal regardless of lengthscale or data scale — the
+    underflow-at-1e6 trick alone re-couples pads once ``max|z| / lengthscale``
+    shrinks below ~15 (e.g. learned lengthscales ~1e5).
+    """
     d = lax.axis_size(axis_name)
     i = lax.axis_index(axis_name)
     m = z.shape[0]
@@ -76,6 +84,10 @@ def _local_rows(kernel: Kernel, kp, z: Array, lam: Array, axis_name: str):
     z_block = lax.dynamic_slice_in_dim(z, offset, mb, axis=0)
     lam_block = lax.dynamic_slice_in_dim(lam.reshape(-1), offset, mb, axis=0)
     a_rows = kernel.K(kp, z_block, z)  # [mb, M] — built on the fly
+    if mask is not None:
+        mask = mask.reshape(-1)
+        mask_block = lax.dynamic_slice_in_dim(mask, offset, mb, axis=0)
+        a_rows = a_rows * (mask_block[:, None] * mask[None, :])
     rows = jnp.arange(mb)
     a_rows = a_rows.at[rows, rows + offset].add(lam_block)
     return a_rows, offset, mb
@@ -124,10 +136,10 @@ def make_sharded_cg(
     """
     if max_steps_cycle is None:
         max_steps_cycle = max_iterations + 1
-    specs_in = (P(), P(), P(), P())
+    specs_in = (P(), P(), P(), P(), P())
 
-    def _solve_body(kp, z, lam, rhs, precond_state):
-        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
+    def _solve_body(kp, z, lam, mask, rhs, precond_state):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
         matvec = _make_local_matvec(a_rows, offset, mb, axis_name)
         return cg_loop(
             matvec,
@@ -146,8 +158,8 @@ def make_sharded_cg(
         out_specs=(P(), CGStats(P(), P())),
     )
 
-    def _matvec_body(kp, z, lam, p):
-        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name)
+    def _matvec_body(kp, z, lam, mask, p):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
         return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
 
     sharded_matvec = jax.shard_map(
@@ -155,32 +167,40 @@ def make_sharded_cg(
     )
 
     @jax.custom_vjp
-    def _solve_cvjp(kp, z, lam, rhs, precond_state):
-        solution, stats = sharded_solve(kp, z, lam, rhs, precond_state)
+    def _solve_cvjp(kp, z, lam, mask, rhs, precond_state):
+        solution, stats = sharded_solve(kp, z, lam, mask, rhs, precond_state)
         return solution, CGStats(*stats)
 
-    def solve_fwd(kp, z, lam, rhs, precond_state):
-        solution, stats = sharded_solve(kp, z, lam, rhs, precond_state)
-        return (solution, CGStats(*stats)), (kp, z, lam, solution, precond_state)
+    def solve_fwd(kp, z, lam, mask, rhs, precond_state):
+        solution, stats = sharded_solve(kp, z, lam, mask, rhs, precond_state)
+        return (solution, CGStats(*stats)), (kp, z, lam, mask, solution, precond_state)
 
     def solve_bwd(residuals, cotangents):
-        kp, z, lam, solution, precond_state = residuals
+        kp, z, lam, mask, solution, precond_state = residuals
         v_bar, _stats_bar = cotangents
         # Backward = another (equally preconditioned) CG solve.
-        w, _ = sharded_solve(kp, z, lam, v_bar, precond_state)
+        w, _ = sharded_solve(kp, z, lam, mask, v_bar, precond_state)
         # theta_bar = -vjp of (theta -> solution @ A(theta)) at cotangent w.
         _, matvec_vjp = jax.vjp(
-            lambda kp_, z_, lam_: sharded_matvec(kp_, z_, lam_, solution), kp, z, lam
+            lambda kp_, z_, lam_: sharded_matvec(kp_, z_, lam_, mask, solution),
+            kp, z, lam,
         )
         kp_bar, z_bar, lam_bar = matvec_vjp(w)
         neg = lambda t: jax.tree_util.tree_map(jnp.negative, t)
         d_state = jax.tree_util.tree_map(jnp.zeros_like, precond_state)
-        return neg(kp_bar), neg(z_bar), neg(lam_bar), w, d_state
+        return (neg(kp_bar), neg(z_bar), neg(lam_bar),
+                jnp.zeros_like(mask), w, d_state)
 
     _solve_cvjp.defvjp(solve_fwd, solve_bwd)
 
-    def solve(kp, z, lam, rhs, precond_state=()):
-        return _solve_cvjp(kp, z, lam, rhs, precond_state)
+    def solve(kp, z, lam, rhs, precond_state=(), mask=None):
+        if mask is None:
+            # No pads declared: every point is real (the 1e6-offset underflow
+            # then carries exactness only for unit-ish lengthscales — callers
+            # with pads should thread the inducing mask).
+            mask = jnp.ones(z.shape[0], dtype=z.dtype)
+        return _solve_cvjp(kp, z, lam, jax.lax.stop_gradient(mask.reshape(-1)),
+                           rhs, precond_state)
 
     return solve
 
@@ -209,11 +229,15 @@ class ShardedKuuSolver:
         )
 
     def solve_with_stats(self, kp, z: Array, lam: Array, rhs: Array,
-                         precond_state=()):
-        """``rhs`` is [M, m] column-major like the dense facade."""
-        solution, stats = self._solve(kp, z, lam.reshape(-1), rhs.T, precond_state)
+                         precond_state=(), mask: Optional[Array] = None):
+        """``rhs`` is [M, m] column-major like the dense facade.  ``mask``
+        marks real (1) vs pad (0) inducing points — thread it whenever ``z``
+        was padded so pads stay exactly decoupled at any lengthscale."""
+        solution, stats = self._solve(
+            kp, z, lam.reshape(-1), rhs.T, precond_state, mask=mask
+        )
         return solution.T, stats
 
     def __call__(self, kp, z: Array, lam: Array, rhs: Array,
-                 precond_state=()) -> Array:
-        return self.solve_with_stats(kp, z, lam, rhs, precond_state)[0]
+                 precond_state=(), mask: Optional[Array] = None) -> Array:
+        return self.solve_with_stats(kp, z, lam, rhs, precond_state, mask=mask)[0]

@@ -288,12 +288,21 @@ class CoverTree:
 
     @property
     def cluster_mean_and_counts(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-cluster y means [M, P] and counts [M, 1].
+
+        For the [N, 1] targets used everywhere this matches the reference's
+        scalar ``np.mean(node.data[1])`` (covertree.py:169-176); multi-output
+        [N, P] targets get proper per-column means instead of the silent
+        cross-column averaging the reference would produce.
+        """
         m = self.centroids.shape[0]
         counts = np.bincount(self._labels, minlength=m).astype(self._y.dtype)
-        sums = np.zeros(m, dtype=self._y.dtype)
-        np.add.at(sums, self._labels, self._y.mean(axis=-1))
-        means = np.divide(sums, counts, out=np.zeros_like(sums), where=counts > 0)
-        return means[:, None], counts[:, None]
+        sums = np.zeros((m, self._y.shape[-1]), dtype=self._y.dtype)
+        np.add.at(sums, self._labels, self._y)
+        means = np.divide(
+            sums, counts[:, None], out=np.zeros_like(sums), where=counts[:, None] > 0
+        )
+        return means, counts[:, None]
 
     def minimum_separation(self, level: int = -1) -> float:
         """Smallest pairwise distance between centers at ``level``."""

@@ -124,3 +124,22 @@ def test_reference_backend_no_lloyds_no_voronoi(rng):
     _means, counts = tree.cluster_mean_and_counts
     assert counts.sum() == 200
     assert tree.minimum_separation(-1) > 0
+
+
+def test_cluster_means_multi_output_y():
+    """[N, P] targets: per-column cluster means (round-1 weak finding: the
+    old axis=-1 mean silently averaged across output columns)."""
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-2, 2, (120, 2))
+    y = rng.standard_normal((120, 3))
+    from cggp_tpu.selection.covertree import CoverTree
+
+    tree = CoverTree(None, (x, y), spatial_resolution=1.0, backend="numpy")
+    means, counts = tree.cluster_mean_and_counts
+    assert means.shape == (tree.centroids.shape[0], 3)
+    labels = tree.labels
+    for i in range(tree.centroids.shape[0]):
+        sel = labels == i
+        if sel.any():
+            np.testing.assert_allclose(means[i], y[sel].mean(axis=0), atol=1e-12)
+            assert counts[i, 0] == sel.sum()

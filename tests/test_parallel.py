@@ -85,6 +85,36 @@ def test_pad_inducing_is_exact_noop(mesh, rng):
     np.testing.assert_allclose(np.asarray(solution[:, 13:]), 0.0, atol=1e-12)
 
 
+def test_pad_inducing_exact_with_huge_lengthscale(mesh, rng):
+    """A lengthscale on the pad-offset scale (1e6) breaks the underflow
+    trick outright (K(pad, real) ~ exp(-2) ~ 0.14); the threaded
+    inducing mask keeps padded solutions EXACTLY 0 and real entries equal to
+    the unpadded dense solve at any scale."""
+    kernel = SquaredExponential()
+    d, m = 2, 13
+    kp = kernel.init_params(variance=1.3, lengthscales=np.full(d, 1.0e6))
+    z = jnp.asarray(rng.uniform(-1, 1, (m, d)))
+    lam = jnp.asarray(rng.uniform(0.5, 1.0, (m,)))
+    rhs = jnp.asarray(rng.standard_normal((3, m)))
+    z_p, lam_p, rhs_p = pad_inducing(z, lam, 8, rhs)
+    mask = jnp.concatenate([jnp.ones(m), jnp.zeros(z_p.shape[0] - m)])
+
+    solve = make_sharded_cg(kernel, mesh, 1e-14, 64)
+    solution, _ = solve(kp, z_p, lam_p, rhs_p, mask=mask)
+
+    a = add_diagonal(kernel.K(kp, z), lam)
+    expected = jnp.linalg.solve(a, rhs.T).T
+    np.testing.assert_allclose(
+        np.asarray(solution[:, :m]), np.asarray(expected), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_array_equal(np.asarray(solution[:, m:]), 0.0)
+
+    # Sanity: WITHOUT the mask the pads visibly re-couple at this scale,
+    # proving the mask is load-bearing rather than vacuous.
+    unmasked, _ = solve(kp, z_p, lam_p, rhs_p)
+    assert np.abs(np.asarray(unmasked[:, m:])).max() > 1e-6
+
+
 def _cluster_setup(rng, mesh, m=13, n=96, d=2):
     x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
     y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])) + 0.1 * rng.standard_normal((n, 1)))
@@ -143,7 +173,8 @@ def test_sharded_logdet_gradient_matches_true_logdet_grad(mesh, rng):
     def logdet_via_sharded(kp_):
         m = z.shape[0]
         probes = jax.random.rademacher(jax.random.PRNGKey(1), (192, m), dtype=z.dtype)
-        return sharded._logdet(kp_, z, lam, probes)
+        mask = jnp.ones((m,), dtype=z.dtype)
+        return sharded._logdet(kp_, z, lam, mask, probes)
 
     def logdet_true(kp_):
         a = add_diagonal(kernel.K(kp_, z), lam)
