@@ -99,7 +99,7 @@ def main() -> None:
     iters_per_sec = steps / best
 
     target = TARGET_FRACTION * HBM_GBPS.get(platform, 819.0)
-    print(json.dumps({
+    result = {
         "metric": "cg_matvec_throughput",
         "value": round(gbps, 2),
         "unit": "GB/s",
@@ -110,8 +110,165 @@ def main() -> None:
         "num_rhs": NUM_RHS,
         "cg_steps": steps,
         "wall_s": round(best, 4),
-    }))
+    }
+    result.update(run_e2e_subprocess())
+    print(json.dumps(result))
+
+
+def run_e2e_subprocess(timeout_s: int = 480) -> dict:
+    """Run ``end_to_end_metrics`` in a child process with a hard deadline.
+
+    The e2e program's first compile through the remote-device tunnel can take
+    minutes; if the harness kills this script mid-compile the primary metric
+    would be lost too.  A child process bounds that risk: on timeout or crash
+    the parent still prints the one-line JSON with an ``e2e_error`` note.
+    The child shares the persistent compile cache, so a warm rerun finishes
+    in well under a minute.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--e2e"],
+            capture_output=True, text=True, timeout=timeout_s, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return {"e2e_error": f"timeout after {timeout_s}s "
+                             "(cold compile through the tunnel; rerun warm)"}
+    if proc.returncode != 0:
+        return {"e2e_error": f"rc={proc.returncode}: {proc.stderr[-300:]}"}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return {"e2e_error": "no JSON line from e2e child"}
+
+
+def end_to_end_metrics(jax, platform: str) -> dict:
+    """Harness-reproducible end-to-end throughput (VERDICT round 1 item 6):
+    the docs/PERF.md production workload — N=435k synthetic 3-D, covertree
+    res 0.35 (M~650), fp32, batch 2048, pivchol-128 + relative threshold,
+    steps_per_call=25 — measured as steady-state training steps/s plus the
+    serving path (full posterior mean+var, 8192-point batches) in points/s.
+    Reported inside the same JSON line so BENCH_r{N}.json regresses the
+    59.3 steps/s / 305k points/s claims automatically.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from cggp_tpu.data import synthetic
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.selection.update import covertree_update_inducing_parameters
+    from cggp_tpu.training.batching import minibatch_index_iterator
+    from cggp_tpu.training.optimize import make_adam_multi_step
+
+    N, DIM, BATCH, K = 435_000, 3, 2048, 25
+    train, _test = synthetic(n=N, dim=DIM, seed=0)
+    x = jnp.asarray(train[0], jnp.float32)
+    y = jnp.asarray(train[1], jnp.float32)
+    # synthetic() returns the 0.67 train split — batch indices MUST range over
+    # the split, not N: out-of-range jnp.take fills gathered batches with NaN
+    # under jit (mode="fill"), which silently poisons training.
+    n_train = int(x.shape[0])
+
+    iv, u, counts = covertree_update_inducing_parameters(
+        (x, y), spatial_resolution=0.35
+    )
+    m = int(iv.shape[0])
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(
+            1e-6, max_iterations=m, relative_threshold=True
+        ),
+        num_data=n_train,
+        num_probes=5,
+        precondition="pivchol",
+        precond_rank=128,
+    )
+    params = model.init_params(iv, pseudo_u=u, cluster_counts=counts,
+                               dtype=jnp.float32)
+
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    multi_step = make_adam_multi_step(
+        lambda p, b, k: model.training_loss(p, b, k), optimizer, (x, y),
+        trainable_mask=model.trainable_mask(params),
+    )
+    chunks = minibatch_index_iterator(jax.random.PRNGKey(1), n_train, BATCH, K)
+    key = jax.random.PRNGKey(2)
+
+    # Warmup chunk = compile; then time 3 steady-state chunks (75 steps).
+    params, opt_state, losses = multi_step(params, opt_state, next(chunks), key)
+    float(losses[-1])
+    n_chunks = 3
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        key = jax.random.fold_in(key, i)
+        params, opt_state, losses = multi_step(params, opt_state, next(chunks), key)
+    final_loss = float(losses[-1])  # host fetch = sync
+    train_wall = time.perf_counter() - t0
+    steps_per_sec = n_chunks * K / train_wall
+    if not np.isfinite(final_loss):
+        raise RuntimeError(f"non-finite training loss: {final_loss}")
+
+    # Serving: full posterior mean+variance per point, 8192-point batches.
+    SERVE_BATCH, SERVE_POINTS = 8192, 131_072
+
+    @jax.jit
+    def predict_batch(params, xb):
+        mu, var = model.predict_f(params, xb, full_cov=False)
+        return jnp.sum(mu) + jnp.sum(var)
+
+    xs = x[:SERVE_BATCH]
+    float(predict_batch(params, xs))  # compile
+    t0 = time.perf_counter()
+    acc = 0.0
+    for start in range(0, SERVE_POINTS, SERVE_BATCH):
+        acc = predict_batch(params, x[start : start + SERVE_BATCH])
+    float(acc)
+    serve_wall = time.perf_counter() - t0
+    points_per_sec = SERVE_POINTS / serve_wall
+
+    return {
+        "train_steps_per_sec": round(steps_per_sec, 2),
+        "serving_points_per_sec": round(points_per_sec, 1),
+        "e2e_config": {
+            "n": N, "dim": DIM, "m": m, "batch": BATCH,
+            "steps_per_call": K, "precondition": "pivchol-128",
+            "relative_threshold": True, "dtype": "float32",
+        },
+        "e2e_final_loss": round(final_loss, 2),
+        "e2e_train_wall_s": round(train_wall, 3),
+        "e2e_serve_wall_s": round(serve_wall, 3),
+    }
+
+
+def _e2e_child() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+    platform = jax.devices()[0].platform
+    if platform == "axon":
+        platform = "tpu"
+    print(json.dumps(end_to_end_metrics(jax, platform)))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e" in sys.argv:
+        _e2e_child()
+    else:
+        main()

@@ -22,6 +22,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# XLA-compiling ~100 shard_map/scan programs on a single host core (the
+# multi-device tests especially).  Caching compiled executables under
+# .jax_cache/ (gitignored) makes warm reruns start executing immediately —
+# measured 11 min -> well under the 200 s budget for tests/test_parallel.py.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
