@@ -16,7 +16,7 @@ MXU matmul instead of two separate solver launches.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -166,6 +166,60 @@ class CGGP(ClusterGP):
         fmu = kmn.T @ kmm_lambda_inv_u
         return fmu, fvar
 
+    # -- cached serving (net-new; the reference's predict_mu_var recomputes
+    # the u-solve and preconditioner for every batch, models.py:333-345) ----
+
+    def posterior(self, params: Dict, key: Optional[jax.Array] = None
+                  ) -> "CGGPPosterior":
+        """Precompute everything that depends only on ``params`` for
+        repeated predictions: ``nu = (Kmm + Lambda)^{-1} u``, the [M, M]
+        system matrix, and the preconditioner state.  After this, the
+        posterior MEAN is a single ``Kmn^T nu`` matmul (no CG at all), and
+        mean+variance runs one CG on the ``Kmn`` block only — the GPflow
+        ``posterior()`` analogue for the serving path."""
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        var = self.diag_variance(params)
+        kmm = self.kernel.K(kp, z)
+        kmm_lambda = add_diagonal(kmm, var[:, 0])
+        precond = self._build_preconditioner(
+            kp, z, kmm, var, key if key is not None else jax.random.PRNGKey(0)
+        )
+        nu = self.conjugate_gradient(kmm_lambda, u, preconditioner=precond)
+        return CGGPPosterior(
+            kernel_params=kp,
+            inducing_points=z,
+            kmm_lambda=kmm_lambda,
+            nu=nu,
+            precond_state=() if precond is None else precond.state,
+        )
+
+    def posterior_mean(self, post: "CGGPPosterior", x_new: Array) -> Array:
+        """CG-free serving mean: ``K(x, Z) @ nu``, one skinny matmul."""
+        kmn = self.kernel.K(post.kernel_params, post.inducing_points, x_new)
+        return kmn.T @ post.nu
+
+    def posterior_predict(self, post: "CGGPPosterior", x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        """Mean + variance from the cache: one CG solve on the [M, T] Kmn
+        block (the per-batch u column and preconditioner build are gone)."""
+        kp = post.kernel_params
+        z = post.inducing_points
+        kmn = self.kernel.K(kp, z, x_new)  # [M, T]
+        precond = _precond_from_state(post.precond_state)
+        inv_kmn = self.conjugate_gradient(
+            post.kmm_lambda, kmn, preconditioner=precond
+        )
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            fvar = (knn - kmn.T @ inv_kmn)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            fvar = (knn - jnp.sum(kmn * inv_kmn, axis=0))[:, None]
+        fmu = kmn.T @ post.nu
+        return fmu, fvar
+
     def elbo(self, params: Dict, data: Tuple[Array, Array],
              key: Optional[jax.Array] = None) -> Array:
         """ELBO with ALL CG right-hand sides fused into one row-block solve.
@@ -296,3 +350,31 @@ class CGGP(ClusterGP):
             kmm_lambda, rhs, preconditioner=precond
         )
         return stats
+
+
+class CGGPPosterior(NamedTuple):
+    """Serving cache produced by :meth:`CGGP.posterior` — a pytree, so it
+    passes straight through ``jax.jit`` as an argument."""
+
+    kernel_params: Dict
+    inducing_points: Array
+    kmm_lambda: Array  # [M, M] = Kmm + diag(Lambda)
+    nu: Array  # [M, 1] = (Kmm + Lambda)^{-1} pseudo_u
+    precond_state: Tuple  # () = identity, else SpectralPreconditioner state
+
+
+class _StatePreconditioner:
+    """Rewraps a cached SpectralPreconditioner state for the CG facade."""
+
+    def __init__(self, state):
+        self.state = state
+
+    from cggp_tpu.ops.cg import SpectralPreconditioner as _SP
+    apply = staticmethod(_SP.apply)
+
+    def __call__(self, vec, mat):
+        return self.apply(self.state, vec, mat)
+
+
+def _precond_from_state(state):
+    return None if state == () else _StatePreconditioner(state)

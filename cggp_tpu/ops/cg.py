@@ -364,6 +364,171 @@ def cg_loop(
     return final_state.v, stats
 
 
+def ir_cg_loop(
+    matvec_hi: Callable[[Array], Array],
+    matvec_lo: Callable[[Array], Array],
+    precond_apply: Callable,
+    precond_state,
+    b: Array,
+    v0: Array,
+    *,
+    error_threshold: float,
+    max_iterations: int,
+    inner_rtol: float = 1e-4,
+    max_outer: int = 8,
+    dot: Callable[[Array, Array], Array] = _standard_dot,
+    mat_for_precond: Optional[Array] = None,
+    relative_threshold: bool = False,
+) -> Tuple[Array, CGStats]:
+    """Mixed-precision CG via iterative refinement (net-new, TPU-specific).
+
+    The CG matvec at large M is HBM-bandwidth-bound: every iteration streams
+    the full [M, M] matrix.  ``matvec_lo`` streams a bf16 copy — HALF the
+    bytes per iteration — but bf16's ~3 decimal digits floor the reachable
+    residual around 1e-3 relative, so plain low-precision CG cannot hit tight
+    thresholds.  Classic iterative refinement fixes that: an outer fp32 loop
+    computes the EXACT residual with ``matvec_hi`` (one full-precision matvec
+    per cycle), then an inner CG solves the correction system with the cheap
+    matvec to a loose RELATIVE tolerance (``inner_rtol`` on ``0.5||r||^2``,
+    i.e. ~1/100 residual-norm reduction per cycle at 1e-4).  Each cycle's
+    correction is exact-to-inner-tolerance for the TRUE matrix up to the bf16
+    perturbation, so the composed iterate converges to the fp32-level
+    solution while ~all matrix traffic rides the half-width copy.
+
+    Amortized bytes/iteration ~ (2*N_inner + 4) / (N_inner) vs 4 for fp32 —
+    a ~1.9x bandwidth win once inner solves run tens of iterations.  The
+    stopping metric, row convention, and stats match :func:`cg_loop`;
+    ``steps`` counts TOTAL inner iterations (the streamed-bytes unit).
+    """
+    dtype = v0.dtype
+    threshold = jnp.asarray(error_threshold, dtype=dtype)
+    if relative_threshold:
+        threshold = threshold * 0.5 * jnp.sum(
+            jnp.square(b), axis=-1, keepdims=True
+        )
+
+    def unconverged(r):
+        norm_r_sq = jnp.sum(jnp.square(r), axis=-1, keepdims=True)
+        return jnp.any(0.5 * norm_r_sq > threshold)
+
+    def outer_cond(state):
+        outer_i, total_inner, _v, r = state
+        return jnp.logical_and(
+            jnp.logical_and(unconverged(r), outer_i < max_outer),
+            total_inner < max_iterations,
+        )
+
+    def outer_body(state):
+        outer_i, total_inner, v, r = state
+        # Correction solve d A ~= r with the cheap matvec, to a relative
+        # tolerance — absolute targets would be unreachable in bf16.
+        d, inner_stats = cg_loop(
+            matvec_lo,
+            precond_apply,
+            precond_state,
+            r,
+            jnp.zeros_like(r),
+            error_threshold=inner_rtol,
+            max_iterations=max_iterations,
+            max_steps_cycle=max_iterations + 1,
+            dot=dot,
+            mat_for_precond=mat_for_precond,
+            relative_threshold=True,
+        )
+        v = v + d
+        r = b - matvec_hi(v)  # exact fp32 residual: refinement's anchor
+        return (outer_i + 1, total_inner + inner_stats.steps, v, r)
+
+    r0 = b - matvec_hi(v0)
+    state = (
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        v0,
+        r0,
+    )
+    _outer, total_inner, v, r = jax.lax.while_loop(outer_cond, outer_body, state)
+    error = 0.5 * jnp.sum(jnp.square(r), axis=-1, keepdims=True)
+    return v, CGStats(steps=total_inner, error=error)
+
+
+def mixed_cg_loop(
+    matvec_hi: Callable[[Array], Array],
+    matvec_lo: Callable[[Array], Array],
+    precond_apply: Callable,
+    precond_state,
+    b: Array,
+    v0: Array,
+    *,
+    error_threshold: float,
+    max_iterations: int,
+    refresh_every: int = 32,
+    dot: Callable[[Array, Array], Array] = _standard_dot,
+    mat_for_precond: Optional[Array] = None,
+    relative_threshold: bool = False,
+) -> Tuple[Array, CGStats]:
+    """CG with bf16 matvecs and periodic exact-residual replacement
+    ("reliable updates" — net-new, TPU-specific).
+
+    Unlike :func:`ir_cg_loop` (restarted inner solves, which discard the
+    Krylov space each cycle and measurably inflate iteration counts ~2.4x),
+    this runs ONE continuous CG recurrence whose matvec is the cheap
+    half-width ``matvec_lo``; every ``refresh_every`` iterations the
+    recursively-updated residual — which drifts at bf16 precision — is
+    replaced by the exact fp32 residual ``b - v A`` and the search direction
+    keeps its momentum through the standard ``beta = rz_new / rz_old``
+    update.  The refresh lives OUTSIDE the inner ``fori_loop`` (a
+    ``lax.cond`` inside the hot loop would pay the fp32 matvec every
+    iteration — the round-1 restart-branch lesson), so the hot loop streams
+    only bf16 bytes.
+
+    Convergence is checked at refresh points against the exact residual, so
+    reported errors are trustworthy.  Amortized traffic:
+    ``(refresh_every * 2 + 4) / (refresh_every * 4)`` of fp32 CG — ~0.53x
+    bytes at the default 32.
+    """
+    dtype = v0.dtype
+    min_float = jnp.asarray(1e-16, dtype=dtype)
+    zero = jnp.asarray(0.0, dtype=dtype)
+    threshold = jnp.asarray(error_threshold, dtype=dtype)
+    if relative_threshold:
+        threshold = threshold * 0.5 * jnp.sum(
+            jnp.square(b), axis=-1, keepdims=True
+        )
+
+    def cg_step(_, state: CGState) -> CGState:
+        pA = matvec_lo(state.p)
+        denom = dot(state.p, pA)
+        gamma = jnp.where(denom <= min_float, zero, state.rz / denom)
+        v = state.v + gamma * state.p
+        r = state.r - gamma * pA
+        z, new_rz = precond_apply(precond_state, r, mat_for_precond)
+        z_update = jnp.where(state.rz <= min_float, zero, state.p * new_rz / state.rz)
+        p = z + z_update
+        return CGState(state.i + 1, v, r, p, new_rz)
+
+    def outer_cond(state: CGState) -> Array:
+        norm_r_sq = jnp.sum(jnp.square(state.r), axis=-1, keepdims=True)
+        over = jnp.any(0.5 * norm_r_sq > threshold)
+        return jnp.logical_and(over, state.i < max_iterations)
+
+    def outer_body(state: CGState) -> CGState:
+        state = jax.lax.fori_loop(0, refresh_every, cg_step, state)
+        # Reliable update: replace the drifted recursive residual with the
+        # exact fp32 one; carry the direction's momentum through beta.
+        r = b - matvec_hi(state.v)
+        z, new_rz = precond_apply(precond_state, r, mat_for_precond)
+        z_update = jnp.where(state.rz <= min_float, zero, state.p * new_rz / state.rz)
+        p = z + z_update
+        return CGState(state.i, state.v, r, p, new_rz)
+
+    r0 = b - matvec_hi(v0)
+    z0, rz0 = precond_apply(precond_state, r0, mat_for_precond)
+    state = CGState(jnp.asarray(0, jnp.int32), v0, r0, z0, rz0)
+    final = jax.lax.while_loop(outer_cond, outer_body, state)
+    error = 0.5 * jnp.sum(jnp.square(final.r), axis=-1, keepdims=True)
+    return final.v, CGStats(steps=final.i, error=error)
+
+
 # ---------------------------------------------------------------------------
 # Dense-matrix CG with custom VJP
 # ---------------------------------------------------------------------------
@@ -407,6 +572,41 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
             error = 0.5 * jnp.sum(jnp.square(residual), axis=-1, keepdims=True)
             return solution, CGStats(steps=steps, error=error)
         matvec_impl = "xla"
+
+    if matvec_impl in ("bf16_ir", "bf16_ru"):
+        # Mixed-precision solves: the hot loop streams a bf16 copy of A
+        # (half the HBM bytes per iteration) while exact fp32 residuals keep
+        # the reachable threshold at fp32 level.  "bf16_ru" (reliable
+        # updates, see mixed_cg_loop) preserves Krylov momentum and is the
+        # preferred variant; "bf16_ir" (restarted iterative refinement,
+        # ir_cg_loop) is the simpler fallback.
+        matrix_bf16 = matrix.astype(jnp.bfloat16)
+
+        def matvec_lo(p):
+            out = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), matrix_bf16,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.astype(matrix.dtype)
+
+        def matvec_hi(p):
+            return jnp.matmul(p, matrix, precision=jax.lax.Precision.HIGHEST)
+
+        loop = mixed_cg_loop if matvec_impl == "bf16_ru" else ir_cg_loop
+        return loop(
+            matvec_hi,
+            matvec_lo,
+            precond_apply,
+            precond_state,
+            rhs,
+            v0,
+            error_threshold=error_threshold,
+            max_iterations=max_iterations,
+            dot=dot,
+            mat_for_precond=matrix,
+            relative_threshold=relative,
+        )
 
     if matvec_impl == "pallas":
         # HBM-streaming Pallas panel matvec (see ops/pallas_matvec.py).  On

@@ -378,3 +378,102 @@ def test_relative_threshold_scale_invariance(rng):
     sol, _ = rel.solve_with_stats(a, rhs)
     np.testing.assert_allclose(np.asarray(sol), np.asarray(jnp.linalg.solve(a, rhs)),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_mixed_precision_solvers_reach_fp32_thresholds(rng):
+    """bf16_ir / bf16_ru (net-new, no reference twin): the hot loop streams a
+    bf16 matrix copy, yet exact-fp32 residual anchoring reaches thresholds
+    plain bf16 CG cannot (docs/PERF.md measured its floor at ~1e-2 relative).
+
+    Mixed-precision refinement converges when kappa(A) * eps_bf16 is
+    comfortably below 1 (the classic IR envelope), so the test system is a
+    well-conditioned Gram + diagonal — the covertree-conditioned regime the
+    production models produce.  Ill-conditioned/tight-absolute solves should
+    stay on the fp32 path (documented in ir_cg_loop/mixed_cg_loop)."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import conjugate_gradient
+
+    n, m = 256, 4
+    q = rng.standard_normal((n, n)).astype(np.float32)
+    a = jnp.asarray(q @ q.T / n + 0.5 * np.eye(n, dtype=np.float32))
+    rhs = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    dense = jnp.linalg.solve(a, rhs.T).T
+
+    for impl in ("bf16_ir", "bf16_ru"):
+        sol, stats = conjugate_gradient(
+            a, rhs, jnp.zeros_like(rhs), 1e-10,
+            max_iterations=600, max_steps_cycle=601, matvec_impl=impl,
+        )
+        np.testing.assert_allclose(np.asarray(sol), np.asarray(dense),
+                                   rtol=1e-4, atol=1e-4, err_msg=impl)
+        # Converged to the requested fp32-level threshold: ~8 orders below
+        # what a plain bf16 matvec loop can reach.
+        assert float(stats.error.max()) <= 1e-10, (impl, stats)
+
+
+def test_mixed_precision_gradients_match_fp32_cg(rng):
+    """The custom VJP's backward solve also runs mixed-precision; gradients
+    must agree with the fp32 CG path (same VJP, fp32 matvec) on a system
+    inside the refinement envelope."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import conjugate_gradient
+
+    n, m = 192, 3
+    q = rng.standard_normal((n, n)).astype(np.float32)
+    base = jnp.asarray(q @ q.T / n)
+    lam = jnp.asarray(rng.uniform(0.4, 0.8, n), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    def loss(lam_, impl):
+        a = base + jnp.diag(lam_)
+        sol, _ = conjugate_gradient(
+            a, rhs, jnp.zeros_like(rhs), 1e-12,
+            max_iterations=400, max_steps_cycle=401, matvec_impl=impl,
+        )
+        return jnp.sum(jnp.square(sol))
+
+    g_fp = jax.grad(lambda l: loss(l, "xla"))(lam)
+    for impl in ("bf16_ir", "bf16_ru"):
+        g_mx = jax.grad(lambda l: loss(l, impl))(lam)
+        np.testing.assert_allclose(np.asarray(g_mx), np.asarray(g_fp),
+                                   rtol=1e-3, atol=1e-3, err_msg=impl)
+
+
+def test_mixed_precision_with_preconditioner(rng):
+    """SpectralPreconditioner composes with the mixed loops — and by
+    shrinking the effective condition number it also widens the bf16
+    refinement envelope (the production pivchol + bf16_ru configuration)."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import (
+        conjugate_gradient, pivoted_cholesky_preconditioner,
+    )
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 160
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=[0.5, 0.5],
+                            dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    k_mat = kernel.K(kp, x)
+    lam = jnp.asarray(rng.uniform(0.2, 0.4, n), jnp.float32)
+    a = add_diagonal(k_mat, lam)
+    rhs = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+    dense = jnp.linalg.solve(a, rhs.T).T
+    precond = pivoted_cholesky_preconditioner(k_mat, lam, rank=48)
+
+    sol, stats = conjugate_gradient(
+        a, rhs, jnp.zeros_like(rhs), 1e-8, preconditioner=precond,
+        max_iterations=600, max_steps_cycle=601, matvec_impl="bf16_ru",
+        relative_threshold=True,
+    )
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(dense),
+                               rtol=1e-3, atol=1e-3)
+    # stats.error for the mixed loops is the TRUE fp32 residual (not the
+    # preconditioned rz), checked against the per-row relative target.
+    target = 1e-8 * 0.5 * float(jnp.sum(jnp.square(rhs), axis=-1).max())
+    assert float(stats.error.max()) <= target

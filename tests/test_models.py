@@ -264,3 +264,39 @@ def test_trainable_pseudo_u_mask():
     assert m1["pseudo_u"] is True
     assert m1["cluster_counts"] is False
     assert m1["inducing_points"] is False
+
+
+def test_cggp_posterior_cache_matches_predict_f(rng):
+    """posterior()/posterior_predict/posterior_mean (net-new serving cache;
+    the reference recomputes the u-solve + preconditioner per batch,
+    models.py:333-345) must reproduce predict_f exactly and jit as a pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+
+    n, m = 160, 20
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])), jnp.float32)
+    for precondition in (None, "pivchol"):
+        model = CGGP(
+            kernel=Matern32(),
+            conjugate_gradient=ConjugateGradient(1e-12, relative_threshold=True),
+            num_data=n, num_probes=4,
+            precondition=precondition, precond_rank=8,
+        )
+        params = model.init_params(x[:m], pseudo_u=y[:m],
+                                   cluster_counts=jnp.ones((m, 1), x.dtype))
+        mu0, var0 = model.predict_f(params, x[:48])
+        post = model.posterior(params)
+        mu1, var1 = model.posterior_predict(post, x[:48])
+        mu2 = model.posterior_mean(post, x[:48])
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu0), atol=1e-5)
+        jit_pred = jax.jit(lambda p_, xb: model.posterior_predict(p_, xb))
+        mu3, var3 = jit_pred(post, x[:48])
+        np.testing.assert_allclose(np.asarray(mu3), np.asarray(mu0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var3), np.asarray(var0), atol=1e-5)
