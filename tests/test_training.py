@@ -367,6 +367,41 @@ def test_predict_in_batches_matches_single_call(rng):
     np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), rtol=1e-4, atol=1e-6)
 
 
+def test_predict_in_batches_posterior_paths(rng):
+    """The posterior-cache fast path (default for CGGP) and mean_only serving
+    match the per-batch predict_f oracle; use_posterior=False falls back."""
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    data = _toy_data(rng, n=100)
+    model, params = _make_cggp(data, m=8)
+    x_query = _toy_data(rng, n=37)[0]
+    mu, var = model.predict_f(params, x_query)
+
+    mu_b, var_b = predict_in_batches(model, params, x_query, batch_size=16)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var), rtol=1e-3, atol=1e-5)
+
+    mu_f, var_f = predict_in_batches(model, params, x_query, batch_size=16,
+                                     use_posterior=False)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var), rtol=1e-3, atol=1e-5)
+
+    mu_m, none_var = predict_in_batches(model, params, x_query, batch_size=16,
+                                        mean_only=True)
+    assert none_var is None
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu), rtol=1e-4, atol=1e-6)
+
+    import pytest as _pytest
+
+    from cggp_tpu.models import GPR
+
+    gpr = GPR(kernel=SquaredExponential())
+    gp = gpr.init_params(input_dim=2)
+    with _pytest.raises(ValueError):
+        predict_in_batches(gpr, gp, x_query, batch_size=16, train_data=data,
+                           mean_only=True)
+
+
 def test_monitor_fires_in_chunked_training(rng, tmp_path):
     """Regression (code-review finding): with steps_per_call=K the monitor
     step must stay a multiple of K so record_step gates remain satisfiable —
