@@ -219,27 +219,45 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     if not np.isfinite(final_loss):
         raise RuntimeError(f"non-finite training loss: {final_loss}")
 
-    # Serving: full posterior mean+variance per point, 8192-point batches.
+    # Serving: full posterior mean+variance per point, 8192-point batches,
+    # through the posterior cache (u-solve + preconditioner built once per
+    # params — docs/PERF.md round-2 table), plus the CG-free mean-only rate.
     SERVE_BATCH, SERVE_POINTS = 8192, 131_072
 
+    build_post = jax.jit(model.posterior)
+
     @jax.jit
-    def predict_batch(params, xb):
-        mu, var = model.predict_f(params, xb, full_cov=False)
+    def predict_batch(post, xb):
+        mu, var = model.posterior_predict(post, xb, full_cov=False)
         return jnp.sum(mu) + jnp.sum(var)
 
+    @jax.jit
+    def mean_batch(post, xb):
+        return jnp.sum(model.posterior_mean(post, xb))
+
     xs = x[:SERVE_BATCH]
-    float(predict_batch(params, xs))  # compile
+    post = build_post(params)
+    float(predict_batch(post, xs))  # compile
+    float(mean_batch(post, xs))
     t0 = time.perf_counter()
+    post = build_post(params)  # cache build is part of the serving cost
     acc = 0.0
     for start in range(0, SERVE_POINTS, SERVE_BATCH):
-        acc = predict_batch(params, x[start : start + SERVE_BATCH])
+        acc = predict_batch(post, x[start : start + SERVE_BATCH])
     float(acc)
     serve_wall = time.perf_counter() - t0
     points_per_sec = SERVE_POINTS / serve_wall
 
+    t0 = time.perf_counter()
+    for start in range(0, SERVE_POINTS, SERVE_BATCH):
+        acc = mean_batch(post, x[start : start + SERVE_BATCH])
+    float(acc)
+    mean_only_points_per_sec = SERVE_POINTS / (time.perf_counter() - t0)
+
     return {
         "train_steps_per_sec": round(steps_per_sec, 2),
         "serving_points_per_sec": round(points_per_sec, 1),
+        "serving_mean_only_points_per_sec": round(mean_only_points_per_sec, 1),
         "e2e_config": {
             "n": N, "dim": DIM, "m": m, "batch": BATCH,
             "steps_per_call": K, "precondition": "pivchol-128",

@@ -457,6 +457,33 @@ def batch_posterior_computation(predict_fn, data, batch_size: int):
     )
 
 
+def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
+                          mean_only: bool = False):
+    """Posterior (mean, var) over ``x`` as numpy, on the fastest serving path.
+
+    Routes through ``predict_in_batches``: CGGP gets the posterior cache
+    (the u-solve + preconditioner built once, not per batch — docs/PERF.md
+    round-2 table) and ``mean_only`` the CG-free mean; internal-data models
+    (GPR/SGPR) get their training set bound in.  Replaces the per-batch
+    ``batch_posterior_computation`` shape (reference cli_utils.py:462-476)
+    at the CLI dump sites.
+    """
+    import inspect
+
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    needs_data = "data" in inspect.signature(model.predict_f).parameters
+    mean, var = predict_in_batches(
+        model, params, x, batch_size=batch_size,
+        train_data=train_data if needs_data else None,
+        # Internal-data models have no CG to skip; compute both and drop var.
+        mean_only=mean_only and not needs_data,
+    )
+    if mean_only:
+        var = None
+    return np.asarray(mean), None if var is None else np.asarray(var)
+
+
 def covariance_properties(model, params: Dict, jitter: float,
                           method: str = "auto") -> Dict:
     """condition_number / eig_min / eig_max of ``Kuu + jitter I``

@@ -22,7 +22,6 @@ from cggp_tpu.cli.cli_utils import (
     KernelType,
     LogdirPath,
     ModelChoices,
-    batch_posterior_computation,
     precision_names,
 )
 from cggp_tpu.cli.click_cmds import make_selection_groups
@@ -183,12 +182,12 @@ def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
 
     save_config_dir(logdir, params, info)
 
-    from cggp_tpu.training.optimize import bind_predict_fn
+    from cggp_tpu.cli.cli_utils import dump_posterior_arrays
 
-    bound_predict = bind_predict_fn(model, train_data)
-    predict_fn = jax.jit(lambda x: bound_predict(params, x))
     for split_name, split in (("train", train_data), ("test", test_data)):
-        mean, variances = batch_posterior_computation(predict_fn, split, test_batch_size)
+        mean, variances = dump_posterior_arrays(
+            model, params, train_data, split[0], test_batch_size,
+        )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
         np.save(Path(logdir, f"{split_name}_variances.npy"), variances)
     monitor.close()

@@ -11,15 +11,14 @@ from __future__ import annotations
 from pathlib import Path
 
 import click
-import jax
 import numpy as np
 
 from cggp_tpu.cli.cli_utils import (
     DatasetType,
     LogdirPath,
-    batch_posterior_computation,
     create_model,
     default_kernel_fn,
+    dump_posterior_arrays,
 )
 from cggp_tpu.utils import load_config_dir
 
@@ -30,7 +29,11 @@ from cggp_tpu.utils import load_config_dir
 @click.option("-mc", "--model-class", type=str, default="cdgp")
 @click.option("-tb", "--test-batch-size", type=int, default=4096)
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
-def main(config_dir, logdir, model_class, test_batch_size, error_threshold):
+@click.option("--mean-only", is_flag=True, default=False,
+              help="Dump posterior means only — the CG-free cached path "
+                   "for CDGP (docs/PERF.md: 16x serving throughput).")
+def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
+         mean_only):
     flat, info = load_config_dir(config_dir)
     dataset_name = info.get("dataset_name", info.get("dataset"))
     seed = int(info.get("seed", 0))
@@ -45,15 +48,18 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold):
 
     params = assign_flat(params, flat)
 
-    from cggp_tpu.training.optimize import bind_predict_fn
-
-    bound_predict = bind_predict_fn(model, dataset.train)
-    predict_fn = jax.jit(lambda x: bound_predict(params, x))
     for split_name, split in (("train", dataset.train), ("test", dataset.test)):
-        mean, var = batch_posterior_computation(predict_fn, split, test_batch_size)
+        mean, var = dump_posterior_arrays(
+            model, params, dataset.train, split[0], test_batch_size,
+            mean_only=mean_only,
+        )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
-        np.save(Path(logdir, f"{split_name}_variances.npy"), var)
-        click.echo(f"{split_name}: mean {mean.shape}, var {var.shape}")
+        if var is not None:
+            np.save(Path(logdir, f"{split_name}_variances.npy"), var)
+        click.echo(
+            f"{split_name}: mean {mean.shape}, "
+            f"var {'skipped' if var is None else var.shape}"
+        )
     click.echo("=== Script finished ===")
 
 

@@ -25,7 +25,11 @@ from cggp_tpu.parallel.sharded_cg import (
     spectral_precond_state,
     ShardedKuuSolver,
 )
-from cggp_tpu.parallel.model import ShardedCGGP, make_sharded_eval_logdet
+from cggp_tpu.parallel.model import (
+    ShardedCGGP,
+    ShardedCGGPPosterior,
+    make_sharded_eval_logdet,
+)
 
 __all__ = [
     "make_mesh",
@@ -39,5 +43,6 @@ __all__ = [
     "spectral_precond_state",
     "ShardedKuuSolver",
     "ShardedCGGP",
+    "ShardedCGGPPosterior",
     "make_sharded_eval_logdet",
 ]

@@ -17,7 +17,7 @@ zero-valued logdet with CG-probe gradient.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -353,6 +353,49 @@ class ShardedCGGP(ClusterGP):
                       key: Optional[jax.Array] = None) -> Array:
         return -self.elbo(params, data, key)
 
+    # -- cached serving (multi-chip twin of CGGP.posterior; the reference's
+    # predict path recomputes the u-solve per batch, models.py:333-345) ------
+
+    def posterior(self, params: Dict) -> "ShardedCGGPPosterior":
+        """Precompute the params-only serving state: the sharded u-solve
+        ``nu`` and the preconditioner.  ``posterior_mean`` then needs no CG
+        at all and ``posterior_predict`` solves only the Kmn block."""
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        u = params["pseudo_u"]
+        lam = self.diag_variance(params)[:, 0]
+        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
+        precond_state = self._precond_state(kp, z, lam, mask)
+        nu, _ = self._solve(kp, z, lam, u.T, precond_state, mask=mask)
+        return ShardedCGGPPosterior(
+            kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
+            nu=nu, precond_state=precond_state,
+        )
+
+    def posterior_mean(self, post: "ShardedCGGPPosterior", x_new: Array) -> Array:
+        """CG-free serving mean: one skinny ``K(x, Z) @ nu`` matmul."""
+        kmn = self.kernel.K(post.kernel_params, x_new, post.inducing_points)
+        return (kmn * post.mask[None, :]) @ post.nu.T  # [T, 1]
+
+    def posterior_predict(self, post: "ShardedCGGPPosterior", x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        """Mean + variance from the cache: the per-batch solve covers only
+        the [T, M] Kmn block (u column and preconditioner build amortized)."""
+        if full_cov:
+            raise NotImplementedError(
+                "ShardedCGGP.posterior_predict supports diagonal cov only"
+            )
+        kp = post.kernel_params
+        z = post.inducing_points
+        kmn = self.kernel.K(kp, x_new, z) * post.mask[None, :]  # [T, M]
+        inv_kmn, _ = self._solve(
+            kp, z, post.lam, kmn, post.precond_state, mask=post.mask
+        )
+        knn = self.kernel.K_diag(kp, x_new)
+        fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        fmu = kmn @ post.nu.T
+        return fmu, fvar
+
     def cg_stats(self, params: Dict, data: Tuple[Array, Array], key: jax.Array):
         """Iterations/residual of the fused sharded solve (observability)."""
         x, _y = data
@@ -370,3 +413,16 @@ class ShardedCGGP(ClusterGP):
             kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
         )
         return stats
+
+
+class ShardedCGGPPosterior(NamedTuple):
+    """Serving cache produced by :meth:`ShardedCGGP.posterior` — a pytree,
+    so it passes straight through ``jax.jit`` as an argument (single-chip
+    twin: :class:`cggp_tpu.models.cggp.CGGPPosterior`)."""
+
+    kernel_params: Dict
+    inducing_points: Array  # [M_pad, D] (mesh-divisible, pads decoupled)
+    lam: Array  # [M_pad] = sigma^2 / counts
+    mask: Array  # [M_pad] 1 real / 0 pad
+    nu: Array  # [1, M_pad] row = ((Kmm + Lambda)^{-1} u)^T
+    precond_state: Tuple  # () = identity, else SpectralPreconditioner state

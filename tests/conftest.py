@@ -25,11 +25,34 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the suite's wall time is dominated by
 # XLA-compiling ~100 shard_map/scan programs on a single host core (the
 # multi-device tests especially).  Caching compiled executables under
-# .jax_cache/ (gitignored) makes warm reruns start executing immediately —
-# measured 11 min -> well under the 200 s budget for tests/test_parallel.py.
+# .jax_cache/ (gitignored) makes warm reruns start executing immediately.
+#
+# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT artifacts embed
+# the builder's machine features and the loader REJECTS mismatches (falls
+# back to a silent recompile), so a cache written on a different host poisons
+# every lookup — measured 82 s for a 5 s test.  A per-machine subdir keeps
+# each host's cache clean.
+import hashlib
+
+
+def _cpu_fingerprint() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+    os.path.join(
+        os.path.dirname(__file__), os.pardir, ".jax_cache", _cpu_fingerprint()
+    ),
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -57,7 +57,8 @@ def test_native_no_lloyds_no_voronoi(rng):
 def test_native_faster_at_scale(rng):
     import time
 
-    data = _data(rng, n=20_000, d=4)
+    # n=8k keeps the native-vs-numpy gap decisive (~4x) at 1/5 the wall time.
+    data = _data(rng, n=8_000, d=4)
     t0 = time.perf_counter()
     CoverTree(None, data, spatial_resolution=0.4, backend="native")
     t_native = time.perf_counter() - t0

@@ -62,8 +62,10 @@ def test_sharded_cg_gradients_match_dense(mesh, rng):
         sol = jnp.linalg.solve(a, rhs.T).T
         return jnp.sum(jnp.square(sol))
 
-    g_sharded = jax.grad(loss_sharded, argnums=(0, 1, 2))(kp, z, lam)
-    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(kp, z, lam)
+    # jit: unjitted op-by-op dispatch through the 8-device emulation is the
+    # suite's wall-clock hot spot (~6x slower than the compiled program).
+    g_sharded = jax.jit(jax.grad(loss_sharded, argnums=(0, 1, 2)))(kp, z, lam)
+    g_dense = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(kp, z, lam)
     for gs, gd in zip(jax.tree_util.tree_leaves(g_sharded),
                       jax.tree_util.tree_leaves(g_dense)):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-5, atol=1e-7)
@@ -134,10 +136,33 @@ def _cluster_setup(rng, mesh, m=13, n=96, d=2):
 def test_sharded_cggp_predict_matches_dense_clustergp(mesh, rng):
     sharded, params, dense, dense_params, data = _cluster_setup(rng, mesh)
     x = data[0]
-    mu_s, var_s = sharded.predict_f(params, x)
+    mu_s, var_s = jax.jit(sharded.predict_f)(params, x)
     mu_d, var_d = dense.predict_f(dense_params, x)
     np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-6)
     np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d), atol=1e-6)
+
+
+def test_sharded_posterior_cache_matches_predict_f(mesh, rng):
+    """The multi-chip serving cache (posterior / posterior_predict /
+    posterior_mean) must reproduce predict_f, and compose with
+    predict_in_batches' fast path."""
+    sharded, params, dense, dense_params, data = _cluster_setup(rng, mesh)
+    x = data[0]
+    mu_ref, var_ref = jax.jit(sharded.predict_f)(params, x)
+
+    post = jax.jit(sharded.posterior)(params)
+    mu_p, var_p = jax.jit(sharded.posterior_predict)(post, x)
+    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_ref), atol=1e-8)
+    mu_m = jax.jit(sharded.posterior_mean)(post, x)
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_ref), atol=1e-8)
+
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    mu_b, none_var = predict_in_batches(sharded, params, x, batch_size=32,
+                                        mean_only=True)
+    assert none_var is None
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_ref), atol=1e-8)
 
 
 def test_sharded_cggp_kl_matches_dense_modulo_logdet(mesh, rng):
@@ -148,7 +173,7 @@ def test_sharded_cggp_kl_matches_dense_modulo_logdet(mesh, rng):
         kernel=sharded.kernel, mesh=mesh, num_data=sharded.num_data,
         num_probes=256, error_threshold=1e-14, max_cg_iterations=64,
     )
-    kl_sharded = float(sharded.prior_kl(params, jax.random.PRNGKey(0)))
+    kl_sharded = float(jax.jit(sharded.prior_kl)(params, jax.random.PRNGKey(0)))
 
     from cggp_tpu.ops.linalg import add_diagonal
 
@@ -180,8 +205,8 @@ def test_sharded_logdet_gradient_matches_true_logdet_grad(mesh, rng):
         a = add_diagonal(kernel.K(kp_, z), lam)
         return jnp.linalg.slogdet(a)[1]
 
-    g_est = jax.grad(logdet_via_sharded)(kp)
-    g_true = jax.grad(logdet_true)(kp)
+    g_est = jax.jit(jax.grad(logdet_via_sharded))(kp)
+    g_true = jax.jit(jax.grad(logdet_true))(kp)
     for ge, gt in zip(jax.tree_util.tree_leaves(g_est), jax.tree_util.tree_leaves(g_true)):
         np.testing.assert_allclose(np.asarray(ge), np.asarray(gt), rtol=0.25, atol=0.03)
 
@@ -277,10 +302,10 @@ def test_sharded_fused_elbo_consistent_with_parts(mesh, rng):
     sharded, params, _, _, data = _cluster_setup(rng, mesh, m=13, n=96)
     x, y = data
     key = jax.random.PRNGKey(3)
-    e_fused = float(sharded.elbo(params, (x, y), key))
+    e_fused = float(jax.jit(sharded.elbo)(params, (x, y), key))
 
-    kl = float(sharded.prior_kl(params, key))
-    mu, var = sharded.predict_f(params, x)
+    kl = float(jax.jit(sharded.prior_kl)(params, key))
+    mu, var = jax.jit(sharded.predict_f)(params, x)
     ve = float(jnp.sum(sharded.likelihood.variational_expectations(
         params["likelihood"], mu, var, y)))
     np.testing.assert_allclose(e_fused, ve - kl, rtol=1e-6)
@@ -289,7 +314,7 @@ def test_sharded_fused_elbo_consistent_with_parts(mesh, rng):
 def test_sharded_fused_elbo_gradients_finite_and_pads_inert(mesh, rng):
     sharded, params, _, _, data = _cluster_setup(rng, mesh, m=13, n=96)
     key = jax.random.PRNGKey(4)
-    grads = jax.grad(lambda p: sharded.training_loss(p, data, key))(params)
+    grads = jax.jit(jax.grad(lambda p: sharded.training_loss(p, data, key)))(params)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
     # Gradients w.r.t. padded inducing rows must be exactly zero for pseudo_u
@@ -315,12 +340,12 @@ def test_sharded_pivchol_preconditioned_elbo_matches(mesh, rng):
     pre, params_pre = build(precondition="pivchol", precond_rank=8)
     key = jax.random.PRNGKey(5)
 
-    e_plain = float(plain.elbo(params, (x, y), key))
-    e_pre = float(pre.elbo(params_pre, (x, y), key))
+    e_plain = float(jax.jit(plain.elbo)(params, (x, y), key))
+    e_pre = float(jax.jit(pre.elbo)(params_pre, (x, y), key))
     np.testing.assert_allclose(e_pre, e_plain, rtol=1e-8)
 
-    g_plain = jax.grad(lambda p: plain.training_loss(p, (x, y), key))(params)
-    g_pre = jax.grad(lambda p: pre.training_loss(p, (x, y), key))(params_pre)
+    g_plain = jax.jit(jax.grad(lambda p: plain.training_loss(p, (x, y), key)))(params)
+    g_pre = jax.jit(jax.grad(lambda p: pre.training_loss(p, (x, y), key)))(params_pre)
     for a, b in zip(jax.tree_util.tree_leaves(g_pre), jax.tree_util.tree_leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
 
@@ -361,10 +386,11 @@ def test_sharded_training_with_steps_per_call(mesh, rng):
     counts = jnp.ones((11, 1), x.dtype)
     params = model.init_params(x[:11], pseudo_u=y[:11], cluster_counts=counts)
     loss_fn = lambda p, b, k: model.training_loss(p, b, k)
+    eval_loss = jax.jit(loss_fn)
     key = jax.random.PRNGKey(0)
-    before = float(loss_fn(params, (x, y), key))
+    before = float(eval_loss(params, (x, y), key))
     out = train_using_adam_and_update(params, loss_fn, (x, y), 6, 32, 0.05, key,
                                       steps_per_call=3,
                                       trainable_mask=model.trainable_mask(params))
-    after = float(loss_fn(out, (x, y), key))
+    after = float(eval_loss(out, (x, y), key))
     assert np.isfinite(after) and after < before
