@@ -461,10 +461,11 @@ def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
                           mean_only: bool = False):
     """Posterior (mean, var) over ``x`` as numpy, on the fastest serving path.
 
-    Routes through ``predict_in_batches``: CGGP gets the posterior cache
-    (the u-solve + preconditioner built once, not per batch — docs/PERF.md
-    round-2 table) and ``mean_only`` the CG-free mean; internal-data models
-    (GPR/SGPR) get their training set bound in.  Replaces the per-batch
+    Routes through ``predict_in_batches``, so every model family serves
+    from its posterior cache (built once per params, not per batch —
+    docs/PERF.md round-2 table): CGGP/ClusterGP/LpSVGP params-only,
+    GPR/SGPR with the training set bound in.  ``mean_only`` serves the
+    solve-free cached mean.  Replaces the per-batch
     ``batch_posterior_computation`` shape (reference cli_utils.py:462-476)
     at the CLI dump sites.
     """
@@ -476,11 +477,8 @@ def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
     mean, var = predict_in_batches(
         model, params, x, batch_size=batch_size,
         train_data=train_data if needs_data else None,
-        # Internal-data models have no CG to skip; compute both and drop var.
-        mean_only=mean_only and not needs_data,
+        mean_only=mean_only,
     )
-    if mean_only:
-        var = None
     return np.asarray(mean), None if var is None else np.asarray(var)
 
 

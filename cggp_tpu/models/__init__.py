@@ -5,12 +5,12 @@ numerical state in parameter pytrees — the functional JAX replacement for
 GPflow's Module/Parameter machinery.
 """
 
-from cggp_tpu.models.base import GaussianLikelihood
-from cggp_tpu.models.gpr import GPR
-from cggp_tpu.models.sgpr import SGPR
+from cggp_tpu.models.base import CholPosterior, GaussianLikelihood
+from cggp_tpu.models.gpr import GPR, GPRPosterior
+from cggp_tpu.models.sgpr import SGPR, SGPRPosterior
 from cggp_tpu.models.lpsvgp import LpSVGP
 from cggp_tpu.models.clustergp import ClusterGP
-from cggp_tpu.models.cggp import CGGP
+from cggp_tpu.models.cggp import CGGP, CGGPPosterior
 from cggp_tpu.models.pathwise import PathwiseClusterGP
 
 __all__ = [
@@ -21,4 +21,9 @@ __all__ = [
     "ClusterGP",
     "CGGP",
     "PathwiseClusterGP",
+    # serving caches (GPflow posterior() analogues, net-new)
+    "CholPosterior",
+    "GPRPosterior",
+    "SGPRPosterior",
+    "CGGPPosterior",
 ]

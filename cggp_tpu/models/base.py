@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -59,3 +59,18 @@ def minibatch_scale(num_data: Optional[int], batch_size: int, dtype) -> Array:
     if num_data is None:
         return jnp.asarray(1.0, dtype=dtype)
     return jnp.asarray(num_data, dtype=dtype) / jnp.asarray(batch_size, dtype=dtype)
+
+
+class CholPosterior(NamedTuple):
+    """Params-only serving cache for the Cholesky-family models
+    (ClusterGP / LpSVGP): the [M, M] factor of ``Kmm + diag(var)`` and the
+    predictive weight vector ``nu``.  A pytree, so it passes straight
+    through ``jax.jit``.  The reference (and round-1 ``predict_f``) rebuilds
+    the O(M^3) Cholesky for EVERY serving batch; with the cache each batch
+    costs one [M, T] kernel block, one triangular solve, and a skinny
+    matmul (GPflow's ``posterior()`` analogue)."""
+
+    kernel_params: Dict
+    inducing_points: Array  # [M, D]
+    chol: Array  # [M, M] lower Cholesky of Kmm + diag(var)
+    nu: Array  # [M, 1] predictive weights: mean(x) = K(x, Z) @ nu

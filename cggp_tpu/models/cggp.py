@@ -169,20 +169,43 @@ class CGGP(ClusterGP):
     # -- cached serving (net-new; the reference's predict_mu_var recomputes
     # the u-solve and preconditioner for every batch, models.py:333-345) ----
 
-    def posterior(self, params: Dict, key: Optional[jax.Array] = None
-                  ) -> "CGGPPosterior":
+    def posterior(self, params: Dict, key: Optional[jax.Array] = None,
+                  solver: str = "auto") -> "CGGPPosterior":
         """Precompute everything that depends only on ``params`` for
         repeated predictions: ``nu = (Kmm + Lambda)^{-1} u``, the [M, M]
-        system matrix, and the preconditioner state.  After this, the
-        posterior MEAN is a single ``Kmn^T nu`` matmul (no CG at all), and
-        mean+variance runs one CG on the ``Kmn`` block only — the GPflow
-        ``posterior()`` analogue for the serving path."""
+        system matrix, and the solver state.  After this, the posterior
+        MEAN is a single ``Kmn^T nu`` matmul (no CG at all), and
+        mean+variance needs only the ``Kmn`` block solve — the GPflow
+        ``posterior()`` analogue for the serving path.
+
+        ``solver`` selects how that per-batch block solve runs:
+
+        - ``"chol"``: factorize ``Kmm + Lambda`` ONCE here (O(M^3), ~ms at
+          M~1k); each batch is then two triangular solves — ~2 CG
+          iterations' worth of flops instead of the full iteration count.
+          Serving-only: training gradients still flow through CG.
+        - ``"cg"``: the round-1 behavior (cache the preconditioner, CG the
+          Kmn block per batch).  The only choice when M is too large to
+          factorize or the matrix is streamed/matrix-free.
+        - ``"auto"`` (default): ``"chol"`` for M <= 16384, else ``"cg"``.
+        """
         kp = params["kernel"]
         z = params["inducing_points"]
         u = params["pseudo_u"]
         var = self.diag_variance(params)
         kmm = self.kernel.K(kp, z)
         kmm_lambda = add_diagonal(kmm, var[:, 0])
+        if solver == "auto":
+            solver = "chol" if z.shape[0] <= 16384 else "cg"
+        if solver == "chol":
+            chol = jnp.linalg.cholesky(kmm_lambda)
+            nu = jax.scipy.linalg.cho_solve((chol, True), u)
+            return CGGPPosterior(
+                kernel_params=kp, inducing_points=z, kmm_lambda=kmm_lambda,
+                nu=nu, precond_state=(), chol=chol,
+            )
+        if solver != "cg":
+            raise ValueError(f"unknown posterior solver: {solver!r}")
         precond = self._build_preconditioner(
             kp, z, kmm, var, key if key is not None else jax.random.PRNGKey(0)
         )
@@ -193,6 +216,7 @@ class CGGP(ClusterGP):
             kmm_lambda=kmm_lambda,
             nu=nu,
             precond_state=() if precond is None else precond.state,
+            chol=None,
         )
 
     def posterior_mean(self, post: "CGGPPosterior", x_new: Array) -> Array:
@@ -202,15 +226,19 @@ class CGGP(ClusterGP):
 
     def posterior_predict(self, post: "CGGPPosterior", x_new: Array,
                           full_cov: bool = False) -> Tuple[Array, Array]:
-        """Mean + variance from the cache: one CG solve on the [M, T] Kmn
-        block (the per-batch u column and preconditioner build are gone)."""
+        """Mean + variance from the cache: the [M, T] Kmn block through two
+        triangular solves (``solver="chol"``) or one CG launch (``"cg"``) —
+        either way the per-batch u column and preconditioner build are gone."""
         kp = post.kernel_params
         z = post.inducing_points
         kmn = self.kernel.K(kp, z, x_new)  # [M, T]
-        precond = _precond_from_state(post.precond_state)
-        inv_kmn = self.conjugate_gradient(
-            post.kmm_lambda, kmn, preconditioner=precond
-        )
+        if post.chol is not None:
+            inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn)
+        else:
+            precond = _precond_from_state(post.precond_state)
+            inv_kmn = self.conjugate_gradient(
+                post.kmm_lambda, kmn, preconditioner=precond
+            )
         if full_cov:
             knn = self.kernel.K(kp, x_new)
             fvar = (knn - kmn.T @ inv_kmn)[None, ...]
@@ -361,6 +389,8 @@ class CGGPPosterior(NamedTuple):
     kmm_lambda: Array  # [M, M] = Kmm + diag(Lambda)
     nu: Array  # [M, 1] = (Kmm + Lambda)^{-1} pseudo_u
     precond_state: Tuple  # () = identity, else SpectralPreconditioner state
+    chol: Optional[Array] = None  # [M, M] lower Cholesky of Kmm + Lambda
+    # (solver="chol": per-batch variance = two triangular solves, no CG)
 
 
 class _StatePreconditioner:

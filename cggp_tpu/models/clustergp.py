@@ -14,7 +14,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
+from cggp_tpu.models.base import CholPosterior, GaussianLikelihood, minibatch_scale
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
 from cggp_tpu.config import default_float
@@ -122,6 +122,38 @@ class ClusterGP:
 
         fmu = kmn.T @ kuu_inv_u
         return fmu, fvar
+
+    # -- cached serving (net-new; GPflow's ``posterior()`` analogue).  The
+    # reference's predict path re-runs the O(M^3) Cholesky per batch
+    # (models.py:255-276); the cache factorizes once per params. ------------
+
+    def posterior(self, params: Dict) -> CholPosterior:
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        var = self.diag_variance(params)
+        chol = jnp.linalg.cholesky(add_diagonal(self.kernel.K(kp, z), var[:, 0]))
+        nu = jax.scipy.linalg.cho_solve((chol, True), params["pseudo_u"])
+        return CholPosterior(kernel_params=kp, inducing_points=z, chol=chol, nu=nu)
+
+    def posterior_mean(self, post: CholPosterior, x_new: Array) -> Array:
+        """Cache-served mean: one [T, M] kernel block and a skinny matmul."""
+        kmn = self.kernel.K(post.kernel_params, post.inducing_points, x_new)
+        return kmn.T @ post.nu
+
+    def posterior_predict(self, post: CholPosterior, x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        """Cache-served mean + variance: one triangular solve per batch
+        (the factorization is amortized across all batches)."""
+        kp = post.kernel_params
+        kmn = self.kernel.K(kp, post.inducing_points, x_new)  # [M, T]
+        a = jax.scipy.linalg.solve_triangular(post.chol, kmn, lower=True)
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            fvar = (knn - a.T @ a)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            fvar = (knn - jnp.sum(jnp.square(a), axis=0))[:, None]
+        return kmn.T @ post.nu, fvar
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
              key: Optional[jax.Array] = None) -> Array:

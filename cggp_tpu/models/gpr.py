@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,37 @@ class GPR:
     def training_loss(self, params: Dict, data: Tuple[Array, Array]) -> Array:
         return -self.log_marginal_likelihood(params, data)
 
+    # -- cached serving (net-new; GPflow's ``posterior()`` analogue).  The
+    # reference predict path redoes the O(N^3) Cholesky of the FULL training
+    # Gram for every batch; the cache factorizes once per params. ----------
+
+    def posterior(self, params: Dict, data: Tuple[Array, Array]) -> "GPRPosterior":
+        x, y = data
+        n = x.shape[0]
+        noise = self.likelihood.variance(params["likelihood"])
+        kp = params["kernel"]
+        kmm = add_diagonal(self.kernel.K(kp, x), noise * jnp.ones(n, dtype=x.dtype))
+        chol = jnp.linalg.cholesky(kmm)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+        return GPRPosterior(kernel_params=kp, x_train=x, chol=chol, nu=alpha)
+
+    def posterior_mean(self, post: "GPRPosterior", x_new: Array) -> Array:
+        kmn = self.kernel.K(post.kernel_params, post.x_train, x_new)
+        return kmn.T @ post.nu
+
+    def posterior_predict(self, post: "GPRPosterior", x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        kp = post.kernel_params
+        kmn = self.kernel.K(kp, post.x_train, x_new)  # [N, T]
+        a = jax.scipy.linalg.solve_triangular(post.chol, kmn, lower=True)
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            var = (knn - a.T @ a)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            var = (knn - jnp.sum(jnp.square(a), axis=0))[:, None]
+        return kmn.T @ post.nu, var
+
     def predict_f(
         self, params: Dict, data: Tuple[Array, Array], x_new: Array, full_cov: bool = False
     ) -> Tuple[Array, Array]:
@@ -76,3 +107,12 @@ class GPR:
             knn = self.kernel.K_diag(kp, x_new)
             var = (knn - jnp.sum(jnp.square(a), axis=0))[:, None]
         return mu, var
+
+
+class GPRPosterior(NamedTuple):
+    """Serving cache from :meth:`GPR.posterior` — a pytree, jit-safe."""
+
+    kernel_params: Dict
+    x_train: Array  # [N, D]
+    chol: Array  # [N, N] lower Cholesky of Knn + noise I
+    nu: Array  # [N, 1] = (Knn + noise I)^{-1} y

@@ -18,7 +18,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
+from cggp_tpu.models.base import CholPosterior, GaussianLikelihood, minibatch_scale
 from cggp_tpu.ops.bijectors import positive
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.linalg import add_diagonal
@@ -109,6 +109,35 @@ class LpSVGP:
 
         fmu = kmn.T @ nu
         return fmu, fvar
+
+    # -- cached serving (net-new; GPflow's ``posterior()`` analogue): the
+    # reference predict path re-runs the O(M^3) Cholesky per batch
+    # (models.py:136-161). ``nu`` is already the free variational mean. ----
+
+    def posterior(self, params: Dict) -> CholPosterior:
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        var = self.diag_variance(params)
+        chol = jnp.linalg.cholesky(add_diagonal(self.kernel.K(kp, z), var[:, 0]))
+        return CholPosterior(kernel_params=kp, inducing_points=z, chol=chol,
+                             nu=params["nu"])
+
+    def posterior_mean(self, post: CholPosterior, x_new: Array) -> Array:
+        kmn = self.kernel.K(post.kernel_params, post.inducing_points, x_new)
+        return kmn.T @ post.nu
+
+    def posterior_predict(self, post: CholPosterior, x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        kp = post.kernel_params
+        kmn = self.kernel.K(kp, post.inducing_points, x_new)  # [M, T]
+        a = jax.scipy.linalg.solve_triangular(post.chol, kmn, lower=True)
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            fvar = (knn - a.T @ a)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            fvar = (knn - jnp.sum(jnp.square(a), axis=0))[:, None]
+        return kmn.T @ post.nu, fvar
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
              key: Optional[jax.Array] = None) -> Array:

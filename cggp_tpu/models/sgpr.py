@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +86,53 @@ class SGPR:
     def training_loss(self, params: Dict, data: Tuple[Array, Array]) -> Array:
         return -self.elbo(params, data)
 
+    # -- cached serving (net-new; GPflow's ``posterior()`` analogue).  The
+    # reference predict path recomputes the [M, N] Kuf block, BOTH Cholesky
+    # factors, and the information vector for EVERY batch (the dominant
+    # serving cost at N >> M); the cache binds the training set once and
+    # each batch is two [M, T] triangular solves. --------------------------
+
+    def posterior(self, params: Dict, data: Tuple[Array, Array]) -> "SGPRPosterior":
+        x, y = data
+        dtype = x.dtype
+        noise = self.likelihood.variance(params["likelihood"])
+        sigma = jnp.sqrt(noise)
+        kp, z, kuu, kuf, chol_uu = self._common(params, x)
+        m = z.shape[0]
+        a = jax.scipy.linalg.solve_triangular(chol_uu, kuf, lower=True) / sigma
+        b = a @ a.T + jnp.eye(m, dtype=dtype)
+        chol_b = jnp.linalg.cholesky(b)
+        c = jax.scipy.linalg.solve_triangular(chol_b, a @ y, lower=True) / sigma
+        # Fold both back-substitutions into one weight vector so the cached
+        # MEAN is a single skinny matmul: mu = Kus^T (Luu^-T Lb^-T c).
+        w = jax.scipy.linalg.solve_triangular(
+            chol_uu.T,
+            jax.scipy.linalg.solve_triangular(chol_b.T, c, lower=False),
+            lower=False,
+        )
+        return SGPRPosterior(kernel_params=kp, inducing_points=z,
+                             chol_uu=chol_uu, chol_b=chol_b, nu=w)
+
+    def posterior_mean(self, post: "SGPRPosterior", x_new: Array) -> Array:
+        kus = self.kernel.K(post.kernel_params, post.inducing_points, x_new)
+        return kus.T @ post.nu
+
+    def posterior_predict(self, post: "SGPRPosterior", x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        kp = post.kernel_params
+        kus = self.kernel.K(kp, post.inducing_points, x_new)  # [M, T]
+        tmp1 = jax.scipy.linalg.solve_triangular(post.chol_uu, kus, lower=True)
+        tmp2 = jax.scipy.linalg.solve_triangular(post.chol_b, tmp1, lower=True)
+        mu = kus.T @ post.nu
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            var = (knn + tmp2.T @ tmp2 - tmp1.T @ tmp1)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            var = (knn + jnp.sum(jnp.square(tmp2), 0)
+                   - jnp.sum(jnp.square(tmp1), 0))[:, None]
+        return mu, var
+
     def predict_f(
         self, params: Dict, data: Tuple[Array, Array], x_new: Array, full_cov: bool = False
     ) -> Tuple[Array, Array]:
@@ -117,3 +164,15 @@ class SGPR:
             var = knn + jnp.sum(jnp.square(tmp2), 0) - jnp.sum(jnp.square(tmp1), 0)
             var = var[:, None]
         return mu, var
+
+
+class SGPRPosterior(NamedTuple):
+    """Serving cache from :meth:`SGPR.posterior` — a pytree, jit-safe.
+    ``nu`` folds the information vector and both back-substitutions, so the
+    cached mean is ``K(x, Z) @ nu`` with no solves at all."""
+
+    kernel_params: Dict
+    inducing_points: Array  # [M, D]
+    chol_uu: Array  # [M, M] lower Cholesky of Kuu + jitter I
+    chol_b: Array  # [M, M] lower Cholesky of B = A A^T + I
+    nu: Array  # [M, 1] = Luu^-T Lb^-T c

@@ -356,20 +356,42 @@ class ShardedCGGP(ClusterGP):
     # -- cached serving (multi-chip twin of CGGP.posterior; the reference's
     # predict path recomputes the u-solve per batch, models.py:333-345) ------
 
-    def posterior(self, params: Dict) -> "ShardedCGGPPosterior":
+    def posterior(self, params: Dict,
+                  solver: str = "auto") -> "ShardedCGGPPosterior":
         """Precompute the params-only serving state: the sharded u-solve
-        ``nu`` and the preconditioner.  ``posterior_mean`` then needs no CG
-        at all and ``posterior_predict`` solves only the Kmn block."""
+        ``nu`` and the block-solve state.  ``posterior_mean`` then needs no
+        CG at all and ``posterior_predict`` solves only the Kmn block.
+
+        ``solver="chol"`` additionally materializes the masked
+        ``Kmm + Lambda`` (pads decoupled, unit diagonal) and factorizes it
+        ONCE — per-batch variance becomes two replicated triangular solves
+        instead of a psum-blocked CG.  ``"auto"``: chol for M_pad <= 16384
+        (the [M, M] replica fits comfortably per chip), else ``"cg"``."""
         kp = params["kernel"]
         z = params["inducing_points"]
         u = params["pseudo_u"]
         lam = self.diag_variance(params)[:, 0]
         mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
+        if solver == "auto":
+            solver = "chol" if z.shape[0] <= 16384 else "cg"
+        if solver == "chol":
+            kmm = self.kernel.K(kp, z) * (mask[:, None] * mask[None, :])
+            a = kmm + jnp.diag(lam * mask + (1.0 - mask))
+            chol = jnp.linalg.cholesky(a)
+            nu = jax.scipy.linalg.cho_solve(
+                (chol, True), u * mask[:, None]
+            ).T  # [1, M_pad] row, matching the CG path's layout
+            return ShardedCGGPPosterior(
+                kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
+                nu=nu, precond_state=(), chol=chol,
+            )
+        if solver != "cg":
+            raise ValueError(f"unknown posterior solver: {solver!r}")
         precond_state = self._precond_state(kp, z, lam, mask)
         nu, _ = self._solve(kp, z, lam, u.T, precond_state, mask=mask)
         return ShardedCGGPPosterior(
             kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
-            nu=nu, precond_state=precond_state,
+            nu=nu, precond_state=precond_state, chol=None,
         )
 
     def posterior_mean(self, post: "ShardedCGGPPosterior", x_new: Array) -> Array:
@@ -388,9 +410,12 @@ class ShardedCGGP(ClusterGP):
         kp = post.kernel_params
         z = post.inducing_points
         kmn = self.kernel.K(kp, x_new, z) * post.mask[None, :]  # [T, M]
-        inv_kmn, _ = self._solve(
-            kp, z, post.lam, kmn, post.precond_state, mask=post.mask
-        )
+        if post.chol is not None:
+            inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn.T).T
+        else:
+            inv_kmn, _ = self._solve(
+                kp, z, post.lam, kmn, post.precond_state, mask=post.mask
+            )
         knn = self.kernel.K_diag(kp, x_new)
         fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
         fmu = kmn @ post.nu.T
@@ -426,3 +451,4 @@ class ShardedCGGPPosterior(NamedTuple):
     mask: Array  # [M_pad] 1 real / 0 pad
     nu: Array  # [1, M_pad] row = ((Kmm + Lambda)^{-1} u)^T
     precond_state: Tuple  # () = identity, else SpectralPreconditioner state
+    chol: Optional[Array] = None  # [M_pad, M_pad] lower Cholesky (masked A)

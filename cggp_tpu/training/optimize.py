@@ -554,6 +554,15 @@ def _cached_posterior_jits(model):
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _posterior_takes_data(model) -> bool:
+    """Internal-data models (GPR/SGPR) bind the training set into the cache:
+    ``posterior(params, data)``; variational models are params-only."""
+    import inspect
+
+    return "data" in inspect.signature(model.posterior).parameters
+
+
 def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
                        mean_only: bool = False, use_posterior: bool = True):
@@ -585,13 +594,15 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
     x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, x.shape[-1]))], axis=0) \
         if pad else x
 
-    posterior_capable = (
-        use_posterior and train_data is None and hasattr(model, "posterior")
+    # The cache applies when the model's posterior() signature matches what
+    # the caller can supply: params-only models without a train_data
+    # override, data-bound models (GPR/SGPR) with one.
+    posterior_capable = use_posterior and hasattr(model, "posterior") and (
+        (train_data is not None) == _posterior_takes_data(model)
     )
     if mean_only and not posterior_capable:
         raise ValueError(
-            "mean_only serving needs a posterior()-capable model "
-            "(CGGP) without a train_data override"
+            "mean_only serving needs a posterior()-capable model"
         )
 
     if posterior_capable:
@@ -600,7 +611,8 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         # fresh closure per call would re-trace AND re-compile every time
         # (minutes through a remote-device tunnel).
         build, post_predict, post_mean = _cached_posterior_jits(model)
-        post = build(params)
+        post = build(params, train_data) if _posterior_takes_data(model) \
+            else build(params)
         if mean_only:
             means = [
                 post_mean(post, x_pad[i * batch_size : (i + 1) * batch_size])

@@ -36,11 +36,19 @@ import hashlib
 
 
 def _cpu_fingerprint() -> str:
+    # Hash model name AND flags: XLA synthesizes extra features (e.g.
+    # +prefer-no-gather) from the CPU *model*, so two hosts with identical
+    # cpuinfo flags can still produce mutually-rejecting AOT artifacts.
     try:
+        lines = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+                if line.startswith(("model name", "flags")):
+                    lines.append(line)
+                    if len(lines) == 2:
+                        break
+        if lines:
+            return hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

@@ -290,13 +290,85 @@ def test_cggp_posterior_cache_matches_predict_f(rng):
         params = model.init_params(x[:m], pseudo_u=y[:m],
                                    cluster_counts=jnp.ones((m, 1), x.dtype))
         mu0, var0 = model.predict_f(params, x[:48])
-        post = model.posterior(params)
-        mu1, var1 = model.posterior_predict(post, x[:48])
-        mu2 = model.posterior_mean(post, x[:48])
-        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu0), atol=1e-5)
-        jit_pred = jax.jit(lambda p_, xb: model.posterior_predict(p_, xb))
-        mu3, var3 = jit_pred(post, x[:48])
-        np.testing.assert_allclose(np.asarray(mu3), np.asarray(mu0), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(var3), np.asarray(var0), atol=1e-5)
+        # "auto" resolves to the one-time Cholesky factorization at this M;
+        # "cg" is the round-1 per-batch CG block solve.  Both must agree
+        # with predict_f.
+        for solver in ("auto", "cg"):
+            post = model.posterior(params, solver=solver)
+            assert (post.chol is not None) == (solver == "auto")
+            mu1, var1 = model.posterior_predict(post, x[:48])
+            mu2 = model.posterior_mean(post, x[:48])
+            np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu0), atol=1e-5)
+            jit_pred = jax.jit(lambda p_, xb: model.posterior_predict(p_, xb))
+            mu3, var3 = jit_pred(post, x[:48])
+            np.testing.assert_allclose(np.asarray(mu3), np.asarray(mu0), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(var3), np.asarray(var0), atol=1e-5)
+
+
+def test_cholesky_family_posterior_caches_match_predict_f(rng):
+    """Every model family serves from a posterior cache (net-new; GPflow's
+    posterior() analogue — the reference refactorizes per batch).  Each
+    cache must reproduce predict_f and compose with predict_in_batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import GPR, SGPR, ClusterGP, LpSVGP
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    n, m, t = 96, 12, 40
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    y = jnp.sin(2 * x[:, :1]) + 0.05
+    xs = jnp.asarray(rng.uniform(-1, 1, (t, 2)))
+    kernel = Matern32()
+
+    # -- params-only models -------------------------------------------------
+    cluster = ClusterGP(kernel=kernel, num_data=n)
+    cluster_params = cluster.init_params(
+        x[:m], pseudo_u=y[:m], cluster_counts=2.0 * jnp.ones((m, 1), x.dtype)
+    )
+    lpsvgp = LpSVGP(kernel=kernel, num_data=n)
+    lpsvgp_params = lpsvgp.init_params(
+        x[:m], nu=y[:m], diag_variance=0.3 * jnp.ones((m, 1), x.dtype)
+    )
+    for model, params in ((cluster, cluster_params), (lpsvgp, lpsvgp_params)):
+        mu0, var0 = model.predict_f(params, xs)
+        post = jax.jit(model.posterior)(params)
+        mu1, var1 = model.posterior_predict(post, xs)
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(model.posterior_mean(post, xs)), np.asarray(mu0), atol=1e-10
+        )
+        mu_b, var_b = predict_in_batches(model, params, xs, batch_size=16)
+        np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu0), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var_b), np.asarray(var0), atol=1e-10)
+        mu_m, none_var = predict_in_batches(model, params, xs, batch_size=16,
+                                            mean_only=True)
+        assert none_var is None
+        np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu0), atol=1e-10)
+
+    # -- internal-data models (cache binds the training set) ---------------
+    sgpr = SGPR(kernel=kernel)
+    sgpr_params = sgpr.init_params(x[:m])
+    gpr = GPR(kernel=kernel)
+    gpr_params = gpr.init_params(input_dim=2)
+    for model, params in ((sgpr, sgpr_params), (gpr, gpr_params)):
+        mu0, var0 = model.predict_f(params, (x, y), xs)
+        post = jax.jit(model.posterior)(params, (x, y))
+        mu1, var1 = model.posterior_predict(post, xs)
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var1), np.asarray(var0), atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(model.posterior_mean(post, xs)), np.asarray(mu0), atol=1e-9
+        )
+        mu_b, var_b = predict_in_batches(model, params, xs, batch_size=16,
+                                         train_data=(x, y))
+        np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu0), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var_b), np.asarray(var0), atol=1e-9)
+        mu_m, none_var = predict_in_batches(model, params, xs, batch_size=16,
+                                            train_data=(x, y), mean_only=True)
+        assert none_var is None
+        np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu0), atol=1e-9)

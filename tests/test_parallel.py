@@ -150,19 +150,27 @@ def test_sharded_posterior_cache_matches_predict_f(mesh, rng):
     x = data[0]
     mu_ref, var_ref = jax.jit(sharded.predict_f)(params, x)
 
-    post = jax.jit(sharded.posterior)(params)
-    mu_p, var_p = jax.jit(sharded.posterior_predict)(post, x)
-    np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_ref), atol=1e-8)
-    np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_ref), atol=1e-8)
-    mu_m = jax.jit(sharded.posterior_mean)(post, x)
-    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_ref), atol=1e-8)
+    # "auto" = one-time Cholesky of the masked (Kmm + Lambda) (pads
+    # decoupled, unit diag); "cg" = the psum-blocked per-batch solve.
+    # predict_f itself is CG-accurate, so the chol comparison is bounded by
+    # the CG stopping error (~3e-8 here), not exactness.
+    for solver, atol in (("auto", 1e-6), ("cg", 1e-8)):
+        post = jax.jit(sharded.posterior, static_argnames="solver")(
+            params, solver=solver
+        )
+        assert (post.chol is not None) == (solver == "auto")
+        mu_p, var_p = jax.jit(sharded.posterior_predict)(post, x)
+        np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_ref), atol=atol)
+        np.testing.assert_allclose(np.asarray(var_p), np.asarray(var_ref), atol=atol)
+        mu_m = jax.jit(sharded.posterior_mean)(post, x)
+        np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_ref), atol=atol)
 
     from cggp_tpu.training.optimize import predict_in_batches
 
     mu_b, none_var = predict_in_batches(sharded, params, x, batch_size=32,
                                         mean_only=True)
     assert none_var is None
-    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_ref), atol=1e-6)
 
 
 def test_sharded_cggp_kl_matches_dense_modulo_logdet(mesh, rng):

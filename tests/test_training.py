@@ -395,11 +395,21 @@ def test_predict_in_batches_posterior_paths(rng):
 
     from cggp_tpu.models import GPR
 
+    # Data-bound models now serve mean_only through their posterior cache
+    # (round-2: GPR/SGPR posterior() binds the training set once).
     gpr = GPR(kernel=SquaredExponential())
     gp = gpr.init_params(input_dim=2)
+    mu_g, _ = predict_in_batches(gpr, gp, x_query, batch_size=16,
+                                 train_data=data)
+    mu_gm, none_var_g = predict_in_batches(gpr, gp, x_query, batch_size=16,
+                                           train_data=data, mean_only=True)
+    assert none_var_g is None
+    np.testing.assert_allclose(np.asarray(mu_gm), np.asarray(mu_g),
+                               rtol=1e-6, atol=1e-9)
+    # mean_only with the cache explicitly disabled has no fast path: error.
     with _pytest.raises(ValueError):
         predict_in_batches(gpr, gp, x_query, batch_size=16, train_data=data,
-                           mean_only=True)
+                           mean_only=True, use_posterior=False)
 
 
 def test_monitor_fires_in_chunked_training(rng, tmp_path):
