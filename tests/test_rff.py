@@ -31,8 +31,10 @@ def test_rff_sample_covariance(name, rng):
     kernel = kernel_by_name(name)
     params = kernel.init_params(variance=1.0, lengthscales=[1.0, 1.0])
 
-    samples = rff_sample(x, kernel, params, num_bases=4_000,
-                         key=jax.random.PRNGKey(3), num_samples=10_000)
+    # 2k bases x 5k samples keeps MC error ~0.03 (atol 0.06) at 1/4 the
+    # wall time of the original 4k x 10k (the [S, L] weight draw dominates).
+    samples = rff_sample(x, kernel, params, num_bases=2_000,
+                         key=jax.random.PRNGKey(3), num_samples=5_000)
     emp_cov = np.cov(np.asarray(samples), rowvar=False)
     exact = np.asarray(kernel.K(params, x))
     np.testing.assert_allclose(emp_cov, exact, atol=0.06)
