@@ -1,0 +1,136 @@
+"""Serving-path scaling: cached posterior throughput vs M, chol vs CG.
+
+Measures the round-2 serving caches (docs/PERF.md "Cholesky-backed caches")
+on the local accelerator and writes ``serving_results.csv``:
+
+* ``posterior_predict`` points/s with ``solver="chol"`` (one-time [M, M]
+  factorization, two triangular solves per batch);
+* ``posterior_predict`` points/s with ``solver="cg"`` (pivchol-preconditioned
+  CG on each [M, B] Kmn block — the only choice for M beyond factorization);
+* ``posterior_mean`` points/s (solve-free, both paths identical);
+* the one-time cache build wall for each solver.
+
+Timing: fixed-shape 8192-point batches, best of 2 sweeps, one host fetch
+per sweep (docs/PERF.md methodology).
+
+    python benchmarks/serving.py [--out DIR] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="benchmarks")
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _bench_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", _bench_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+
+    platform = jax.devices()[0].platform
+    rng = np.random.RandomState(0)
+    kernel = Matern32()
+    BATCH = 8192
+    # M=16384 OOMs the CG path on one v5e chip (the [8192, M] block solve's
+    # loop state + preconditioner build); 8192 is the largest clean point.
+    m_values = [1024, 4096] if args.quick else [1024, 4096, 8192]
+    rows = []
+
+    for m in m_values:
+        d = 3
+        z = jnp.asarray(rng.uniform(-2, 2, (m, d)), jnp.float32)
+        u = jnp.asarray(rng.standard_normal((m, 1)), jnp.float32)
+        counts = jnp.asarray(rng.uniform(1, 9, (m, 1)), jnp.float32)
+        x = jnp.asarray(rng.uniform(-2, 2, (BATCH * 4, d)), jnp.float32)
+
+        model = CGGP(
+            kernel=kernel,
+            conjugate_gradient=ConjugateGradient(
+                1e-6, max_iterations=min(m, 1000), relative_threshold=True
+            ),
+            num_data=BATCH,
+            num_probes=5,
+            precondition="pivchol",
+            precond_rank=128,
+        )
+        params = model.init_params(z, pseudo_u=u, cluster_counts=counts,
+                                   dtype=jnp.float32)
+
+        for solver in ("chol", "cg"):
+            build = jax.jit(lambda p: model.posterior(p, solver=solver))
+            predict = jax.jit(
+                lambda post, xb: sum(map(jnp.sum,
+                                         model.posterior_predict(post, xb)))
+            )
+            mean = jax.jit(lambda post, xb: jnp.sum(model.posterior_mean(post, xb)))
+
+            post = build(params)
+            float(predict(post, x[:BATCH]))  # compile
+            float(mean(post, x[:BATCH]))
+
+            t0 = time.perf_counter()
+            post = build(params)
+            float(jnp.sum(post.nu))
+            build_wall = time.perf_counter() - t0
+
+            # CG at large M is slow per batch: fewer batches there.
+            n_batches = 4 if solver == "chol" else (2 if m >= 8192 else 4)
+            sweeps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                acc = 0.0
+                for i in range(n_batches):
+                    acc = predict(post, x[i * BATCH : (i + 1) * BATCH])
+                float(acc)
+                sweeps.append(time.perf_counter() - t0)
+            predict_pps = n_batches * BATCH / min(sweeps)
+
+            sweeps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for i in range(4):
+                    acc = mean(post, x[i * BATCH : (i + 1) * BATCH])
+                float(acc)
+                sweeps.append(time.perf_counter() - t0)
+            mean_pps = 4 * BATCH / min(sweeps)
+
+            row = {
+                "platform": platform, "M": m, "batch": BATCH, "solver": solver,
+                "build_wall_s": round(build_wall, 4),
+                "predict_points_per_sec": round(predict_pps, 1),
+                "mean_points_per_sec": round(mean_pps, 1),
+            }
+            rows.append(row)
+            print(json.dumps(row))
+
+    out = Path(args.out, "serving_results.csv")
+    with out.open("w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,22 @@ def main(roots, logdir, groupby, metrics):
     frame.to_csv(out, index=False)
     click.echo(f"wrote {out} ({len(frame)} rows)")
 
+    # Lanczos condition numbers are systematically optimistic (eig_min is
+    # an over-estimate, ops/logdet.py): flag any aggregation that would
+    # average the exact eigvalsh estimator with lanczos in one group.
+    if "condition_method" in frame.columns and "condition_number" in metrics:
+        mixed = frame.groupby(
+            [k for k in groupby if k in frame.columns] or ["__path"]
+        )["condition_method"].nunique()
+        if (mixed > 1).any():
+            click.echo(
+                "WARNING: condition_number mixes estimators "
+                f"({sorted(frame['condition_method'].dropna().unique())}) "
+                "within a summary group — lanczos eig_min is an "
+                "over-estimate, so those means are not comparable. "
+                "Add 'condition_method' to --groupby to split them."
+            )
+
     keys = [k for k in groupby if k in frame.columns]
     cols = [m for m in metrics if m in frame.columns]
     if keys and cols:

@@ -183,7 +183,11 @@ class CGGP(ClusterGP):
         - ``"chol"``: factorize ``Kmm + Lambda`` ONCE here (O(M^3), ~ms at
           M~1k); each batch is then two triangular solves — ~2 CG
           iterations' worth of flops instead of the full iteration count.
-          Serving-only: training gradients still flow through CG.
+          Serving-only: training gradients still flow through CG.  Numerical
+          domain: same as the Cholesky-family models (kappa(Kmm+Lambda)
+          safely below 1/eps of the dtype — ~1e7 in fp32); beyond that use
+          ``"cg"``, whose pivchol-preconditioned fp32 path converges where
+          a raw factorization would break down (docs/PERF.md).
         - ``"cg"``: the round-1 behavior (cache the preconditioner, CG the
           Kmn block per batch).  The only choice when M is too large to
           factorize or the matrix is streamed/matrix-free.

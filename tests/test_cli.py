@@ -110,23 +110,34 @@ def test_predict_from_config_dir(runner, tmp_path):
 
 
 def test_uci_csv_aggregation(runner, tmp_path):
-    for i, rmse in enumerate([0.1, 0.2]):
+    # Two seeds of the same config, one per estimator: the aggregation must
+    # warn that condition_number means would mix eigvalsh with the
+    # optimistic lanczos estimator (ADVICE round 1).
+    for i, (rmse, est) in enumerate([(0.1, "eigvalsh"), (0.2, "lanczos")]):
         d = tmp_path / f"run{i}"
         d.mkdir()
         (d / "results.json").write_text(json.dumps({
             "model": "cdgp", "dataset": "synthetic1d", "precision": "fp64",
             "clustering_type": "kmeans", "jitter": 1e-6,
             "test/rmse": rmse, "test/nlpd": 0.5, "train/elbo": -100.0,
-            "condition_number": 10.0, "num_inducing_points": 16, "seed": i,
+            "condition_number": 10.0, "condition_method": est,
+            "num_inducing_points": 16, "seed": i,
         }))
     out = tmp_path / "csv"
-    _run(runner, ["uci-csv", str(tmp_path), "-l", str(out)])
+    result = _run(runner, ["uci-csv", str(tmp_path), "-l", str(out)])
+    assert "mixes estimators" in result.output
     import pandas as pd
 
     frame = pd.read_csv(out / "results.csv")
     assert len(frame) == 2
     summary = pd.read_csv(out / "summary.csv")
     assert len(summary) >= 1
+
+    # Splitting by estimator silences the warning.
+    out2 = tmp_path / "csv2"
+    result = _run(runner, ["uci-csv", str(tmp_path), "-l", str(out2),
+                           "-g", "model", "-g", "condition_method"])
+    assert "mixes estimators" not in result.output
 
 
 def test_sweep_grid_expansion(tmp_path):
