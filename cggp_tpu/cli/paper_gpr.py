@@ -42,6 +42,12 @@ SIZE_LIMIT = 10000  # reference paper_cli_gpr.py:61
 @click.option("-k", "--kernel", type=KernelType(), default="se")
 @click.option("-tb", "--test-batch-size", type=int)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
+@click.option("-o", "--optimizer", type=click.Choice(["scipy", "device"]),
+              default="scipy",
+              help="'scipy' = host L-BFGS-B (reference semantics, one "
+                   "host<->device round trip per iteration); 'device' = "
+                   "optax L-BFGS under one jit (net-new, no round trips — "
+                   "the win is largest on remote/tunneled accelerators).")
 @click.pass_context
 def main(
     ctx: click.Context,
@@ -54,6 +60,7 @@ def main(
     kernel,
     test_batch_size: Optional[int],
     tensorboard: bool,
+    optimizer: str,
 ):
     """Reference paper_cli_gpr.py:29-134."""
     if precision == np.float64:
@@ -84,12 +91,22 @@ def main(
     click.echo("=== Start training ===")
 
     monitor = Monitor(str(logdir), use_tensorboard=tensorboard)
-    params = train_using_lbfgs_and_update(
-        params,
-        lambda p: model.training_loss(p, train_slice),
-        max_iterations=num_iterations,
-        monitor=monitor,
-    )
+    if optimizer == "device":
+        from cggp_tpu.training.optimize import train_using_device_lbfgs
+
+        params = train_using_device_lbfgs(
+            params,
+            lambda p: model.training_loss(p, train_slice),
+            max_iterations=num_iterations,
+            monitor=monitor,
+        )
+    else:
+        params = train_using_lbfgs_and_update(
+            params,
+            lambda p: model.training_loss(p, train_slice),
+            max_iterations=num_iterations,
+            monitor=monitor,
+        )
     click.echo("=== Training finished ===")
 
     metrics = _gpr_metrics(model, params, train_slice, test_data,

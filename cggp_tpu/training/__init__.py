@@ -9,6 +9,7 @@ from cggp_tpu.training.optimize import (
     make_param_callback,
     make_adam_multi_step,
     train_using_adam_and_update,
+    train_using_device_lbfgs,
     train_using_lbfgs_and_update,
     train_vanilla_using_lbfgs,
     train_vanilla_using_lbfgs_and_standard_ip_update,
@@ -23,6 +24,7 @@ __all__ = [
     "make_param_callback",
     "make_adam_multi_step",
     "train_using_adam_and_update",
+    "train_using_device_lbfgs",
     "train_using_lbfgs_and_update",
     "train_vanilla_using_lbfgs",
     "train_vanilla_using_lbfgs_and_standard_ip_update",

@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Dict, Optional, Tuple
 
@@ -306,6 +307,88 @@ def train_using_lbfgs_and_update(
     return final
 
 
+def train_using_device_lbfgs(
+    params: Dict,
+    loss_fn: Callable[[Dict], Array],
+    max_iterations: int,
+    trainable_mask: Optional[Dict] = None,
+    monitor: Optional[Monitor] = None,
+    record_step: int = 50,
+    memory_size: int = 10,
+) -> Dict:
+    """Device-resident L-BFGS: the whole optimization runs under ``jit``.
+
+    The reference's L-BFGS (and our scipy twin above) pays one
+    host<->device round trip per iteration — loss+grad fetched to the host,
+    scipy proposes the next point, arrays shipped back (SURVEY §3.3:
+    "HOST scipy L-BFGS-B <-> DEVICE jit'd loss/grad round trips").  Here
+    ``optax.lbfgs`` (two-loop recursion + zoom line search) steps inside a
+    ``lax.scan``, so a whole chunk of iterations is ONE dispatch — the same
+    lever that took Adam training from 5 to 59 steps/s (docs/PERF.md).
+
+    Frozen leaves (``trainable_mask``) have their gradients zeroed; with a
+    zero gradient history their L-BFGS direction components stay exactly
+    zero, so the line search never moves them.  The monitor fires between
+    scan chunks of ``record_step`` iterations (labels mark chunk ends).
+    Shape-changing update_fns are not supported (same constraint as the
+    raveled scipy path); use the scipy twin for covertree-style updates.
+    """
+    import optax
+
+    if max_iterations <= 0:
+        return params
+
+    opt = optax.lbfgs(memory_size=memory_size)
+
+    if trainable_mask is not None:
+        # The mask may be a PREFIX tree (e.g. {"kernel": True, ...} freezing
+        # a whole subtree): expand each bool over its params subtree.
+        grad_mask = jax.tree_util.tree_map(
+            lambda m, sub: jax.tree_util.tree_map(
+                lambda p: jnp.full(jnp.shape(p), float(bool(m)), dtype=p.dtype),
+                sub,
+            ),
+            trainable_mask, params,
+            is_leaf=lambda node: isinstance(node, bool),
+        )
+    else:
+        grad_mask = None
+
+    def masked_value_and_grad(p):
+        value, grads = jax.value_and_grad(loss_fn)(p)
+        if grad_mask is not None:
+            grads = jax.tree_util.tree_map(jnp.multiply, grads, grad_mask)
+        return value, grads
+
+    def step(carry, _):
+        p, s = carry
+        value, grads = masked_value_and_grad(p)
+        updates, s = opt.update(
+            grads, s, p, value=value, grad=grads, value_fn=loss_fn
+        )
+        p = optax.apply_updates(p, updates)
+        return (p, s), value
+
+    @functools.partial(jax.jit, static_argnames="length")
+    def run_chunk(p, s, length):
+        return jax.lax.scan(step, (p, s), None, length=length)
+
+    opt_state = opt.init(params)
+    chunk = max(1, min(int(record_step), int(max_iterations)))
+    done = 0
+    while done < max_iterations:
+        n = min(chunk, max_iterations - done)
+        # length is a static arg per distinct value; only the first and
+        # (possibly shorter) last chunk compile.
+        (params, opt_state), losses = run_chunk(params, opt_state, n)
+        done += n
+        if monitor is not None:
+            monitor(done, params)
+    if monitor is not None:
+        monitor.flush()
+    return params
+
+
 def train_vanilla_using_lbfgs(
     params: Dict,
     loss_fn: Callable[[Dict], Array],
@@ -536,8 +619,6 @@ def create_monitor(
         monitor.add_callback("params", param_fn, record_step=record_step)
     return monitor
 
-
-import functools
 
 
 @functools.lru_cache(maxsize=64)

@@ -436,3 +436,60 @@ def test_monitor_fires_in_chunked_training(rng, tmp_path):
         steps_per_call=2,
     )
     assert seen == [0, 4], seen  # chunks start at steps 0,2,4,6 -> gate at 0,4
+
+
+def test_device_lbfgs_matches_scipy_on_gpr(rng, tmp_path):
+    """train_using_device_lbfgs (net-new: whole optimization under one jit,
+    no per-iteration host round trips) must reach the scipy twin's optimum
+    and keep frozen leaves exactly in place."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import GPR
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.training.optimize import (
+        train_using_device_lbfgs,
+        train_using_lbfgs_and_update,
+    )
+
+    n = 60
+    x = jnp.asarray(rng.uniform(-2, 2, (n, 2)))
+    y = jnp.sin(x[:, :1].sum(-1, keepdims=True)) + 0.05
+
+    model = GPR(kernel=SquaredExponential())
+    params0 = model.init_params(input_dim=2, noise_variance=0.5)
+    loss_fn = lambda p: model.training_loss(p, (x, y))
+
+    p_scipy = train_using_lbfgs_and_update(params0, loss_fn, 60)
+    p_dev = train_using_device_lbfgs(params0, loss_fn, 60)
+    l_scipy = float(loss_fn(p_scipy))
+    l_dev = float(loss_fn(p_dev))
+    l0 = float(loss_fn(params0))
+    assert l_dev < l0 - 1.0  # genuinely optimized
+    # At least as good as scipy (observed: scipy stops on its own ftol at
+    # -305.6 while the device loop reaches -317.1 in the same 60 iters).
+    assert l_dev <= l_scipy + 1e-3 * abs(l_scipy), (l_dev, l_scipy)
+
+    # Frozen leaves stay exactly put.
+    mask = {"kernel": True, "likelihood": False}
+    p_frozen = train_using_device_lbfgs(params0, loss_fn, 20,
+                                        trainable_mask=mask)
+    np.testing.assert_array_equal(
+        np.asarray(p_frozen["likelihood"]["variance"]),
+        np.asarray(params0["likelihood"]["variance"]),
+    )
+    assert not np.allclose(
+        np.asarray(p_frozen["kernel"]["lengthscales"]),
+        np.asarray(params0["kernel"]["lengthscales"]),
+    )
+
+    # Monitor fires at chunk boundaries with live params.
+    seen = []
+    from cggp_tpu.training.monitor import Monitor
+
+    mon = Monitor(str(tmp_path / "m"), use_tensorboard=False)
+    mon.add_callback("loss", lambda step, p: {"loss": float(loss_fn(p))},
+                     record_step=1)
+    train_using_device_lbfgs(params0, loss_fn, 10, monitor=mon, record_step=5)
+    logs = np.load(tmp_path / "m" / "loss.logs.npy", allow_pickle=True)
+    assert len(logs) == 2  # steps 5 and 10
