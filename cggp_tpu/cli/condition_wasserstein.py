@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cggp_tpu.cli.cli_utils import LogdirPath
+from cggp_tpu.cli.cli_utils import FloatType, LogdirPath
 from cggp_tpu.models import CGGP, GPR
 from cggp_tpu.ops.cg import ConjugateGradient
 from cggp_tpu.ops.kernels import Kernel, SquaredExponential
@@ -60,7 +60,12 @@ def sample_gpr_prior(kernel: Kernel, kp, inputs: Array, key, jitter: float = 1e-
 
 
 def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
-    """One dimension's resolution sweep; returns a list of row dicts."""
+    """One dimension's resolution sweep; returns a list of row dicts.
+
+    Runs in the ambient default dtype: fp64 when the CLI enables x64 (the
+    reference runs under gpflow's float64 default — fp32 NaNs out of the
+    ``jitter=1e-10`` prior Cholesky at these lengthscales).
+    """
     key = jax.random.PRNGKey(seed)
     key_x, key_f, key_probe = jax.random.split(key, 3)
     dtype = jnp.asarray(0.0).dtype
@@ -99,7 +104,7 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
         mu_approx, cov_approx = model.predict_f(params, x, full_cov=True)
         w2 = float(wasserstein2(gpr_moments, (mu_approx, cov_approx[0])))
 
-        rows.append({
+        row = {
             "dim": dim,
             "resolution": float(resolution),
             "num_inducing_points": int(m),
@@ -108,12 +113,22 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
             "eig_max": float(eigvals.max()),
             "cg_iterations": int(stats.steps),
             "wasserstein2": w2,
-        })
+        }
+        bad = [k for k, v in row.items() if not np.isfinite(v)]
+        if bad:
+            click.echo(
+                f"WARNING dim={dim} res={resolution}: non-finite {bad} — "
+                "run with -p fp64 (fp32 NaNs out of the jitter=1e-10 prior "
+                "Cholesky at these lengthscales)",
+                err=True,
+            )
+        rows.append(row)
     return rows
 
 
 @click.command("condition-wasserstein")
 @click.option("-l", "--logdir", type=LogdirPath(), default=LogdirPath.default_logdir)
+@click.option("-p", "--precision", type=FloatType(), default="fp64")
 @click.option("-n", "--num-data", type=int, default=400)
 @click.option("-s", "--seed", type=int, default=0)
 @click.option("--noise", type=float, default=0.01)
@@ -123,8 +138,11 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
     default=(1.0, 0.5, 0.2, 0.1, 0.05, 0.02),
 )
 @click.option("--plot/--no-plot", default=False)
-def main(logdir, num_data, seed, noise, dims, resolutions, plot):
+def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot):
     """Reference paper_visualization (:151-213)."""
+    if precision == np.float64:
+        jax.config.update("jax_enable_x64", True)
+
     import pandas as pd
 
     all_rows = []
