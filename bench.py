@@ -39,31 +39,15 @@ TARGET_FRACTION = 0.60
 
 
 def _bench_cache_dir() -> str:
-    """Repo-local persistent compile cache, keyed per host.
-
-    /tmp does not survive between rounds; the repo does — so the driver's
-    end-of-round bench run starts warm once any bench has run on this host.
-    Keyed by CPU model+flags: XLA AOT artifacts embed machine features and
-    reject (then silently recompile past) a mismatched host.
-    """
-    import hashlib
+    """Repo-local per-host persistent compile cache (shared scheme:
+    cggp_tpu/utils/cache.py)."""
     import os
+    import sys
 
-    tag = ""
-    try:
-        lines = []
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("model name", "flags")):
-                    lines.append(line)
-                    if len(lines) == 2:
-                        break
-        tag = hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
-    except OSError:
-        tag = "unknown"
-    return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "bench-" + tag
-    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cggp_tpu.utils.cache import compile_cache_dir
+
+    return compile_cache_dir("bench-")
 
 
 def main() -> None:

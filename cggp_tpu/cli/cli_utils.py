@@ -458,7 +458,8 @@ def batch_posterior_computation(predict_fn, data, batch_size: int):
 
 
 def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
-                          mean_only: bool = False):
+                          mean_only: bool = False,
+                          posterior_solver: str = "auto"):
     """Posterior (mean, var) over ``x`` as numpy, on the fastest serving path.
 
     Routes through ``predict_in_batches``, so every model family serves
@@ -477,7 +478,7 @@ def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
     mean, var = predict_in_batches(
         model, params, x, batch_size=batch_size,
         train_data=train_data if needs_data else None,
-        mean_only=mean_only,
+        mean_only=mean_only, posterior_solver=posterior_solver,
     )
     return np.asarray(mean), None if var is None else np.asarray(var)
 
@@ -512,12 +513,15 @@ def covariance_properties(model, params: Dict, jitter: float,
         estimator = "eigvalsh"
     return dict(
         condition_number=eig_max / eig_min, eig_min=eig_min, eig_max=eig_max,
-        condition_method=method,
         # Which estimator actually produced the numbers, so sweep CSVs mixing
         # sizes stay unambiguous (the reference computes dense-only,
         # paper_cli_uci.py:174-185).  Lanczos Ritz values converge from the
         # interior: eig_min is an OVER-estimate (condition_number optimistic)
         # — do not compare lanczos rows against eigvalsh rows directly.
+        # ``condition_method`` is a same-valued alias of ``estimator`` kept
+        # for older CSV consumers; both use the {eigvalsh, lanczos}
+        # vocabulary (the input knob's "exact" resolves to "eigvalsh").
+        condition_method=estimator,
         estimator=estimator,
         eig_min_is_upper_bound=(estimator == "lanczos"),
     )

@@ -106,10 +106,14 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
          "fire every K steps.",
 )
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=True)
+@click.option("--serving-solver", type=click.Choice(["auto", "chol", "cg"]),
+              default="auto",
+              help="Block-solve mode of the posterior dumps (auto falls "
+                   "back to CG on a non-finite Cholesky factor).")
 @click.pass_context
 def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
                steps_per_call,
-               record_step, tip, trainable_u, tensorboard):
+               record_step, tip, trainable_u, tensorboard, serving_solver):
     """Reference paper_cli_geospatial.py:207-321."""
     common_ctx = ctx.obj["common_ctx"]
     ip_ctx = ctx.obj["ip_ctx"]
@@ -187,6 +191,7 @@ def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
     for split_name, split in (("train", train_data), ("test", test_data)):
         mean, variances = dump_posterior_arrays(
             model, params, train_data, split[0], test_batch_size,
+            posterior_solver=serving_solver,
         )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
         np.save(Path(logdir, f"{split_name}_variances.npy"), variances)

@@ -32,8 +32,16 @@ from cggp_tpu.utils import load_config_dir
 @click.option("--mean-only", is_flag=True, default=False,
               help="Dump posterior means only — the CG-free cached path "
                    "for CDGP (docs/PERF.md: 16x serving throughput).")
+@click.option("--serving-solver", type=click.Choice(["auto", "chol", "cg"]),
+              default="auto",
+              help="Block-solve mode of the serving cache: chol = one-time "
+                   "factorization + triangular solves (fast; needs "
+                   "kappa(Kmm+Lambda) within fp32 range), cg = the "
+                   "preconditioned-CG path (any conditioning). auto = chol "
+                   "for M<=16384 with automatic CG fallback on a "
+                   "non-finite factor.")
 def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
-         mean_only):
+         mean_only, serving_solver):
     flat, info = load_config_dir(config_dir)
     dataset_name = info.get("dataset_name", info.get("dataset"))
     seed = int(info.get("seed", 0))
@@ -51,7 +59,7 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
     for split_name, split in (("train", dataset.train), ("test", dataset.test)):
         mean, var = dump_posterior_arrays(
             model, params, dataset.train, split[0], test_batch_size,
-            mean_only=mean_only,
+            mean_only=mean_only, posterior_solver=serving_solver,
         )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
         if var is not None:

@@ -204,8 +204,11 @@ class CGGP(ClusterGP):
         if solver == "chol":
             chol = jnp.linalg.cholesky(kmm_lambda)
             nu = jax.scipy.linalg.cho_solve((chol, True), u)
+            # kmm_lambda=None: the chol path never reads the raw system
+            # matrix (posterior_predict solves through the factor), and
+            # carrying it would double the cache's HBM at large M.
             return CGGPPosterior(
-                kernel_params=kp, inducing_points=z, kmm_lambda=kmm_lambda,
+                kernel_params=kp, inducing_points=z, kmm_lambda=None,
                 nu=nu, precond_state=(), chol=chol,
             )
         if solver != "cg":
@@ -390,7 +393,8 @@ class CGGPPosterior(NamedTuple):
 
     kernel_params: Dict
     inducing_points: Array
-    kmm_lambda: Array  # [M, M] = Kmm + diag(Lambda)
+    kmm_lambda: Optional[Array]  # [M, M] = Kmm + diag(Lambda); None on the
+    # chol path (the factor alone serves — saves an [M, M] HBM buffer)
     nu: Array  # [M, 1] = (Kmm + Lambda)^{-1} pseudo_u
     precond_state: Tuple  # () = identity, else SpectralPreconditioner state
     chol: Optional[Array] = None  # [M, M] lower Cholesky of Kmm + Lambda

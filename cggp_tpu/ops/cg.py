@@ -55,6 +55,10 @@ class CGState(NamedTuple):
 class CGStats(NamedTuple):
     steps: Array  # int32 iterations executed
     error: Array  # 0.5 * final rz, [m, 1]
+    converged: Optional[Array] = None  # bool scalar: stop rule met at exit.
+    # ``steps == max_iterations`` alone cannot distinguish "hit the cap
+    # unconverged" from "converged exactly on the last permitted iteration";
+    # the loop evaluates its own stop rule once more at exit to settle it.
 
 
 def _standard_dot(a: Array, b: Array) -> Array:
@@ -295,6 +299,7 @@ def cg_loop(
     dot: Callable[[Array, Array], Array] = _standard_dot,
     mat_for_precond: Optional[Array] = None,
     relative_threshold: bool = False,
+    iteration_budget: Optional[Array] = None,
 ) -> Tuple[Array, CGStats]:
     """Run PCG on ``v A = b`` (row convention) with an abstract matvec.
 
@@ -320,7 +325,13 @@ def cg_loop(
     def stopping_condition(state: CGState) -> Array:
         norm_r_sq = jnp.sum(jnp.square(state.r), axis=-1, keepdims=True)
         over_threshold = jnp.any(0.5 * norm_r_sq > threshold)
-        return jnp.logical_and(over_threshold, state.i < max_iterations)
+        in_budget = state.i < max_iterations
+        if iteration_budget is not None:
+            # Traced upper bound (e.g. the iterative-refinement caller's
+            # remaining budget); max_iterations stays static so the
+            # restart-branch elision below remains a compile-time decision.
+            in_budget = jnp.logical_and(in_budget, state.i < iteration_budget)
+        return jnp.logical_and(over_threshold, in_budget)
 
     # With the facade default max_steps_cycle = max_iterations + 1 the restart
     # branch can never fire — compile it out entirely.  This matters: the
@@ -360,7 +371,10 @@ def cg_loop(
     z, rz = precond_apply(precond_state, r, mat_for_precond)
     initial_state = CGState(jnp.asarray(0, dtype=jnp.int32), v0, r, z, rz)
     final_state = jax.lax.while_loop(stopping_condition, cg_step, initial_state)
-    stats = CGStats(steps=final_state.i, error=0.5 * final_state.rz)
+    final_r_sq = jnp.sum(jnp.square(final_state.r), axis=-1, keepdims=True)
+    converged = jnp.logical_not(jnp.any(0.5 * final_r_sq > threshold))
+    stats = CGStats(steps=final_state.i, error=0.5 * final_state.rz,
+                    converged=converged)
     return final_state.v, stats
 
 
@@ -434,6 +448,10 @@ def ir_cg_loop(
             dot=dot,
             mat_for_precond=mat_for_precond,
             relative_threshold=True,
+            # Hand the inner solve only the REMAINING budget so total inner
+            # iterations can never exceed the caller's max_iterations (a
+            # full-budget inner solve per cycle could near-double it).
+            iteration_budget=max_iterations - total_inner,
         )
         v = v + d
         r = b - matvec_hi(v)  # exact fp32 residual: refinement's anchor
@@ -448,7 +466,8 @@ def ir_cg_loop(
     )
     _outer, total_inner, v, r = jax.lax.while_loop(outer_cond, outer_body, state)
     error = 0.5 * jnp.sum(jnp.square(r), axis=-1, keepdims=True)
-    return v, CGStats(steps=total_inner, error=error)
+    converged = jnp.logical_not(jnp.any(error > threshold))
+    return v, CGStats(steps=total_inner, error=error, converged=converged)
 
 
 def mixed_cg_loop(
@@ -512,7 +531,12 @@ def mixed_cg_loop(
         return jnp.logical_and(over, state.i < max_iterations)
 
     def outer_body(state: CGState) -> CGState:
-        state = jax.lax.fori_loop(0, refresh_every, cg_step, state)
+        # Clamp the cycle to the remaining budget: an unconditional
+        # refresh_every-step cycle could overshoot max_iterations by up to
+        # refresh_every - 1 (dynamic trip count lowers to a while; the
+        # per-step bound check is noise next to the matvec).
+        n_steps = jnp.minimum(refresh_every, max_iterations - state.i)
+        state = jax.lax.fori_loop(0, n_steps, cg_step, state)
         # Reliable update: replace the drifted recursive residual with the
         # exact fp32 one; carry the direction's momentum through beta.
         r = b - matvec_hi(state.v)
@@ -526,7 +550,8 @@ def mixed_cg_loop(
     state = CGState(jnp.asarray(0, jnp.int32), v0, r0, z0, rz0)
     final = jax.lax.while_loop(outer_cond, outer_body, state)
     error = 0.5 * jnp.sum(jnp.square(final.r), axis=-1, keepdims=True)
-    return final.v, CGStats(steps=final.i, error=error)
+    converged = jnp.logical_not(jnp.any(error > threshold))
+    return final.v, CGStats(steps=final.i, error=error, converged=converged)
 
 
 # ---------------------------------------------------------------------------
@@ -570,7 +595,10 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
             solution = v0 + delta
             residual = rhs - jnp.matmul(solution, matrix, precision=hi)
             error = 0.5 * jnp.sum(jnp.square(residual), axis=-1, keepdims=True)
-            return solution, CGStats(steps=steps, error=error)
+            converged = jnp.logical_not(
+                jnp.any(error > jnp.asarray(error_threshold, error.dtype))
+            )
+            return solution, CGStats(steps=steps, error=error, converged=converged)
         matvec_impl = "xla"
 
     if matvec_impl in ("bf16_ir", "bf16_ru"):

@@ -155,7 +155,7 @@ def make_sharded_cg(
 
     sharded_solve = jax.shard_map(
         _solve_body, mesh=mesh, in_specs=specs_in + (P(),),
-        out_specs=(P(), CGStats(P(), P())),
+        out_specs=(P(), CGStats(P(), P(), P())),
     )
 
     def _matvec_body(kp, z, lam, mask, p):

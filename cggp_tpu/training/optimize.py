@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import time
+import warnings
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -553,18 +554,28 @@ def make_cg_stats_callback(model, data: Tuple[Array, Array],
         cap = model.conjugate_gradient.max_iterations  # may be None (=> M)
     else:
         cap = getattr(model, "max_cg_iterations", None)
-    warned = []
+    was_unconverged = [False]
 
     def cg_stats_fn(step: int, params: Dict) -> Dict:
         stats = stats_fn(params, batch, jax.random.fold_in(base_key, step))
         steps = int(stats.steps)
         max_error = float(np.max(np.asarray(stats.error)))
         limit = cap if cap is not None else params["inducing_points"].shape[0]
-        # The loop only reaches the cap when the stop rule was still unmet
-        # (while: any-over-threshold AND i < cap).
-        unconverged = steps >= int(limit)
-        if unconverged and not warned:
-            warned.append(step)
+        if getattr(stats, "converged", None) is not None:
+            # The loop re-evaluates its own stop rule at exit, so this is
+            # exact — no false positive when the solve converges on the
+            # last permitted iteration.
+            unconverged = not bool(stats.converged)
+        else:
+            # Fallback for stats without the flag: reaching the cap usually
+            # means the stop rule was still unmet.
+            unconverged = steps >= int(limit)
+        # Warn on each converged->unconverged TRANSITION (not just once):
+        # a later training phase going unconverged should not be silenced
+        # by an earlier warning.
+        newly = unconverged and not was_unconverged[0]
+        was_unconverged[0] = unconverged
+        if newly:
             _warnings.warn(
                 f"CG solve hit max_iterations={limit} without converging at "
                 f"step {step} (residual 0.5*rz={max_error:.3e}). Results may "
@@ -627,9 +638,22 @@ def _cached_predict_jit(model):
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_posterior_jits(model):
+def _posterior_takes_solver(model) -> bool:
+    import inspect
+
+    return "solver" in inspect.signature(model.posterior).parameters
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_posterior_jits(model, solver: str = "auto"):
+    if _posterior_takes_solver(model):
+        build = jax.jit(functools.partial(model.posterior, solver=solver))
+    else:
+        # Cholesky-family models (GPR/SGPR/ClusterGP/LpSVGP) have a single
+        # natural serving path; the solver knob is CGGP-specific.
+        build = jax.jit(model.posterior)
     return (
-        jax.jit(model.posterior),
+        build,
         jax.jit(lambda post, xb: model.posterior_predict(post, xb, full_cov=False)),
         jax.jit(model.posterior_mean),
     )
@@ -646,7 +670,8 @@ def _posterior_takes_data(model) -> bool:
 
 def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
-                       mean_only: bool = False, use_posterior: bool = True):
+                       mean_only: bool = False, use_posterior: bool = True,
+                       posterior_solver: str = "auto"):
     """Full-dataset posterior (mean, var), asynchronously pipelined (net-new).
 
     One jitted predict per fixed-size batch, dispatched back-to-back with NO
@@ -667,6 +692,10 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
     posterior mean without ANY per-batch CG (measured 16x, 2.0M points/s) —
     the common shape for ranking/regression serving.  ``mean_only`` returns
     ``(mean, None)``.
+
+    ``posterior_solver`` ("auto"/"chol"/"cg") is forwarded to models whose
+    ``posterior()`` takes a solver (CGGP/ShardedCGGP); "auto" falls back to
+    CG automatically if the Cholesky factor comes back non-finite.
     """
     n = x.shape[0]
     batch_size = min(int(batch_size), n)
@@ -691,9 +720,34 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         # per model so repeated calls reuse the compiled executables — a
         # fresh closure per call would re-trace AND re-compile every time
         # (minutes through a remote-device tunnel).
-        build, post_predict, post_mean = _cached_posterior_jits(model)
+        build, post_predict, post_mean = _cached_posterior_jits(
+            model, posterior_solver
+        )
         post = build(params, train_data) if _posterior_takes_data(model) \
             else build(params)
+        # auto/chol guard: a raw Cholesky of an ill-conditioned Kmm+Lambda
+        # NaNs silently (exactly the regime CGGP's preconditioned CG exists
+        # for).  One [M] host check per cache build (not per batch); on a
+        # non-finite factor fall back to the CG serving path.
+        if (
+            posterior_solver != "cg"
+            and getattr(post, "chol", None) is not None
+            and not bool(jnp.all(jnp.isfinite(jnp.diagonal(post.chol))))
+        ):
+            if posterior_solver == "chol":
+                raise FloatingPointError(
+                    "posterior(solver='chol'): non-finite Cholesky factor — "
+                    "Kmm+Lambda is too ill-conditioned for a raw fp32 "
+                    "factorization; use posterior_solver='cg'"
+                )
+            warnings.warn(
+                "posterior(solver='auto'): Cholesky factor is non-finite "
+                "(ill-conditioned Kmm+Lambda); falling back to CG serving",
+                RuntimeWarning,
+            )
+            build, post_predict, post_mean = _cached_posterior_jits(model, "cg")
+            post = build(params, train_data) if _posterior_takes_data(model) \
+                else build(params)
         if mean_only:
             means = [
                 post_mean(post, x_pad[i * batch_size : (i + 1) * batch_size])

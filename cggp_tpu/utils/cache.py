@@ -1,0 +1,55 @@
+"""Repo-local persistent XLA compile-cache location, keyed per host.
+
+Single source of truth for the cache-dir scheme shared by ``bench.py`` and
+``tests/conftest.py``.  Two facts drive the design (measured, docs/PERF.md):
+
+* /tmp does not survive between rounds; the repo does — so a repo-local dir
+  makes the driver's end-of-round runs start warm once any run has happened
+  on this host.
+* XLA AOT artifacts embed the builder machine's feature list and the loader
+  REJECTS mismatches with a silent (and itself expensive) recompile — a
+  cache written by a different host POISONS every lookup (measured 82 s for
+  a 5 s test).  So the dir is keyed by a CPU fingerprint: model name AND
+  flags, because XLA synthesizes extra features (e.g. +prefer-no-gather)
+  from the CPU *model* — two hosts with identical cpuinfo flags can still
+  produce mutually-rejecting artifacts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def cpu_fingerprint() -> str:
+    try:
+        lines = []
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    lines.append(line)
+                    if len(lines) == 2:
+                        break
+        if lines:
+            return hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+
+
+def compile_cache_dir(prefix: str = "") -> str:
+    """``<repo>/.jax_cache/<prefix><cpu-fingerprint>``."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, ".jax_cache", prefix + cpu_fingerprint())
+
+
+def enable_persistent_cache(jax, prefix: str = "") -> None:
+    """Point jax's persistent compilation cache at the per-host repo dir."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", compile_cache_dir(prefix))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax without these flags: just compile

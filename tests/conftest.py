@@ -27,43 +27,15 @@ jax.config.update("jax_enable_x64", True)
 # multi-device tests especially).  Caching compiled executables under
 # .jax_cache/ (gitignored) makes warm reruns start executing immediately.
 #
-# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT artifacts embed
-# the builder's machine features and the loader REJECTS mismatches (falls
-# back to a silent recompile), so a cache written on a different host poisons
-# every lookup — measured 82 s for a 5 s test.  A per-machine subdir keeps
-# each host's cache clean.
-import hashlib
+# Dir scheme (per-host CPU fingerprint; why: see cggp_tpu/utils/cache.py —
+# a cache written on a different host poisons every lookup, measured 82 s
+# for a 5 s test).
+import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+from cggp_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
-def _cpu_fingerprint() -> str:
-    # Hash model name AND flags: XLA synthesizes extra features (e.g.
-    # +prefer-no-gather) from the CPU *model*, so two hosts with identical
-    # cpuinfo flags can still produce mutually-rejecting AOT artifacts.
-    try:
-        lines = []
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("model name", "flags")):
-                    lines.append(line)
-                    if len(lines) == 2:
-                        break
-        if lines:
-            return hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
-
-
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(
-        os.path.dirname(__file__), os.pardir, ".jax_cache", _cpu_fingerprint()
-    ),
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+enable_persistent_cache(jax)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -82,6 +82,52 @@ def test_cg_stats_and_threshold(rng):
     assert float(jnp.max(0.5 * jnp.sum(residual**2, axis=0))) <= 1e-8
 
 
+def test_cg_stats_converged_flag(rng):
+    """CGStats.converged reflects the exit-time stop rule exactly: True when
+    the threshold was met (even on the last permitted iteration), False when
+    the cap cut the solve short."""
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise)
+
+    # An achievable threshold (1e-12 legitimately caps out on this
+    # ill-conditioned SE system — and converged correctly reports that).
+    _, stats = ConjugateGradient(1e-6).solve_with_stats(matrix, rhs)
+    assert int(stats.steps) < matrix.shape[0]
+    assert bool(stats.converged)
+
+    # Cap at the natural step count: steps == cap AND converged.
+    cap = int(stats.steps)
+    _, stats_capped = ConjugateGradient(
+        1e-6, max_iterations=cap
+    ).solve_with_stats(matrix, rhs)
+    assert int(stats_capped.steps) == cap
+    assert bool(stats_capped.converged)
+
+    # Starve the solve: unconverged.
+    _, stats_starved = ConjugateGradient(
+        1e-14, max_iterations=2
+    ).solve_with_stats(matrix, rhs)
+    assert not bool(stats_starved.converged)
+
+
+def test_mixed_precision_loops_respect_iteration_cap(rng):
+    """bf16_ru / bf16_ir must honor max_iterations exactly: the reliable-
+    update cycle and the refinement's inner solves are clamped to the
+    remaining budget (they previously overshot by up to a full cycle)."""
+    kernel, params, inputs, rhs, noise = _make_system(rng)
+    matrix = _system_matrix(kernel, params, inputs, noise).astype(jnp.float32)
+    rhs32 = rhs.T.astype(jnp.float32)
+
+    for impl in ("bf16_ru", "bf16_ir"):
+        for cap in (2, 7):
+            _, stats = conjugate_gradient(
+                matrix, rhs32, jnp.zeros_like(rhs32), 1e-14,
+                max_iterations=cap, matvec_impl=impl,
+            )
+            assert int(stats.steps) <= cap, (impl, cap, int(stats.steps))
+            assert not bool(stats.converged)
+
+
 def test_cg_restart_cycle(rng):
     """max_steps_cycle triggers an exact residual recompute and still converges."""
     kernel, params, inputs, rhs, noise = _make_system(rng)

@@ -296,6 +296,9 @@ def test_cggp_posterior_cache_matches_predict_f(rng):
         for solver in ("auto", "cg"):
             post = model.posterior(params, solver=solver)
             assert (post.chol is not None) == (solver == "auto")
+            # chol path drops the raw [M, M] system matrix (the factor alone
+            # serves) — carrying both would double the cache's HBM.
+            assert (post.kmm_lambda is None) == (solver == "auto")
             mu1, var1 = model.posterior_predict(post, x[:48])
             mu2 = model.posterior_mean(post, x[:48])
             np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), atol=1e-5)

@@ -272,6 +272,77 @@ def test_cg_stats_callback_warns_on_unconverged(rng):
         assert len(caught) == n_warn
 
 
+def test_cg_stats_callback_no_false_positive_at_cap(rng):
+    """Converging EXACTLY on the last permitted iteration is not a failure:
+    the loop's own exit-time stop-rule evaluation (CGStats.converged) must
+    keep cg/unconverged clear and emit no warning."""
+    import warnings
+
+    from cggp_tpu.training.optimize import make_cg_stats_callback
+
+    data = _toy_data(rng, n=64)
+    x, y = data
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:12])
+
+    def build(cap):
+        model = CGGP(
+            kernel=SquaredExponential(),
+            conjugate_gradient=ConjugateGradient(
+                error_threshold=1e-8, max_iterations=cap
+            ),
+            num_data=x.shape[0],
+            num_probes=3,
+        )
+        params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
+        return model, params
+
+    # Find the natural convergence step count under a generous cap...
+    model, params = build(64)
+    steps = int(model.cg_stats(params, data, jax.random.PRNGKey(0)).steps)
+    assert 0 < steps < 64
+    # ...then cap the solver at exactly that count: steps == max_iterations
+    # yet the solve IS converged.
+    model_capped, params = build(steps)
+    cb = make_cg_stats_callback(model_capped, data, batch_size=64)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = cb(0, params)
+    assert out["cg/steps"] == steps
+    assert out["cg/unconverged"] == 0
+    assert not any(issubclass(w.category, RuntimeWarning) for w in caught)
+
+
+def test_predict_in_batches_solver_threading(rng):
+    """posterior_solver is forwarded to solver-aware models; 'chol' refuses a
+    non-finite factor loudly and 'auto' falls back to the CG path."""
+    import pytest as _pytest
+
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    data = _toy_data(rng, n=100)
+    model, params = _make_cggp(data, m=8)
+    x_query = _toy_data(rng, n=37)[0]
+    mu, var = model.predict_f(params, x_query)
+
+    mu_cg, var_cg = predict_in_batches(model, params, x_query, batch_size=16,
+                                       posterior_solver="cg")
+    np.testing.assert_allclose(np.asarray(mu_cg), np.asarray(mu),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_cg), np.asarray(var),
+                               rtol=1e-3, atol=1e-5)
+
+    # Poison the system so the Cholesky factor is non-finite: explicit chol
+    # raises, auto warns and falls back to CG.
+    bad = dict(params)
+    bad["inducing_points"] = params["inducing_points"].at[0, 0].set(jnp.nan)
+    with _pytest.raises(FloatingPointError):
+        predict_in_batches(model, bad, x_query, batch_size=16,
+                           posterior_solver="chol")
+    with _pytest.warns(RuntimeWarning, match="falling back to CG"):
+        predict_in_batches(model, bad, x_query, batch_size=16,
+                           posterior_solver="auto")
+
+
 def test_vanilla_lbfgs_variants(rng):
     """Reference optimize.py:101-150 twins: plain L-BFGS and the
     Z-only-per-step update variant."""
