@@ -55,6 +55,16 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
     from cggp_tpu.utils import assign_flat
 
     params = assign_flat(params, flat)
+    if "pseudo_u" in params and "pseudo_u" not in flat:
+        # e.g. a GPR config dir: hyperparameters only.  The variational mean
+        # stays at its zero init, so every dumped posterior mean is exactly
+        # zero — correct algebra, but rarely what the caller wanted.
+        click.echo(
+            "WARNING: config dir carries no pseudo_u (hyperparameters only); "
+            "posterior means will be identically zero. Pass a trained "
+            "cdgp/geospatial config dir for non-trivial means.",
+            err=True,
+        )
 
     for split_name, split in (("train", dataset.train), ("test", dataset.test)):
         mean, var = dump_posterior_arrays(
