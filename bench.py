@@ -38,16 +38,20 @@ HBM_GBPS = {"tpu": 819.0, "cpu": 50.0, "gpu": 1000.0}
 TARGET_FRACTION = 0.60
 
 
-def _bench_cache_dir() -> str:
-    """Repo-local per-host persistent compile cache (shared scheme:
-    cggp_tpu/utils/cache.py)."""
+def _cache_helpers():
+    """Shared per-host persistent compile-cache scheme
+    (cggp_tpu/utils/cache.py — single source of truth)."""
     import os
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from cggp_tpu.utils.cache import compile_cache_dir
+    from cggp_tpu.utils import cache
 
-    return compile_cache_dir("bench-")
+    return cache
+
+
+def _bench_cache_dir() -> str:
+    return _cache_helpers().compile_cache_dir("bench-")
 
 
 def main() -> None:
@@ -55,11 +59,7 @@ def main() -> None:
 
     # Persistent compile cache: first-compile through the remote-device
     # tunnel is minutes; cached re-runs start in seconds (docs/PERF.md).
-    try:
-        jax.config.update("jax_compilation_cache_dir", _bench_cache_dir())
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass  # older jax without these flags: just compile
+    _cache_helpers().enable_persistent_cache(jax, "bench-")
 
     import jax.numpy as jnp
 
@@ -299,11 +299,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
 def _e2e_child() -> None:
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", _bench_cache_dir())
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
+    _cache_helpers().enable_persistent_cache(jax, "bench-")
     platform = jax.devices()[0].platform
     if platform == "axon":
         platform = "tpu"

@@ -518,10 +518,12 @@ def covariance_properties(model, params: Dict, jitter: float,
         # paper_cli_uci.py:174-185).  Lanczos Ritz values converge from the
         # interior: eig_min is an OVER-estimate (condition_number optimistic)
         # — do not compare lanczos rows against eigvalsh rows directly.
-        # ``condition_method`` is a same-valued alias of ``estimator`` kept
-        # for older CSV consumers; both use the {eigvalsh, lanczos}
-        # vocabulary (the input knob's "exact" resolves to "eigvalsh").
-        condition_method=estimator,
+        # ``estimator`` ({eigvalsh, lanczos}) is the canonical provenance
+        # field; ``condition_method`` keeps the legacy {exact, lanczos}
+        # vocabulary so CSVs accumulated across rounds stay comparable
+        # (changing its values would make uci-csv's mixed-estimator check
+        # flag old-vs-new rows of the SAME dense estimator).
+        condition_method=method,
         estimator=estimator,
         eig_min_is_upper_bound=(estimator == "lanczos"),
     )

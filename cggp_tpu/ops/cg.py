@@ -595,8 +595,16 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
             solution = v0 + delta
             residual = rhs - jnp.matmul(solution, matrix, precision=hi)
             error = 0.5 * jnp.sum(jnp.square(residual), axis=-1, keepdims=True)
-            converged = jnp.logical_not(
-                jnp.any(error > jnp.asarray(error_threshold, error.dtype))
+            # The in-kernel stop rule runs on the RECURSIVE residual; the
+            # exact residual recomputed here can sit just above threshold
+            # from recurrence drift.  An early exit (steps < cap) means the
+            # kernel's own rule WAS met — count that as converged rather
+            # than spuriously flagging a drift-sized excess.
+            converged = jnp.logical_or(
+                steps < max_iterations,
+                jnp.logical_not(
+                    jnp.any(error > jnp.asarray(error_threshold, error.dtype))
+                ),
             )
             return solution, CGStats(steps=steps, error=error, converged=converged)
         matvec_impl = "xla"

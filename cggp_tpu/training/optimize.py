@@ -576,8 +576,14 @@ def make_cg_stats_callback(model, data: Tuple[Array, Array],
         newly = unconverged and not was_unconverged[0]
         was_unconverged[0] = unconverged
         if newly:
+            # steps can be below the cap (e.g. bf16_ir exhausting its
+            # refinement cycles): report what actually happened.
+            how = (
+                f"hit max_iterations={limit}" if steps >= int(limit)
+                else f"stopped after {steps} iterations (cap {limit})"
+            )
             _warnings.warn(
-                f"CG solve hit max_iterations={limit} without converging at "
+                f"CG solve {how} without converging at "
                 f"step {step} (residual 0.5*rz={max_error:.3e}). Results may "
                 "be silently inaccurate — raise max_iterations, enable "
                 "relative_threshold, or add a preconditioner (pivchol/rff).",
@@ -728,9 +734,13 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         # auto/chol guard: a raw Cholesky of an ill-conditioned Kmm+Lambda
         # NaNs silently (exactly the regime CGGP's preconditioned CG exists
         # for).  One [M] host check per cache build (not per batch); on a
-        # non-finite factor fall back to the CG serving path.
+        # non-finite factor fall back to the CG serving path.  Only for
+        # solver-aware models (CGGP/ShardedCGGP): the Cholesky families
+        # (GPR/ClusterGP/LpSVGP) have no CG path to fall back to, so a
+        # non-finite factor there just surfaces as NaN outputs.
         if (
             posterior_solver != "cg"
+            and _posterior_takes_solver(model)
             and getattr(post, "chol", None) is not None
             and not bool(jnp.all(jnp.isfinite(jnp.diagonal(post.chol))))
         ):

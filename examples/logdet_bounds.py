@@ -32,9 +32,12 @@ NOISE = 1e-3
 
 
 def main():
+    # synthetic(n=...) returns the 0.67 TRAIN split — size the demo off the
+    # actual array, not the requested n (out-of-range jnp indexing clamps
+    # silently and would fabricate "bounds" equal to the exact value).
     (x, _y), _ = synthetic(n=200, dim=1, seed=0)
     x = jnp.asarray(x)
-    n = x.shape[0]
+    n = int(x.shape[0])
 
     kernel = SquaredExponential()
     kp = kernel.init_params(dtype=x.dtype)
@@ -56,7 +59,7 @@ def main():
 
     print("cumulative-Cholesky lower bound (reference logdet_test.py:20-31):")
     prev = -np.inf
-    for m in (10, 25, 50, 100, 150, 199):
+    for m in sorted({max(2, round(f * n)) for f in (0.05, 0.12, 0.25, 0.5, 0.75)} | {n - 1}):
         t = jax.scipy.linalg.solve_triangular(
             chol[:m, :m], k[:m, m:], lower=True
         )

@@ -296,9 +296,12 @@ def test_cg_stats_callback_no_false_positive_at_cap(rng):
         params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
         return model, params
 
-    # Find the natural convergence step count under a generous cap...
+    # Find the natural convergence step count under a generous cap — with
+    # the SAME probe key the callback uses for step 0 (fold_in(key, 0)):
+    # different probes would change the fused RHS and the step count.
+    probe_key = jax.random.fold_in(jax.random.PRNGKey(0), 0)
     model, params = build(64)
-    steps = int(model.cg_stats(params, data, jax.random.PRNGKey(0)).steps)
+    steps = int(model.cg_stats(params, data, probe_key).steps)
     assert 0 < steps < 64
     # ...then cap the solver at exactly that count: steps == max_iterations
     # yet the solve IS converged.
@@ -341,6 +344,22 @@ def test_predict_in_batches_solver_threading(rng):
     with _pytest.warns(RuntimeWarning, match="falling back to CG"):
         predict_in_batches(model, bad, x_query, batch_size=16,
                            posterior_solver="auto")
+
+    # Cholesky-family models have no CG path: the guard must stay silent
+    # (no bogus "falling back to CG" advice) and NaNs surface as NaNs.
+    import warnings as _warnings
+
+    from cggp_tpu.models import GPR
+
+    gpr = GPR(kernel=SquaredExponential())
+    gp = gpr.init_params(input_dim=2)
+    gp["kernel"]["lengthscales"] = gp["kernel"]["lengthscales"] * jnp.nan
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        mu_bad, _ = predict_in_batches(gpr, gp, x_query, batch_size=16,
+                                       train_data=data)
+    assert not any("falling back" in str(w.message) for w in caught)
+    assert not np.isfinite(np.asarray(mu_bad)).any()
 
 
 def test_vanilla_lbfgs_variants(rng):
