@@ -54,7 +54,43 @@ def _bench_cache_dir() -> str:
     return _cache_helpers().compile_cache_dir("bench-")
 
 
+def _backend_responsive(timeout_s: int = 150) -> bool:
+    """Probe backend init in a CHILD with a hard deadline.
+
+    A wedged TPU tunnel (pool server grinding after a client died
+    mid-compile — observed) makes ``jax.devices()`` block indefinitely;
+    probing in-process would hang this whole script and lose the JSON line.
+    The child inherits the env, so it hangs instead of us and the timeout
+    kills it.
+    """
+    import os
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_responsive():
+        # Still print the one-line JSON contract so the round artifact
+        # records WHY there is no number instead of being empty.
+        print(json.dumps({
+            "metric": "cg_matvec_throughput", "value": 0.0, "unit": "GB/s",
+            "vs_baseline": 0.0,
+            "error": "accelerator backend init timed out (device tunnel "
+                     "unresponsive); rerun when the tunnel recovers",
+        }))
+        return
+
     import jax
 
     # Persistent compile cache: first-compile through the remote-device
