@@ -78,7 +78,14 @@ def run_sweep(config: Dict, dry_run: bool = False, echo=print) -> List[int]:
                 device_indices[i % len(device_indices)]
             )
         if platforms:
-            env["JAX_PLATFORMS"] = str(platforms[i % len(platforms)])
+            target = str(platforms[i % len(platforms)])
+            env["JAX_PLATFORMS"] = target
+            if target == "cpu":
+                # The TPU-tunnel sitecustomize initialises its backend at
+                # interpreter startup whenever this var is set, OVERRIDING
+                # JAX_PLATFORMS=cpu — a cpu-pinned child would silently run
+                # on (and contend for) the tunnel device.  Drop it.
+                env.pop("PALLAS_AXON_POOL_IPS", None)
         echo(f"[{i}] {job['cmd']}")
         if dry_run:
             return 0

@@ -361,10 +361,19 @@ def test_train_checkpoint_and_resume(runner, tmp_path):
 
 def test_sweep_platform_pinning(runner, tmp_path):
     """[flags] platforms / --platform export JAX_PLATFORMS to sweep children
-    (the TPU-native analogue of the reference's gpu_indices pinning)."""
+    (the TPU-native analogue of the reference's gpu_indices pinning); a
+    cpu-pinned child must also have the TPU-tunnel var dropped (the axon
+    sitecustomize otherwise overrides JAX_PLATFORMS=cpu)."""
+    marker = tmp_path / "childenv.txt"
+    child = (
+        "import os, pathlib; "
+        "pathlib.Path(r'%s').write_text("
+        "os.environ.get('JAX_PLATFORMS', '') + '|' + "
+        "os.environ.get('PALLAS_AXON_POOL_IPS', '<unset>'))" % marker
+    )
     config_path = tmp_path / "sweep.toml"
     config_path.write_text(
-        'cmd = "python -c \\"import os; print(os.environ.get(chr(74)+chr(65)+chr(88)+chr(95)+chr(80)+chr(76)+chr(65)+chr(84)+chr(70)+chr(79)+chr(82)+chr(77)+chr(83)))\\""\n'
+        f'cmd = "python -c \\"{child}\\""\n'
         "[[exp]]\n"
         'cmd = "{cmd}"\n'
         'uid = ""\n'
@@ -376,8 +385,18 @@ def test_sweep_platform_pinning(runner, tmp_path):
     import tomllib
 
     config = tomllib.load(open(config_path, "rb"))
-    codes = run_sweep(config, dry_run=False, echo=lambda *a: None)
+    import os
+
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "placeholder-for-test")
+    try:
+        codes = run_sweep(config, dry_run=False, echo=lambda *a: None)
+    finally:
+        if os.environ.get("PALLAS_AXON_POOL_IPS") == "placeholder-for-test":
+            del os.environ["PALLAS_AXON_POOL_IPS"]
     assert codes == [0]
+    platform, pool = marker.read_text().split("|")
+    assert platform == "cpu"
+    assert pool == "<unset>"
 
 
 def test_dataset_type_synthetic_inline_params():
