@@ -305,6 +305,13 @@ def create_update_fn(
         def update_fn(params: Dict) -> Dict:
             dist = _distance_fn(model, params, distance_type)
             iv_init = params["inducing_points"]
+            if "inducing_mask" in params:
+                # Sharded model: drop the mesh-divisibility pads (placed at
+                # 1e6 coords) — warm-starting Lloyd's from pad rows would
+                # either poison the centroids or miss the count check below
+                # and silently discard the warm start entirely.
+                real = np.asarray(params["inducing_mask"])[:, 0] > 0.5
+                iv_init = iv_init[real]
             if iv_init.shape[0] != max_points:
                 idx = np.random.RandomState(seed).choice(
                     x.shape[0], max_points, replace=False

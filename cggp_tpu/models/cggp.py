@@ -94,11 +94,17 @@ class CGGP(ClusterGP):
         kmm_lambda = add_diagonal(kmm, var[:, 0])
 
         cg = self.conjugate_gradient
-        key_probes, key_logdet = jax.random.split(key)
+        # One up-front split: trace probes, logdet probes, preconditioner
+        # sketch — no key is consumed twice.
+        key_probes, key_logdet, key_pre = jax.random.split(key, 3)
+        # Same per-step preconditioner as the fused ELBO / predict paths:
+        # an unpreconditioned KL solve would silently stall in exactly the
+        # ill-conditioned fp32 regime `precondition` exists for.
+        precond = self._build_preconditioner(kp, z, kmm, var, key_pre)
 
         if self.num_probes is None:
-            kmm_lambda_inv_u = cg(kmm_lambda, u)
-            kmm_lambda_inv_kmm = cg(kmm_lambda, kmm)
+            kmm_lambda_inv_u = cg(kmm_lambda, u, preconditioner=precond)
+            kmm_lambda_inv_kmm = cg(kmm_lambda, kmm, preconditioner=precond)
             trace = jnp.trace(kmm_lambda_inv_kmm)
             logdet_probes = None
         else:
@@ -106,12 +112,12 @@ class CGGP(ClusterGP):
             if self.fuse_kl_solves:
                 # One batched solve for [u | probes]: [M, P+1] RHS.
                 rhs = jnp.concatenate([u, probes], axis=-1)
-                solved = cg(kmm_lambda, rhs)
+                solved = cg(kmm_lambda, rhs, preconditioner=precond)
                 kmm_lambda_inv_u = solved[:, :1]
                 kmm_lambda_inv_probes = solved[:, 1:]
             else:
-                kmm_lambda_inv_u = cg(kmm_lambda, u)
-                kmm_lambda_inv_probes = cg(kmm_lambda, probes)
+                kmm_lambda_inv_u = cg(kmm_lambda, u, preconditioner=precond)
+                kmm_lambda_inv_probes = cg(kmm_lambda, probes, preconditioner=precond)
             kmm_probes = kmm @ probes
             trace = jnp.sum(kmm_lambda_inv_probes * kmm_probes) / jnp.asarray(
                 self.num_probes, dtype=dtype
@@ -126,9 +132,11 @@ class CGGP(ClusterGP):
                 num_probes=logdet_probes or 8,
                 key=key_logdet,
                 lanczos_iters=self.slq_lanczos_iters,
+                preconditioner=precond,
             )
         else:
-            logdet = eval_logdet(kmm_lambda, cg, num_probes=logdet_probes, key=key_logdet)
+            logdet = eval_logdet(kmm_lambda, cg, num_probes=logdet_probes,
+                                 key=key_logdet, preconditioner=precond)
 
         const = jnp.sum(jnp.log(var))
         return 0.5 * (quad - trace + logdet - const)
@@ -283,7 +291,9 @@ class CGGP(ClusterGP):
         kmn = self.kernel.K(kp, z, x)  # [M, B]
 
         cg = self.conjugate_gradient
-        key_probes, key_logdet = jax.random.split(key)
+        # One up-front split (key discipline: no key both consumed and
+        # re-split): trace probes, logdet probes/SLQ, preconditioner sketch.
+        key_probes, key_logdet, key_rff = jax.random.split(key, 3)
         probes = rademacher(key_probes, (m, self.num_probes), dtype)
         use_slq = self.logdet_variant == "slq"
         if use_slq:
@@ -294,10 +304,6 @@ class CGGP(ClusterGP):
             # SAME fused CG launch.
             logdet_probes = rademacher(key_logdet, (m, self.num_probes), dtype)
 
-        if self.precondition == "rff":
-            key_logdet, key_rff = jax.random.split(key_logdet)
-        else:
-            key_rff = key_logdet
         # Solver state, not part of the differentiated model.
         precond = self._build_preconditioner(kp, z, kmm, var, key_rff)
 
@@ -317,7 +323,8 @@ class CGGP(ClusterGP):
         quad = jnp.sum((kmm @ inv_u) * inv_u)
         if use_slq:
             logdet = slq_logdet(kmm_lambda, cg, num_probes=self.num_probes,
-                                key=key_logdet, lanczos_iters=self.slq_lanczos_iters)
+                                key=key_logdet, lanczos_iters=self.slq_lanczos_iters,
+                                preconditioner=precond)
         else:
             # The logdet gradient reuses this launch's probe solutions — zero
             # extra CG loops (the reference re-solves in its custom gradient,

@@ -84,16 +84,24 @@ def _eval_logdet_bwd(precond_apply, threshold, max_iterations, max_steps_cycle,
 _eval_logdet.defvjp(_eval_logdet_fwd, _eval_logdet_bwd)
 
 
-def _cg_static(cg: ConjugateGradient, n: int):
+def _cg_static(cg: ConjugateGradient, n: int, preconditioner=None):
+    """Static solver config for the estimators' internal CG solves.
+
+    ``preconditioner`` overrides the facade's own (usually identity)
+    preconditioner — callers with a per-step pivchol/rff state must thread
+    it here so the logdet gradient solves converge in the same regime the
+    rest of the training step does.
+    """
+    pre = preconditioner if preconditioner is not None else cg.preconditioner
     max_iterations = cg.max_iterations if cg.max_iterations is not None else n
     max_steps_cycle = cg.max_steps_cycle if cg.max_steps_cycle is not None else max_iterations + 1
     return (
-        cg.preconditioner.apply,
+        pre.apply,
         float(cg.error_threshold),
         int(max_iterations),
         int(max_steps_cycle),
         cg.dot,
-        cg.preconditioner.state,
+        pre.state,
     )
 
 
@@ -102,15 +110,19 @@ def eval_logdet(
     cg: ConjugateGradient,
     num_probes: Optional[int] = None,
     key: Optional[jax.Array] = None,
+    preconditioner=None,
 ) -> Array:
     """Zero-valued log-det whose gradient is ``A^{-1}`` via CG.
 
     Matches reference models.py:21-48: with ``num_probes=None`` the gradient
     solves against the identity; otherwise it uses ``num_probes`` Rademacher
-    probes drawn from ``key``.
+    probes drawn from ``key``.  ``preconditioner`` (optional) preconditions
+    the gradient's internal solves.
     """
     n = matrix.shape[-1]
-    apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, state = _cg_static(cg, n)
+    apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, state = _cg_static(
+        cg, n, preconditioner
+    )
     if num_probes is None:
         probes = jnp.zeros((n, 1), dtype=matrix.dtype)  # placeholder, unused
         use_probes = False
@@ -256,6 +268,7 @@ def slq_logdet(
     num_probes: int,
     key: jax.Array,
     lanczos_iters: int = 25,
+    preconditioner=None,
 ) -> Array:
     """Stochastic-Lanczos-quadrature log-det *value* with CG-probe gradient.
 
@@ -265,7 +278,9 @@ def slq_logdet(
     preserving the reference's gradient path.
     """
     n = matrix.shape[-1]
-    apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, state = _cg_static(cg, n)
+    apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, state = _cg_static(
+        cg, n, preconditioner
+    )
     probes = rademacher(key, (n, num_probes), matrix.dtype)
     return _slq_logdet(
         apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,

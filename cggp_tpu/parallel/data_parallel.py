@@ -25,10 +25,11 @@ def make_data_parallel_loss(
     loss_fn: Callable,
     mesh: Mesh,
     axis_name: str = DATA_AXIS,
-    donate_params: bool = False,
 ) -> Callable:
     """jit ``loss_fn(params, (x, y), key)`` with batch rows sharded over the
-    mesh and everything else replicated."""
+    mesh and everything else replicated.  (Params are NOT donated: a loss
+    only reads them, so donation would buy nothing and poison the caller's
+    buffers.)"""
     batch_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
     return jax.jit(

@@ -17,6 +17,12 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Me
     virtual-device farm under xla_force_host_platform_device_count)."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"make_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} are available — a silently smaller mesh "
+                "would change shardings and padding without warning"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -30,6 +30,7 @@ from cggp_tpu.ops.logdet import rademacher
 from cggp_tpu.parallel.mesh import DATA_AXIS
 from cggp_tpu.parallel.sharded_cg import (
     make_sharded_cg,
+    make_sharded_matvec,
     pad_inducing,
     pivoted_cholesky_kernel,
     spectral_precond_state,
@@ -37,22 +38,6 @@ from cggp_tpu.parallel.sharded_cg import (
 from jax.sharding import PartitionSpec as P
 
 Array = jnp.ndarray
-
-
-def _make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str):
-    """Replicated-in/replicated-out ``p @ (K(Z,Z) + diag(lam))`` matvec.
-
-    ``mask`` (1 real / 0 pad) zeroes pad couplings exactly — see
-    :func:`~cggp_tpu.parallel.sharded_cg._local_rows`."""
-    from cggp_tpu.parallel.sharded_cg import _local_rows, _make_local_matvec
-
-    def body(kp, z, lam, mask, p):
-        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
-        return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
-
-    return jax.shard_map(
-        body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()), out_specs=P()
-    )
 
 
 def make_sharded_logdet_from_solves(matvec):
@@ -84,10 +69,16 @@ def make_sharded_logdet_from_solves(matvec):
     return logdet
 
 
-def make_sharded_eval_logdet(matvec, solve):
+def make_sharded_eval_logdet(matvec, solve, precond_state_fn=None):
     """Zero-valued logdet over the *implicit* sharded matrix; the gradient is
     the Rademacher/CG trace estimator (reference models.py:21-48 semantics),
-    computed with sharded solves and a VJP of the sharded matvec."""
+    computed with sharded solves and a VJP of the sharded matvec.
+
+    ``precond_state_fn(kp, z, lam, mask)`` (optional) supplies the model's
+    per-step preconditioner state for the backward probe solves — without it
+    those solves run identity-preconditioned and silently stall in exactly
+    the ill-conditioned regime preconditioning exists for.
+    """
 
     @jax.custom_vjp
     def logdet(kp, z, lam, mask, probes):
@@ -100,7 +91,8 @@ def make_sharded_eval_logdet(matvec, solve):
     def bwd(residuals, df):
         kp, z, lam, mask, probes = residuals
         num_probes = probes.shape[0]
-        solved, _ = solve(kp, z, lam, probes, (), mask)  # [P, M] rows of A^{-1} p
+        state = () if precond_state_fn is None else precond_state_fn(kp, z, lam, mask)
+        solved, _ = solve(kp, z, lam, probes, state, mask)  # [P, M] rows of A^{-1} p
         w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
         # d logdet / d theta = tr(A^{-1} dA/dtheta) ~= (1/P) sum_p solved_p^T dA probe_p
         _, matvec_vjp = jax.vjp(
@@ -151,10 +143,11 @@ class ShardedCGGP(ClusterGP):
             ),
         )
         object.__setattr__(
-            self, "_matvec", _make_sharded_matvec(self.kernel, self.mesh, self.axis_name)
+            self, "_matvec", make_sharded_matvec(self.kernel, self.mesh, self.axis_name)
         )
         object.__setattr__(
-            self, "_logdet", make_sharded_eval_logdet(self._matvec, self._solve)
+            self, "_logdet",
+            make_sharded_eval_logdet(self._matvec, self._solve, self._precond_state),
         )
         object.__setattr__(
             self, "_logdet_from_solves", make_sharded_logdet_from_solves(self._matvec)
@@ -247,7 +240,7 @@ class ShardedCGGP(ClusterGP):
         zeros_lam = jnp.zeros_like(lam)
 
         # Same key split as the fused elbo path, so both draw identical probes.
-        key_probes, _key_logdet = jax.random.split(key)
+        key_probes, key_logdet = jax.random.split(key)
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
         mask = mask_row[0]
         probes = rademacher(key_probes, (self.num_probes, m), dtype) * mask_row  # rows
@@ -258,13 +251,23 @@ class ShardedCGGP(ClusterGP):
         nu = solved[:1]  # [1, M] row
         solved_probes = solved[1:]
 
-        kmm_nu = self._matvec(kp, z, zeros_lam, mask, nu)
+        # One matvec launch for [nu | probes]: the per-device Gram row-block
+        # build dominates the matvec, so fusing halves the KL's build cost.
+        kmm_rows = self._matvec(
+            kp, z, zeros_lam, mask, jnp.concatenate([nu, probes], axis=0)
+        )
+        kmm_nu, kmm_probes = kmm_rows[:1], kmm_rows[1:]
         quad = jnp.sum(kmm_nu * nu)
-        kmm_probes = self._matvec(kp, z, zeros_lam, mask, probes)
         trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(
             self.num_probes, dtype=dtype
         )
-        logdet = self._logdet(kp, z, lam, mask, probes)
+        # Independent logdet probes (matches the fused elbo and the dense
+        # CGGP / reference models.py:37-44 — reusing the trace probes would
+        # correlate the two estimators and diverge from elbo's gradients).
+        logdet_probes = rademacher(
+            key_logdet, (self.num_probes, m), dtype
+        ) * mask_row
+        logdet = self._logdet(kp, z, lam, mask, logdet_probes)
         const = jnp.sum(mask_row[0] * jnp.log(var[:, 0]))
         return 0.5 * (quad - trace + logdet - const)
 

@@ -25,7 +25,6 @@ padded system block-diagonal and the padded solution exactly 0.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -98,8 +97,10 @@ def _make_local_matvec(a_rows: Array, offset, mb: int, axis_name: str):
         p_block = lax.dynamic_slice_in_dim(p, offset, mb, axis=1)
         # Full fp32 precision: TPU's default bf16 matmul passes break CG
         # convergence (see ops/kernels.scaled_squared_distance).
-        partial = jnp.matmul(p_block, a_rows, precision=jax.lax.Precision.HIGHEST)
-        return lax.psum(partial, axis_name)
+        block_product = jnp.matmul(
+            p_block, a_rows, precision=jax.lax.Precision.HIGHEST
+        )
+        return lax.psum(block_product, axis_name)
 
     return matvec
 
@@ -116,6 +117,22 @@ def spectral_precond_state(factor: Array, lam: Array):
     from cggp_tpu.ops.cg import SpectralPreconditioner
 
     return SpectralPreconditioner(factor, lam).state
+
+
+def make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Replicated-in/replicated-out ``p @ (K(Z,Z) + diag(lam))`` matvec:
+    ``matvec(kp, z, lam, mask, p)``.  Per-device Gram row blocks built on
+    the fly, one psum per call.  Shared by :func:`make_sharded_cg` and the
+    sharded model's KL/logdet terms (one definition, one compiled program
+    per shape)."""
+
+    def body(kp, z, lam, mask, p):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
+        return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()), out_specs=P()
+    )
 
 
 def make_sharded_cg(
@@ -158,13 +175,7 @@ def make_sharded_cg(
         out_specs=(P(), CGStats(P(), P(), P())),
     )
 
-    def _matvec_body(kp, z, lam, mask, p):
-        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
-        return _make_local_matvec(a_rows, offset, mb, axis_name)(p)
-
-    sharded_matvec = jax.shard_map(
-        _matvec_body, mesh=mesh, in_specs=specs_in, out_specs=P()
-    )
+    sharded_matvec = make_sharded_matvec(kernel, mesh, axis_name)
 
     @jax.custom_vjp
     def _solve_cvjp(kp, z, lam, mask, rhs, precond_state):

@@ -252,6 +252,28 @@ def test_cggp_preconditioned_elbo_matches(rng, mode):
     for a, b in zip(jax.tree_util.tree_leaves(g_pre), jax.tree_util.tree_leaves(g_plain)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7)
 
+    # The UNFUSED path (prior_kl + predict_f as separate solves) must give
+    # the same preconditioned-vs-plain parity: prior_kl previously never
+    # built the preconditioner, silently training KL with identity-
+    # preconditioned solves in exactly the regime `precondition` exists for.
+    plain_uf = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=256,
+                    num_probes=4, fuse_kl_solves=False)
+    pre_uf = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=256,
+                  num_probes=4, fuse_kl_solves=False,
+                  precondition=mode, precond_rank=32 if mode == "pivchol" else 128)
+    kl_plain = float(plain_uf.prior_kl(params, key))
+    kl_pre = float(pre_uf.prior_kl(params, key))
+    np.testing.assert_allclose(kl_pre, kl_plain, rtol=1e-6)
+    gk_plain = jax.grad(lambda p: plain_uf.prior_kl(p, key))(params)
+    gk_pre = jax.grad(lambda p: pre_uf.prior_kl(p, key))(params)
+    # Solver-tolerance-limited: the logdet backward re-solves the probe
+    # systems independently on each path; 0.5*||r||^2 <= 1e-12 pins the
+    # solutions (hence these gradients) only to ~1e-6 absolute.
+    for a, b in zip(jax.tree_util.tree_leaves(gk_pre),
+                    jax.tree_util.tree_leaves(gk_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-6)
+
 
 def test_trainable_pseudo_u_mask():
     """Net-new free-variational mode: trainable_pseudo_u frees the cluster
