@@ -102,10 +102,13 @@ class EyePreconditioner:
 class BlockPreconditioner:
     """Block-Jacobi: per-block Cholesky solves (reference :137-157).
 
-    ``block_indices`` is an int array [num_blocks, block_size] partitioning
-    (or covering) the index range.  The reference gathers sub-blocks with
-    ``tf.gather_nd`` + ``tf.vectorized_map``; here a single ``vmap`` over
-    fancy-indexed blocks.
+    ``block_indices`` is an int array [num_blocks, block_size] that must
+    PARTITION the index range (each index in exactly one block).
+    Overlapping blocks are unsupported: the scatter that reassembles the
+    preconditioned residual resolves duplicate indices nondeterministically,
+    producing a non-symmetric operator that can stall or diverge CG.  The
+    reference gathers sub-blocks with ``tf.gather_nd`` +
+    ``tf.vectorized_map``; here a single ``vmap`` over fancy-indexed blocks.
     """
 
     def __init__(self, block_indices):

@@ -34,14 +34,20 @@ def rademacher(key, shape, dtype) -> Array:
 
 
 def _logdet_grad(df, matrix, probes, precond_apply, precond_state, threshold,
-                 max_iterations, max_steps_cycle, dot_name):
-    """Shared backward rule: df * A^{-1} (dense or probe-estimated)."""
+                 max_iterations, max_steps_cycle, dot_name,
+                 matvec_impl="xla", relative=False):
+    """Shared backward rule: df * A^{-1} (dense or probe-estimated).
+
+    ``matvec_impl``/``relative`` mirror the caller's facade configuration —
+    dropping them (the old hardwired "xla"/False) made gradient solves use
+    an ABSOLUTE stop target even when the user enabled relative thresholds
+    because the absolute one is unreachable at their scale."""
     n = matrix.shape[-1]
     if probes is None:
         eye = jnp.eye(n, dtype=matrix.dtype)
         inv, _ = _cg_dense_impl(
             precond_apply, threshold, max_iterations, max_steps_cycle, dot_name,
-            "xla", False, matrix, eye, jnp.zeros_like(eye), precond_state,
+            matvec_impl, relative, matrix, eye, jnp.zeros_like(eye), precond_state,
         )
         # Row-convention solve of the identity is A^{-T}; transpose as the
         # reference does (models.py:35) even though A is symmetric.
@@ -50,31 +56,35 @@ def _logdet_grad(df, matrix, probes, precond_apply, precond_state, threshold,
     rv = df * probes  # [n, P] — valid since logdet is a scalar
     lv, _ = _cg_dense_impl(
         precond_apply, threshold, max_iterations, max_steps_cycle, dot_name,
-        "xla", False, matrix, probes.T, jnp.zeros_like(probes.T), precond_state,
+        matvec_impl, relative, matrix, probes.T, jnp.zeros_like(probes.T),
+        precond_state,
     )  # [P, n] row solutions of A x = probe
     return (lv.T @ rv.T) / jnp.asarray(num_probes, dtype=matrix.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _eval_logdet(precond_apply, threshold, max_iterations, max_steps_cycle,
-                 dot_name, use_probes, matrix, probes, precond_state):
+                 dot_name, matvec_impl, relative, use_probes,
+                 matrix, probes, precond_state):
     del precond_apply, threshold, max_iterations, max_steps_cycle, dot_name
-    del use_probes, probes, precond_state
+    del matvec_impl, relative, use_probes, probes, precond_state
     return jnp.asarray(0.0, dtype=matrix.dtype)
 
 
 def _eval_logdet_fwd(precond_apply, threshold, max_iterations, max_steps_cycle,
-                     dot_name, use_probes, matrix, probes, precond_state):
+                     dot_name, matvec_impl, relative, use_probes,
+                     matrix, probes, precond_state):
     value = jnp.asarray(0.0, dtype=matrix.dtype)
     return value, (matrix, probes, precond_state)
 
 
 def _eval_logdet_bwd(precond_apply, threshold, max_iterations, max_steps_cycle,
-                     dot_name, use_probes, residuals, df):
+                     dot_name, matvec_impl, relative, use_probes, residuals, df):
     matrix, probes, precond_state = residuals
     dA = _logdet_grad(
         df, matrix, probes if use_probes else None, precond_apply, precond_state,
         threshold, max_iterations, max_steps_cycle, dot_name,
+        matvec_impl, relative,
     )
     d_probes = jnp.zeros_like(probes)
     d_state = jax.tree_util.tree_map(jnp.zeros_like, precond_state)
@@ -101,6 +111,8 @@ def _cg_static(cg: ConjugateGradient, n: int, preconditioner=None):
         int(max_iterations),
         int(max_steps_cycle),
         cg.dot,
+        cg.matvec_impl,
+        bool(cg.relative_threshold),
         pre.state,
     )
 
@@ -120,9 +132,8 @@ def eval_logdet(
     the gradient's internal solves.
     """
     n = matrix.shape[-1]
-    apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, state = _cg_static(
-        cg, n, preconditioner
-    )
+    (apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
+     matvec_impl, relative, state) = _cg_static(cg, n, preconditioner)
     if num_probes is None:
         probes = jnp.zeros((n, 1), dtype=matrix.dtype)  # placeholder, unused
         use_probes = False
@@ -132,7 +143,8 @@ def eval_logdet(
         probes = rademacher(key, (n, num_probes), matrix.dtype)
         use_probes = True
     return _eval_logdet(
-        apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, use_probes,
+        apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
+        matvec_impl, relative, use_probes,
         matrix, probes, state,
     )
 
@@ -233,26 +245,30 @@ def _slq_value(matrix: Array, probes: Array, lanczos_iters: int) -> Array:
     return jnp.asarray(n, dtype) * jnp.mean(per_probe)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _slq_logdet(precond_apply, threshold, max_iterations, max_steps_cycle,
-                dot_name, lanczos_iters, matrix, probes, precond_state):
+                dot_name, matvec_impl, relative, lanczos_iters,
+                matrix, probes, precond_state):
     del precond_apply, threshold, max_iterations, max_steps_cycle, dot_name
-    del precond_state
+    del matvec_impl, relative, precond_state
     return _slq_value(matrix, probes, lanczos_iters)
 
 
 def _slq_logdet_fwd(precond_apply, threshold, max_iterations, max_steps_cycle,
-                    dot_name, lanczos_iters, matrix, probes, precond_state):
+                    dot_name, matvec_impl, relative, lanczos_iters,
+                    matrix, probes, precond_state):
     value = _slq_value(matrix, probes, lanczos_iters)
     return value, (matrix, probes, precond_state)
 
 
 def _slq_logdet_bwd(precond_apply, threshold, max_iterations, max_steps_cycle,
-                    dot_name, lanczos_iters, residuals, df):
+                    dot_name, matvec_impl, relative, lanczos_iters,
+                    residuals, df):
     matrix, probes, precond_state = residuals
     dA = _logdet_grad(
         df, matrix, probes, precond_apply, precond_state,
         threshold, max_iterations, max_steps_cycle, dot_name,
+        matvec_impl, relative,
     )
     d_probes = jnp.zeros_like(probes)
     d_state = jax.tree_util.tree_map(jnp.zeros_like, precond_state)
@@ -278,13 +294,12 @@ def slq_logdet(
     preserving the reference's gradient path.
     """
     n = matrix.shape[-1]
-    apply_fn, threshold, max_iterations, max_steps_cycle, dot_name, state = _cg_static(
-        cg, n, preconditioner
-    )
+    (apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
+     matvec_impl, relative, state) = _cg_static(cg, n, preconditioner)
     probes = rademacher(key, (n, num_probes), matrix.dtype)
     return _slq_logdet(
         apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
-        int(lanczos_iters), matrix, probes, state,
+        matvec_impl, relative, int(lanczos_iters), matrix, probes, state,
     )
 
 

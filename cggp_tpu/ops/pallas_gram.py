@@ -22,7 +22,6 @@ custom VJP (which needs matvecs, not matvec gradients) and in inference.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -40,19 +39,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel_tile(name: str, r2, variance):
-    """Stationary kernel value from the scaled squared distance (VPU)."""
-    if name == "se":
-        return variance * jnp.exp(-0.5 * r2)
-    r = jnp.sqrt(jnp.maximum(r2, 1e-36))
-    if name == "matern12":
-        return variance * jnp.exp(-r)
-    if name == "matern32":
-        sqrt3_r = math.sqrt(3.0) * r
-        return variance * (1.0 + sqrt3_r) * jnp.exp(-sqrt3_r)
-    if name == "matern52":
-        sqrt5_r = math.sqrt(5.0) * r
-        return variance * (1.0 + sqrt5_r + (5.0 / 3.0) * r2) * jnp.exp(-sqrt5_r)
-    raise ValueError(f"unsupported kernel {name!r}")
+    """Stationary kernel value from the scaled squared distance (VPU).
+
+    Delegates to the XLA path's closed forms — pure jnp, traceable inside a
+    Pallas body — so a kernel-math fix cannot diverge the fused path."""
+    from cggp_tpu.ops.kernels import kernel_value_from_r2
+
+    return kernel_value_from_r2(name, r2, variance)
 
 
 def _gram_matvec_kernel(kernel_name, x_ref, z_ref, v_ref, var_ref, out_ref, acc_ref):

@@ -93,7 +93,8 @@ class CoverTree:
                 root = x.mean(axis=0)
                 max_radius = float(np.linalg.norm(x - root, axis=-1).max())
                 if spatial_resolution is not None:
-                    max_radius = max(max_radius, spatial_resolution)
+                    # (No clamp needed here: `levels` already encodes the
+                    # numpy path's max(max_radius, resolution) rounding.)
                     max_radius = spatial_resolution * (2 ** (levels - 1))
                 self.max_radius = max_radius
                 self.level_centers = [root[None, :], centers]
@@ -305,8 +306,22 @@ class CoverTree:
         return means, counts[:, None]
 
     def minimum_separation(self, level: int = -1) -> float:
-        """Smallest pairwise distance between centers at ``level``."""
-        centers = self.level_centers[level]
+        """Smallest pairwise distance between centers at ``level``.
+
+        The native backend keeps only ``[root, leaf_centers]``, so only
+        levels 0/1/-1/-2 are addressable there even when ``num_levels`` is
+        larger; intermediate levels need the numpy/reference backends.
+        """
+        try:
+            centers = self.level_centers[level]
+        except IndexError:
+            raise ValueError(
+                f"level {level} not materialised: this tree keeps "
+                f"{len(self.level_centers)} center levels "
+                f"(num_levels={self.num_levels}; the native backend stores "
+                "only root + leaves — use backend='numpy' for intermediate "
+                "levels)"
+            ) from None
         if centers.shape[0] < 2:
             return float("inf")
         d = np.linalg.norm(centers[:, None, :] - centers[None, :, :], axis=-1)

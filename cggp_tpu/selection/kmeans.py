@@ -36,7 +36,25 @@ def kmeans_indices_and_distances(
         distances = _pairwise_euclid(points, centroids)
     else:
         # distance_fn takes an (x, y) tuple and broadcasts on leading axes.
-        distances = distance_fn((points[:, None, :], centroids[None, :, :]))
+        # The broadcast materialises an [N, K, D] intermediate (the
+        # covariance/correlation distances compute (x - y)/ell on it), which
+        # OOMs at dataset scale (N~1.6M, K~1024, D~11 fp64 ~ 140 GB) —
+        # evaluate in row blocks via lax.map so the live intermediate stays
+        # [BLOCK, K, D].
+        n = points.shape[0]
+        block = 16_384
+        if n <= block:
+            distances = distance_fn((points[:, None, :], centroids[None, :, :]))
+        else:
+            pad = (-n) % block
+            pts = jnp.concatenate(
+                [points, jnp.broadcast_to(points[:1], (pad, points.shape[-1]))]
+            ) if pad else points
+            chunks = pts.reshape(-1, block, points.shape[-1])
+            distances = jax.lax.map(
+                lambda xb: distance_fn((xb[:, None, :], centroids[None, :, :])),
+                chunks,
+            ).reshape(-1, centroids.shape[0])[:n]
     indices = jnp.argmin(distances, axis=-1)
     chosen = jnp.take_along_axis(distances, indices[:, None], axis=-1)[:, 0]
     return indices, chosen

@@ -95,6 +95,12 @@ def _greedy_scan(kernel: Kernel, params: KernelParams, inputs: Array, max_points
         ei = (k_col - ci.T @ cj) / dj  # [n]
         ci = ci.at[t - 1].set(ei)
         di = di - jnp.square(ei)
+        # Exclude the picked index from all later argmaxes: once residual
+        # variances collapse to rounding noise (max_points beyond the
+        # numerical rank of K), a picked index at di ~ +-eps could otherwise
+        # be re-selected, yielding duplicate inducing points and a
+        # rank-deficient Kuu.  (-inf survives the di - ei^2 updates.)
+        di = di.at[j].set(-jnp.inf)
         inds = inds.at[t].set(jnp.argmax(di).astype(jnp.int32))
         return di, ci, inds
 

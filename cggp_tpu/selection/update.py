@@ -27,12 +27,15 @@ Array = jnp.ndarray
 def _means_and_counts_from_labels(
     y: Array, labels: Array, num_clusters: int
 ) -> Tuple[Array, Array]:
+    """Per-cluster y means [M, P] and counts [M, 1] — all output columns
+    (matches CoverTree.cluster_mean_and_counts; previously only y[:, 0] was
+    averaged, silently dropping extra columns of multi-output targets)."""
     ones = jnp.ones(y.shape[0], dtype=y.dtype)
     counts = jax.ops.segment_sum(ones, labels, num_segments=num_clusters)
-    sums = jax.ops.segment_sum(y[:, 0], labels, num_segments=num_clusters)
+    sums = jax.ops.segment_sum(y, labels, num_segments=num_clusters)  # [M, P]
     safe_counts = jnp.clip(counts, 1.0, None)
-    means = sums / safe_counts
-    return means[:, None], safe_counts[:, None]
+    means = sums / safe_counts[:, None]
+    return means, safe_counts[:, None]
 
 
 def labels_update_inducing_parameters(

@@ -80,9 +80,18 @@ class Monitor:
             self._handle_result(name, step, result)
 
     def add_scalar(self, tag: str, value, step: int) -> None:
-        """Direct scalar write (used by trainers for loss/timing traces)."""
+        """Direct scalar write (used by trainers for loss/timing traces).
+
+        Accumulated into the ``.npy`` logs as well — without tensorboardX
+        these scalars previously vanished entirely, contradicting the
+        module's hermetic-logging promise."""
+        value = float(value)
         if self._writer is not None:
-            self._writer.add_scalar(tag, float(value), global_step=step)
+            self._writer.add_scalar(tag, value, global_step=step)
+        name, _, key = tag.partition("/")
+        self._logs.setdefault(name, []).append(
+            {"step": step, key or "value": np.asarray(value)}
+        )
 
     def flush(self) -> None:
         """Dump accumulated logs to ``{name}.logs.npy`` (monitor.py:50-55)."""

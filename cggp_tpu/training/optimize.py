@@ -36,11 +36,25 @@ LossFn = Callable[[Dict, Tuple[Array, Array], jax.Array], Array]
 UpdateFn = Callable[[Dict], Dict]
 
 
+def _expand_trainable_mask(mask: Dict, params: Dict) -> Dict:
+    """Full boolean pytree matching ``params`` from a possibly-PREFIX mask:
+    a single bool in the mask freezes/frees the whole corresponding params
+    subtree (e.g. ``{"kernel": True, "likelihood": False, ...}``).  All
+    trainers accept either form."""
+    return jax.tree_util.tree_map(
+        lambda m, sub: jax.tree_util.tree_map(
+            lambda p: jnp.full(jnp.shape(p), bool(m)), sub
+        ),
+        mask, params,
+        is_leaf=lambda node: isinstance(node, bool),
+    )
+
+
 def _mask_grads(grads: Dict, mask: Optional[Dict]) -> Dict:
     if mask is None:
         return grads
     return jax.tree_util.tree_map(
-        lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+        jnp.multiply, grads, _expand_trainable_mask(mask, grads)
     )
 
 
@@ -223,7 +237,11 @@ def train_using_adam_and_update(
             monitor(iteration, params)
         if profile_dir is not None and iteration == profile_steps[1]:
             jax.profiler.stop_trace()
-    if profile_dir is not None and profile_steps[0] <= iterations <= profile_steps[1]:
+    # Strict lower bound: the trace only STARTS at iteration ==
+    # profile_steps[0], which the 0..iterations-1 loop never reaches when
+    # iterations == profile_steps[0] — stop_trace() with no active trace
+    # raises and would crash the run at the very end.
+    if profile_dir is not None and profile_steps[0] < iterations <= profile_steps[1]:
         jax.profiler.stop_trace()
     if monitor is not None:
         monitor.flush()
@@ -258,11 +276,7 @@ def train_using_lbfgs_and_update(
     mask_flat = (
         jnp.ones_like(flat0, dtype=bool)
         if trainable_mask is None
-        else ravel_pytree(
-            jax.tree_util.tree_map(
-                lambda p, m: jnp.full(jnp.shape(p), bool(m)), params, trainable_mask
-            )
-        )[0]
+        else ravel_pytree(_expand_trainable_mask(trainable_mask, params))[0].astype(bool)
     )
 
     state = {"params": params, "iteration": 0}
@@ -344,14 +358,7 @@ def train_using_device_lbfgs(
     if trainable_mask is not None:
         # The mask may be a PREFIX tree (e.g. {"kernel": True, ...} freezing
         # a whole subtree): expand each bool over its params subtree.
-        grad_mask = jax.tree_util.tree_map(
-            lambda m, sub: jax.tree_util.tree_map(
-                lambda p: jnp.full(jnp.shape(p), float(bool(m)), dtype=p.dtype),
-                sub,
-            ),
-            trainable_mask, params,
-            is_leaf=lambda node: isinstance(node, bool),
-        )
+        grad_mask = _expand_trainable_mask(trainable_mask, params)
     else:
         grad_mask = None
 

@@ -125,6 +125,19 @@ def test_lbfgs_respects_trainable_mask(rng):
     )
     assert not np.allclose(trained["kernel"]["lengthscales"], params["kernel"]["lengthscales"])
 
+    # PREFIX-tree form (one bool freezes a whole subtree) — the format the
+    # device L-BFGS documents — must work on the scipy path too.
+    prefix_mask = {"kernel": True, "likelihood": False}
+    trained2 = train_using_lbfgs_and_update(
+        params, lambda p: model.training_loss(p, data), max_iterations=10,
+        trainable_mask=prefix_mask,
+    )
+    np.testing.assert_array_equal(
+        trained2["likelihood"]["variance"], params["likelihood"]["variance"]
+    )
+    assert not np.allclose(trained2["kernel"]["lengthscales"],
+                           params["kernel"]["lengthscales"])
+
 
 def test_metrics_callback_and_monitor(rng, tmp_path):
     data = _toy_data(rng)
