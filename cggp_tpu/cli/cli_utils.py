@@ -408,10 +408,17 @@ def create_model_and_update_fn(
     relative_threshold: bool = False,
     model_kwargs: Optional[Dict] = None,
     clustering_kwargs: Optional[Dict] = None,
+    kernel_fn: Optional[Callable] = None,
 ):
-    """Build ``(model, params, update_fn)`` (reference cli_utils.py:371-414)."""
+    """Build ``(model, params, update_fn)`` (reference cli_utils.py:371-414).
+
+    ``kernel_fn`` defaults to Matern32 (the reference's fixed choice); the
+    geospatial driver threads its ``-k`` option here.
+    """
     model_kwargs = model_kwargs or {}
     clustering_kwargs = clustering_kwargs or {}
+    if kernel_fn is None:
+        kernel_fn = default_kernel_fn
     if model_name != "cdgp":
         # CG-solver knobs only apply to the CG-powered model.
         model_kwargs = {
@@ -421,7 +428,7 @@ def create_model_and_update_fn(
         }
     model, params = create_model(
         model_name,
-        default_kernel_fn,
+        kernel_fn,
         train_data,
         error_threshold=error_threshold,
         dtype=dtype,
@@ -445,23 +452,6 @@ def create_model_and_update_fn(
 # ---------------------------------------------------------------------------
 # Prediction helpers (reference cli_utils.py:455-476)
 # ---------------------------------------------------------------------------
-
-
-def batch_posterior_computation(predict_fn, data, batch_size: int):
-    """Batched posterior mean/var dump (reference cli_utils.py:462-476)."""
-    x = data[0]
-    n = x.shape[0]
-    means, variances = [], []
-    for start in range(0, n, batch_size):
-        mu, var = predict_fn(x[start : start + batch_size])
-        # Keep device arrays in flight: np.asarray here would force a host
-        # sync per batch and serialize the pipeline (docs/PERF.md).
-        means.append(mu)
-        variances.append(var)
-    return (
-        np.concatenate([np.asarray(m) for m in means], axis=0),
-        np.concatenate([np.asarray(v) for v in variances], axis=0),
-    )
 
 
 def dump_posterior_arrays(model, params, train_data, x, batch_size: int,

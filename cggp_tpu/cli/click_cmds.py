@@ -36,6 +36,7 @@ def _build_ip_ctx(ctx: click.Context, clustering_type: str, clustering_kwargs: D
         relative_threshold=common_ctx.get("relative_threshold", False),
         model_kwargs=common_ctx.get("model_kwargs"),
         clustering_kwargs=clustering_kwargs,
+        kernel_fn=common_ctx.get("kernel_fn"),
     )
     ctx.obj["ip_ctx"] = dict(
         model=model,

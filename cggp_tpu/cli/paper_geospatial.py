@@ -135,6 +135,11 @@ def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
     info = {
         "seed": common_ctx["seed"],
         "dataset_name": common_ctx["dataset_name"],
+        # Recorded so `predict` can rebuild the SAME model (kernel identity
+        # is not recoverable from params.npz — all kernels share the
+        # variance/lengthscales parameter names).
+        "kernel": model.kernel.name,
+        "model_class": common_ctx["model_class"],
         "num_inducing_points": m,
         "num_iterations": num_iterations,
         "jitter": common_ctx["jitter"],

@@ -22,6 +22,7 @@ from cggp_tpu.cli.cli_utils import (
     KernelType,
     LogdirPath,
     create_gpr_model,
+    precision_names,
 )
 from cggp_tpu.training.batching import batched_indices
 from cggp_tpu.training.monitor import Monitor
@@ -114,7 +115,18 @@ def main(
     click.echo(json.dumps(metrics, indent=2))
 
     save_config_dir(logdir, params, info)
-    store_as_json(Path(logdir, "results.json"), metrics)
+    # Include the sweep-grid group keys so uci-csv's groupby keeps the GPR
+    # baseline rows (metric-only rows would be NaN-keyed and silently
+    # dropped from summary.csv).
+    store_as_json(Path(logdir, "results.json"), {
+        "model": "gpr",
+        "dataset": data.name,
+        "precision": precision_names[precision],
+        "seed": seed,
+        "jitter": None,
+        "clustering_type": None,
+        **metrics,
+    })
     click.echo("=== Script finished ===")
 
 

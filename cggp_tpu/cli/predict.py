@@ -45,11 +45,54 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
     flat, info = load_config_dir(config_dir)
     dataset_name = info.get("dataset_name", info.get("dataset"))
     seed = int(info.get("seed", 0))
+
+    # Serve at the run's precision: an fp64-trained config silently served
+    # in fp32 would downcast every hyperparameter on assignment.
+    if info.get("precision") == "fp64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     dataset = DatasetType().convert(dataset_name, None, None)(seed)
+
+    # Rebuild with the kernel the run was TRAINED with — defaulting to
+    # Matern32 against e.g. SE-trained hyperparameters assigns cleanly
+    # (same param names) and dumps silently wrong posteriors.
+    kernel_name = info.get("kernel")
+    if kernel_name:
+        from cggp_tpu.ops.kernels import kernel_by_name
+
+        kernel_fn = lambda dim: (  # noqa: E731
+            kernel_by_name(kernel_name),
+            dict(variance=1.0, lengthscales=np.ones(dim)),
+        )
+    else:
+        kernel_fn = default_kernel_fn
+        click.echo(
+            "WARNING: info.json records no kernel; assuming matern32 — "
+            "posteriors are wrong if the run used a different kernel.",
+            err=True,
+        )
+
+    # Sharded-training config dirs carry mesh-divisibility pad rows
+    # (inducing_mask == 0 there; pads sit at 1e6 coords with count 1):
+    # strip them — the unsharded rebuild has no mask, and with large
+    # learned lengthscales the pads would re-couple into the posterior.
+    if "inducing_mask" in flat:
+        real = np.asarray(flat["inducing_mask"])[:, 0] > 0.5
+        if not real.all():
+            click.echo(
+                f"stripping {int((~real).sum())} sharded pad rows "
+                f"({int(real.sum())} real inducing points)"
+            )
+            for name in ("inducing_points", "pseudo_u", "cluster_counts"):
+                if name in flat:
+                    flat[name] = np.asarray(flat[name])[real]
+        flat.pop("inducing_mask", None)
 
     m = flat["inducing_points"].shape[0] if "inducing_points" in flat else None
     model, params = create_model(
-        model_class, default_kernel_fn, dataset.train,
+        model_class, kernel_fn, dataset.train,
         num_inducing_points=m, error_threshold=error_threshold, seed=seed,
     )
     from cggp_tpu.utils import assign_flat

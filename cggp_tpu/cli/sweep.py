@@ -74,9 +74,14 @@ def run_sweep(config: Dict, dry_run: bool = False, echo=print) -> List[int]:
             return 0
         env = dict(os.environ)
         if device_indices:
-            env["JAX_DEFAULT_DEVICE_INDEX"] = str(
-                device_indices[i % len(device_indices)]
-            )
+            # Real per-process device pinning (the reference's gpu_indices
+            # semantics, configs/uci-cdgp.toml:96-102): restrict which chip
+            # each child's runtime may see.  CUDA_VISIBLE_DEVICES covers
+            # GPUs; TPU_VISIBLE_DEVICES covers libtpu.  (The previous
+            # JAX_DEFAULT_DEVICE_INDEX export was read by nothing.)
+            idx = str(device_indices[i % len(device_indices)])
+            env["CUDA_VISIBLE_DEVICES"] = idx
+            env["TPU_VISIBLE_DEVICES"] = idx
         if platforms:
             target = str(platforms[i % len(platforms)])
             env["JAX_PLATFORMS"] = target

@@ -123,6 +123,10 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
 
     info = {
         "command": "train_cggp_adam",
+        "model_class": "cdgp",
+        # So `predict` rebuilds with the SAME kernel (identity is not
+        # recoverable from params.npz; all kernels share param names).
+        "kernel": obj["kernel_fn"](int(train_data[0].shape[-1]))[0].name,
         "seed": obj["seed"],
         "dataset_name": dataset.name,
         "num_inducing_points": num_inducing_points,
