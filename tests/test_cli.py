@@ -472,3 +472,34 @@ def test_dataset_type_round_trips_inline_sizing():
 
     with pytest.raises(click.exceptions.UsageError):
         DatasetType().convert("synthetic1d:dim=3", None, None)
+
+
+def test_wasserstein2_analytic_oracle():
+    """W2^2 against the closed form for commuting (diagonal) covariances:
+    |mu1-mu2|^2 + sum_i (sqrt(l1_i) - sqrt(l2_i))^2 — and the reference's
+    V*sqrt(D) 'matrix_sqrt' (paper_condition_wasserstein.py:42-48) would NOT
+    pass the rotated case below (documented divergence, docs/PARITY.md §5)."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.cli.condition_wasserstein import wasserstein2
+
+    rng = np.random.default_rng(0)
+    mu1 = jnp.asarray(rng.standard_normal((4, 1)))
+    mu2 = jnp.asarray(rng.standard_normal((4, 1)))
+    l1 = jnp.asarray([0.5, 1.0, 2.0, 4.0])
+    l2 = jnp.asarray([1.5, 0.25, 3.0, 1.0])
+
+    # Diagonal case.
+    w2 = float(wasserstein2((mu1, jnp.diag(l1)), (mu2, jnp.diag(l2))))
+    expected = float(jnp.sum((mu1 - mu2) ** 2)
+                     + jnp.sum((jnp.sqrt(l1) - jnp.sqrt(l2)) ** 2))
+    np.testing.assert_allclose(w2, expected, rtol=1e-10)
+
+    # Rotated (non-commuting basis) case: W2 is invariant under a SHARED
+    # rotation of both covariances and means.
+    q, _ = np.linalg.qr(rng.standard_normal((4, 4)))
+    q = jnp.asarray(q)
+    w2_rot = float(wasserstein2(
+        (q @ mu1, q @ jnp.diag(l1) @ q.T), (q @ mu2, q @ jnp.diag(l2) @ q.T)
+    ))
+    np.testing.assert_allclose(w2_rot, expected, rtol=1e-8)

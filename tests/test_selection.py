@@ -120,3 +120,39 @@ def test_kmeans_update_fn(rng):
     z, u, counts = kmeans_update_inducing_parameters((x, y), clustering_fn)
     assert z.shape == (6, 2)
     assert float(jnp.sum(counts)) >= 60
+
+
+def test_labels_update_multi_output_means(rng):
+    """All output columns are averaged per cluster ([M, P]), matching the
+    covertree path — previously only y[:, 0] survived."""
+    x = jnp.asarray(rng.uniform(-1, 1, (40, 2)))
+    y = jnp.asarray(rng.standard_normal((40, 3)))
+    iv = x[:5]
+    z, u, counts = labels_update_inducing_parameters((x, y), iv)
+    assert u.shape == (5, 3)
+    # Oracle: per-cluster numpy means of every column.
+    from cggp_tpu.selection.kmeans import kmeans_indices_and_distances
+
+    labels = np.asarray(kmeans_indices_and_distances(iv, x)[0])
+    for c in range(5):
+        members = labels == c
+        if members.any():
+            np.testing.assert_allclose(
+                np.asarray(u)[c], np.asarray(y)[members].mean(axis=0),
+                rtol=1e-12,
+            )
+
+
+def test_greedy_selection_no_duplicates(rng):
+    """Past the numerical rank of K, greedy must not re-pick an index
+    (duplicate inducing points make Kuu rank-deficient)."""
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.selection.points import greedy_selection
+
+    kernel = SquaredExponential()
+    # 10 distinct points duplicated 4x: numerical rank ~10, ask for 20.
+    base = rng.uniform(-1, 1, (10, 2))
+    x = jnp.asarray(np.concatenate([base] * 4))
+    kp = kernel.init_params(dtype=x.dtype)
+    z, idx = greedy_selection(kernel, kp, x, 20, jax.random.PRNGKey(0))
+    assert len(np.unique(np.asarray(idx))) == 20
