@@ -176,7 +176,7 @@ def create_model(
     seed: int = 0,
     dot: str = "standard",
     max_cg_iterations: Optional[int] = None,
-    jitter: float = 1e-6,
+    jitter: Optional[float] = None,
     relative_threshold: bool = False,
     **model_kwargs,
 ):
@@ -186,7 +186,14 @@ def create_model(
     ``dot="compensated"`` switches the CG inner products to Kahan summation
     for fp32 TPU runs (BASELINE.md config 4).  ``jitter`` reaches SGPR's Kuu
     build (the reference's global ``default_jitter``); the CG models use
-    jitter 0 by design (reference models.py:300)."""
+    jitter 0 by design (reference models.py:300).
+
+    ``jitter=None`` resolves from :func:`cggp_tpu.config.default_config`
+    (the explicit replacement for gpflow's ``set_default_jitter``)."""
+    if jitter is None:
+        from cggp_tpu.config import default_config
+
+        jitter = default_config().jitter
     x = np.asarray(data[0])
     n, dim = x.shape[0], x.shape[-1]
     if num_inducing_points is None:
@@ -243,8 +250,16 @@ def create_gpr_model(
     ``positive_minimum`` is the reference's global
     ``set_default_positive_minimum`` (paper_cli_gpr.py:55) made explicit: the
     lower bound of the positive bijectors on kernel + likelihood params.
+    ``None`` resolves from :func:`cggp_tpu.config.default_config` (0.0 there
+    means "keep each component's own default").
     """
     import dataclasses as _dc
+
+    if positive_minimum is None:
+        from cggp_tpu.config import default_config
+
+        pm = default_config().positive_minimum
+        positive_minimum = pm if pm > 0.0 else None
 
     from cggp_tpu.models.base import GaussianLikelihood
 
@@ -404,7 +419,7 @@ def create_model_and_update_fn(
     dtype=None,
     seed: int = 0,
     dot: str = "standard",
-    jitter: float = 1e-6,
+    jitter: Optional[float] = None,
     relative_threshold: bool = False,
     model_kwargs: Optional[Dict] = None,
     clustering_kwargs: Optional[Dict] = None,

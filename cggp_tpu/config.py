@@ -4,9 +4,20 @@ The reference relies on process-global GPflow state
 (``gpflow.config.set_default_float`` / ``set_default_jitter`` /
 ``set_default_positive_minimum`` — reference paper_cli_uci.py:57-61).  JAX has
 no such mutable dtype config worth relying on, so we carry an explicit,
-hashable :class:`Config` object instead and thread it through model factories.
-A module-level default exists only as a CLI convenience and is never read
-inside jitted code.
+hashable :class:`Config` object instead.
+
+What actually consumes it (the knobs are live, not advisory):
+
+* ``jitter`` — default for ``cli_utils.create_model(jitter=None)`` (reaches
+  SGPR's Kuu build; CG models use jitter 0 by design).
+* ``positive_minimum`` — default for
+  ``cli_utils.create_gpr_model(positive_minimum=None)`` (0.0 = keep each
+  component's own bijector bound).
+* ``dtype_name`` — :func:`enable_x64_if_needed`; per-array dtypes otherwise
+  flow through ``default_float()`` (the ambient x64 mode), which every
+  ``init_params`` uses.
+
+``set_default_config`` is process-global and never read inside jitted code.
 """
 
 from __future__ import annotations

@@ -81,6 +81,16 @@ int covertree_build(const double* x, int64_t n, int64_t d,
   std::vector<int64_t> uncovered(n);     // compact uncovered index set
   std::vector<double> next_centers;
   std::vector<double> mean(d);
+  // Hoisted per-center scratch (the "no per-center allocation" promise):
+  // claim entries [0, num_uncovered) are fully rewritten each center, and
+  // each thread gets a d-sized slice for the Lloyd's mean accumulation.
+  std::vector<char> claim(n, 0);
+#ifdef _OPENMP
+  const int max_threads = omp_get_max_threads();
+#else
+  const int max_threads = 1;
+#endif
+  std::vector<double> lloyd_scratch(static_cast<size_t>(max_threads) * d);
 
   for (int64_t level = 1; level < num_levels; ++level) {
     const double radius = max_radius / std::ldexp(1.0, static_cast<int>(level));
@@ -120,7 +130,13 @@ int covertree_build(const double* x, int64_t n, int64_t d,
         int64_t cnt = 0;
 #pragma omp parallel
         {
-          std::vector<double> local(d, 0.0);
+#ifdef _OPENMP
+          const int tid = omp_get_thread_num();
+#else
+          const int tid = 0;
+#endif
+          double* local = &lloyd_scratch[static_cast<size_t>(tid) * d];
+          std::fill(local, local + d, 0.0);
           int64_t local_cnt = 0;
 #pragma omp for nowait
           for (int64_t u = 0; u < num_uncovered; ++u) {
@@ -150,7 +166,6 @@ int covertree_build(const double* x, int64_t n, int64_t d,
       next_centers.insert(next_centers.end(), point, point + d);
       const double* center = &next_centers[m * d];
 
-      std::vector<char> claim(num_uncovered, 0);
 #pragma omp parallel for
       for (int64_t u = 0; u < num_uncovered; ++u)
         claim[u] = sq_dist(&x[uncovered[u] * d], center, d) <= r2 ? 1 : 0;

@@ -23,20 +23,30 @@ import os
 
 def cpu_fingerprint() -> str:
     try:
-        lines = []
         with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("model name", "flags")):
-                    lines.append(line)
-                    if len(lines) == 2:
-                        break
+            content = f.read()
+        lines = [
+            line + "\n" for line in content.splitlines()
+            if line.startswith(("model name", "flags"))
+        ][:2]
         if lines:
+            # NOTE: byte-identical to the original line-iteration form so
+            # existing per-host cache dirs stay valid.
             return hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
+        if content.strip():
+            # Non-x86 cpuinfo (aarch64 etc. use "Features"/"CPU part"): hash
+            # the whole file — hashing an empty parse would collapse every
+            # such host onto ONE cache dir, recreating the cross-host
+            # poisoning this module exists to prevent.
+            return hashlib.sha256(content.encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
 
-    return hashlib.sha256(platform.processor().encode()).hexdigest()[:12]
+    # platform.processor() is often "" on Linux — include machine+node so
+    # distinct hosts cannot silently share a fingerprint.
+    tag = f"{platform.machine()}|{platform.processor()}|{platform.node()}"
+    return hashlib.sha256(tag.encode()).hexdigest()[:12]
 
 
 def compile_cache_dir(prefix: str = "") -> str:
