@@ -303,6 +303,73 @@ def slq_logdet(
     )
 
 
+def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int):
+    """Batched matrix-free Lanczos with full reorthogonalisation.
+
+    ``matvec_rows`` maps [P, M] row-batched vectors to ``v @ A`` rows (the
+    solver convention; A symmetric so this is also ``(A v)^T``) — e.g. the
+    psum-blocked sharded matvec, whose per-call Gram-block build makes a
+    one-probe-at-a-time loop wasteful.  All P probes advance together, so
+    each Lanczos step is ONE matvec launch.  Returns
+    ``(alphas [k, P], betas [k-1, P])``.
+    """
+    p, m = v0_rows.shape
+    dtype = v0_rows.dtype
+    norms = jnp.linalg.norm(v0_rows, axis=-1, keepdims=True)
+    v0 = v0_rows / jnp.where(norms > 0, norms, 1.0)
+    basis = jnp.zeros((num_iters, p, m), dtype=dtype).at[0].set(v0)
+
+    def body(carry, i):
+        basis, alphas, betas = carry
+        v = basis[i]  # [P, M]
+        w = matvec_rows(v)
+        alpha = jnp.sum(w * v, axis=-1)  # [P]
+        w = w - alpha[:, None] * v
+        # Full reorthogonalisation per probe (twice is enough); unfilled
+        # basis rows are zero, so projecting against them is a no-op.
+        for _ in range(2):
+            coef = jnp.einsum("kpm,pm->kp", basis, w)
+            w = w - jnp.einsum("kp,kpm->pm", coef, basis)
+        beta = jnp.linalg.norm(w, axis=-1)  # [P]
+        safe = jnp.where(beta > 0, beta, 1.0)
+        v_next = jnp.where((beta > 0)[:, None], w / safe[:, None], jnp.zeros_like(w))
+        basis = jax.lax.cond(
+            i + 1 < num_iters, lambda b: b.at[i + 1].set(v_next), lambda b: b, basis
+        )
+        return (basis.astype(dtype), alphas.at[i].set(alpha), betas.at[i].set(beta)), None
+
+    alphas = jnp.zeros((num_iters, p), dtype=dtype)
+    betas = jnp.zeros((num_iters, p), dtype=dtype)
+    (basis, alphas, betas), _ = jax.lax.scan(
+        body, (basis, alphas, betas), jnp.arange(num_iters)
+    )
+    return alphas, betas[:-1]
+
+
+def slq_value_rows(matvec_rows, probes_rows: Array, lanczos_iters: int) -> Array:
+    """SLQ ``logdet`` estimate from row-batched probes through a matvec.
+
+    Per-probe Hutchinson scaling is ``||z_p||^2`` (not the ambient dimension),
+    so MASKED probes — zero on padded inducing points, as the sharded model
+    uses (parallel/model.py) — estimate the log-det of the REAL submatrix:
+    the Krylov space of a masked probe never leaves the real coordinates
+    because pad rows/columns are decoupled.
+    """
+    dtype = probes_rows.dtype
+    alphas, betas = lanczos_tridiag_rows(matvec_rows, probes_rows, lanczos_iters)
+
+    def one_probe(a, b):  # a [k], b [k-1]
+        t = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
+        evals, evecs = jnp.linalg.eigh(t)
+        evals = jnp.maximum(evals, jnp.finfo(dtype).tiny)
+        weights = jnp.square(evecs[0, :])
+        return jnp.sum(weights * jnp.log(evals))
+
+    quad = jax.vmap(one_probe, in_axes=(1, 1))(alphas, betas)  # [P]
+    scale = jnp.sum(jnp.square(probes_rows), axis=-1)  # ||z_p||^2
+    return jnp.mean(scale * quad)
+
+
 def lanczos_extremal_eigs(matrix: Array, key: jax.Array, num_iters: int = 64):
     """Estimate (eig_min, eig_max) of a symmetric PSD matrix via the extremal
     Ritz values of a ``num_iters``-step Lanczos tridiagonalisation (net-new:

@@ -11,7 +11,10 @@ and metrics sweeps.
 
 Semantics match the single-chip CGGP (cggp_tpu/models/cggp.py, reference
 models.py:279-354): Kuu with jitter 0, Λ = σ²/counts, Rademacher-probe trace,
-zero-valued logdet with CG-probe gradient.
+zero-valued logdet with CG-probe gradient — or, with ``logdet_variant="slq"``,
+a matrix-free stochastic-Lanczos-quadrature logdet VALUE through the
+psum-blocked matvec (same CG-probe gradient), so sharded ELBO values are
+meaningful like the single-chip SLQ path.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ from cggp_tpu.parallel.mesh import DATA_AXIS
 from cggp_tpu.parallel.sharded_cg import (
     make_sharded_cg,
     make_sharded_matvec,
+    make_sharded_slq_value,
     pad_inducing,
     pivoted_cholesky_kernel,
     spectral_precond_state,
@@ -105,6 +109,36 @@ def make_sharded_eval_logdet(matvec, solve, precond_state_fn=None):
     return logdet
 
 
+def make_sharded_slq_logdet(slq_value, matvec, solve, precond_state_fn=None):
+    """SLQ logdet VALUE over the implicit sharded matrix, with the same
+    CG-probe Hutchinson gradient as :func:`make_sharded_eval_logdet` —
+    sharded twin of :func:`cggp_tpu.ops.logdet.slq_logdet`: reported sharded
+    ELBO values become meaningful while the gradient path stays
+    reference-exact (models.py:21-48)."""
+
+    @jax.custom_vjp
+    def logdet(kp, z, lam, mask, probes):
+        return slq_value(kp, z, lam, mask, probes)
+
+    def fwd(kp, z, lam, mask, probes):
+        return slq_value(kp, z, lam, mask, probes), (kp, z, lam, mask, probes)
+
+    def bwd(residuals, df):
+        kp, z, lam, mask, probes = residuals
+        num_probes = probes.shape[0]
+        state = () if precond_state_fn is None else precond_state_fn(kp, z, lam, mask)
+        solved, _ = solve(kp, z, lam, probes, state, mask)  # [P, M] rows of A^{-1} p
+        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        return kp_bar, z_bar, lam_bar, jnp.zeros_like(mask), jnp.zeros_like(probes)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
 @dataclasses.dataclass(frozen=True)
 class ShardedCGGP(ClusterGP):
     """CGGP with M sharded over a device mesh.
@@ -118,16 +152,28 @@ class ShardedCGGP(ClusterGP):
     max_cg_iterations: int = 100
     num_probes: int = 5
     axis_name: str = DATA_AXIS
-    # Per-step matrix-free pivoted-Cholesky preconditioning of the fused
-    # solve (net-new; single-chip twin: CGGP.precondition).  The [M, k]
-    # factor is built from per-pivot kernel rows — no [M, M] Gram build —
-    # and applied replicated inside the sharded loop (no extra collectives).
-    precondition: Optional[str] = None  # None | "pivchol"
-    precond_rank: int = 128
+    # Per-step matrix-free preconditioning of the fused solve (net-new;
+    # single-chip twin: CGGP.precondition).  "pivchol" builds the [M, k]
+    # factor from per-pivot kernel rows, "rff" from a random-Fourier sketch
+    # of Kuu — neither materialises [M, M] — and both apply replicated
+    # inside the sharded loop (no extra collectives).  Divergence from the
+    # single-chip model: the rff sketch key is FIXED (``precond_seed``)
+    # instead of per-step — solver state only affects iteration counts, not
+    # solutions, and the sharded logdet backward has no step key to thread.
+    precondition: Optional[str] = None  # None | "pivchol" | "rff"
+    precond_rank: int = 128  # pivchol columns; for "rff": Fourier bases L (rank 2L)
+    precond_seed: int = 0  # rff sketch key (fixed across steps; see above)
     # Net-new stopping rule: scale each RHS row's target by its own norm
     # (see ops.cg.cg_loop) — recommended for large fused batches, where the
     # reference's absolute rule is scale-dependent.
     relative_threshold: bool = False
+    # "zero": reference semantics (ELBO values omit the logdet; gradients
+    # exact, models.py:21-48).  "slq": matrix-free stochastic Lanczos
+    # quadrature VALUE through the psum-blocked matvec — reported sharded
+    # ELBOs become meaningful, gradient path unchanged (single-chip twin:
+    # CGGP.logdet_variant, ops/logdet.py:281-303).
+    logdet_variant: str = "zero"  # "zero" | "slq"
+    slq_lanczos_iters: int = 25
 
     def __post_init__(self):
         if self.mesh is None:
@@ -152,6 +198,19 @@ class ShardedCGGP(ClusterGP):
         object.__setattr__(
             self, "_logdet_from_solves", make_sharded_logdet_from_solves(self._matvec)
         )
+        if self.logdet_variant not in ("zero", "slq"):
+            raise ValueError(f"unknown logdet_variant: {self.logdet_variant!r}")
+        if self.logdet_variant == "slq":
+            slq_value = make_sharded_slq_value(
+                self.kernel, self.mesh, self.slq_lanczos_iters,
+                axis_name=self.axis_name,
+            )
+            object.__setattr__(
+                self, "_slq_logdet",
+                make_sharded_slq_logdet(
+                    slq_value, self._matvec, self._solve, self._precond_state
+                ),
+            )
 
     @property
     def num_devices(self) -> int:
@@ -161,15 +220,29 @@ class ShardedCGGP(ClusterGP):
         """Solver-state pytree for the fused solve; () = identity."""
         if self.precondition is None:
             return ()
-        if self.precondition != "pivchol":
-            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
         sg = jax.lax.stop_gradient
-        # Pads keep the full constant K_diag; left unmasked, greedy pivoting
-        # would burn up to num_devices-1 precond columns on no-op directions.
-        factor = pivoted_cholesky_kernel(
-            self.kernel, sg(kp), sg(z), self.precond_rank,
-            mask=None if mask is None else sg(mask),
-        )
+        if self.precondition == "pivchol":
+            # Pads keep the full constant K_diag; left unmasked, greedy
+            # pivoting would burn up to num_devices-1 precond columns on
+            # no-op directions.
+            factor = pivoted_cholesky_kernel(
+                self.kernel, sg(kp), sg(z), self.precond_rank,
+                mask=None if mask is None else sg(mask),
+            )
+        elif self.precondition == "rff":
+            from cggp_tpu.ops.rff import rff_basis
+
+            # [M, 2L] Fourier sketch of Kuu — matrix-free by construction.
+            # Pad rows sit at huge coordinates where cos/sin are garbage
+            # (NOT small) — zero them so pads stay out of the sketch.
+            factor = rff_basis(
+                sg(z), self.kernel, sg(kp), self.precond_rank,
+                jax.random.PRNGKey(self.precond_seed),
+            )
+            if mask is not None:
+                factor = factor * sg(mask).reshape(-1)[:, None]
+        else:
+            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
         return spectral_precond_state(factor, sg(lam))
 
     def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
@@ -267,15 +340,16 @@ class ShardedCGGP(ClusterGP):
         logdet_probes = rademacher(
             key_logdet, (self.num_probes, m), dtype
         ) * mask_row
-        logdet = self._logdet(kp, z, lam, mask, logdet_probes)
+        if self.logdet_variant == "slq":
+            logdet = self._slq_logdet(kp, z, lam, mask, logdet_probes)
+        else:
+            logdet = self._logdet(kp, z, lam, mask, logdet_probes)
         const = jnp.sum(mask_row[0] * jnp.log(var[:, 0]))
         return 0.5 * (quad - trace + logdet - const)
 
     # -- predict ---------------------------------------------------------------
 
     def predict_f(self, params: Dict, x_new: Array, full_cov: bool = False) -> Tuple[Array, Array]:
-        if full_cov:
-            raise NotImplementedError("ShardedCGGP.predict_f supports diagonal cov only")
         kp = params["kernel"]
         z = params["inducing_points"]
         u = params["pseudo_u"]
@@ -291,8 +365,15 @@ class ShardedCGGP(ClusterGP):
         inv_u = solved[:1]  # [1, M]
         inv_kmn = solved[1:]  # [T, M]
 
-        knn = self.kernel.K_diag(kp, x_new)
-        fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        if full_cov:
+            # Dense-twin layout (models/cggp.py: knn - Kmn^T A^{-1} Kmn);
+            # here both factors are [T, M] rows, so the quadratic form is one
+            # replicated [T, T] matmul on the already-solved block.
+            knn = self.kernel.K(kp, x_new)
+            fvar = (knn - kmn @ inv_kmn.T)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
         fmu = (kmn @ inv_u.T)  # [T, 1]
         return fmu, fvar
 
@@ -318,8 +399,12 @@ class ShardedCGGP(ClusterGP):
         key_probes, key_logdet = jax.random.split(key)
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
         mask = mask_row[0]
+        use_slq = self.logdet_variant == "slq"
         probes = rademacher(key_probes, (p, m), dtype) * mask_row
-        logdet_probes = rademacher(key_logdet, (p, m), dtype) * mask_row
+        # SLQ runs its own Lanczos launch on fresh probes; only the zero-value
+        # variant batches its gradient probes into the fused solve.
+        n_ld = 0 if use_slq else p
+        logdet_probes = rademacher(key_logdet, (n_ld, m), dtype) * mask_row
         kmn = self.kernel.K(kp, x, z) * mask_row  # [B, M] rows
 
         rhs = jnp.concatenate([u.T, probes, logdet_probes, kmn], axis=0)
@@ -328,17 +413,21 @@ class ShardedCGGP(ClusterGP):
         )
         nu = solved[:1]
         solved_probes = solved[1 : 1 + p]
-        solved_logdet = solved[1 + p : 1 + 2 * p]
-        inv_kmn = solved[1 + 2 * p :]
+        solved_logdet = solved[1 + p : 1 + p + n_ld]
+        inv_kmn = solved[1 + p + n_ld :]
 
         # -- KL --
         kmm_nu = self._matvec(kp, z, zeros_lam, mask, nu)
         quad = jnp.sum(kmm_nu * nu)
         kmm_probes = self._matvec(kp, z, zeros_lam, mask, probes)
         trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(p, dtype)
-        logdet = self._logdet_from_solves(
-            kp, z, lam, mask, logdet_probes, jax.lax.stop_gradient(solved_logdet)
-        )
+        if use_slq:
+            slq_probes = rademacher(key_logdet, (p, m), dtype) * mask_row
+            logdet = self._slq_logdet(kp, z, lam, mask, slq_probes)
+        else:
+            logdet = self._logdet_from_solves(
+                kp, z, lam, mask, logdet_probes, jax.lax.stop_gradient(solved_logdet)
+            )
         const = jnp.sum(mask_row[0] * jnp.log(lam))
         kl = 0.5 * (quad - trace + logdet - const)
 
@@ -406,10 +495,6 @@ class ShardedCGGP(ClusterGP):
                           full_cov: bool = False) -> Tuple[Array, Array]:
         """Mean + variance from the cache: the per-batch solve covers only
         the [T, M] Kmn block (u column and preconditioner build amortized)."""
-        if full_cov:
-            raise NotImplementedError(
-                "ShardedCGGP.posterior_predict supports diagonal cov only"
-            )
         kp = post.kernel_params
         z = post.inducing_points
         kmn = self.kernel.K(kp, x_new, z) * post.mask[None, :]  # [T, M]
@@ -419,8 +504,12 @@ class ShardedCGGP(ClusterGP):
             inv_kmn, _ = self._solve(
                 kp, z, post.lam, kmn, post.precond_state, mask=post.mask
             )
-        knn = self.kernel.K_diag(kp, x_new)
-        fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            fvar = (knn - kmn @ inv_kmn.T)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
         fmu = kmn @ post.nu.T
         return fmu, fvar
 

@@ -135,6 +135,30 @@ def make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str = DATA_AXIS):
     )
 
 
+def make_sharded_slq_value(kernel: Kernel, mesh: Mesh, lanczos_iters: int,
+                           axis_name: str = DATA_AXIS):
+    """Matrix-free stochastic-Lanczos-quadrature ``logdet`` VALUE over the
+    implicit sharded ``K(Z,Z)*mask + diag(lam)`` system:
+    ``slq(kp, z, lam, mask, probes [P, M]) -> scalar`` (replicated).
+
+    The whole batched Lanczos runs inside ONE shard_map region, so the
+    per-device Gram row block is built once and reused for every iteration;
+    each Lanczos step costs one psum.  Probes must be masked (zero on pads) —
+    the Hutchinson scaling then targets the real submatrix (see
+    :func:`cggp_tpu.ops.logdet.slq_value_rows`).
+    """
+    from cggp_tpu.ops.logdet import slq_value_rows
+
+    def body(kp, z, lam, mask, probes):
+        a_rows, offset, mb = _local_rows(kernel, kp, z, lam, axis_name, mask)
+        matvec = _make_local_matvec(a_rows, offset, mb, axis_name)
+        return slq_value_rows(matvec, probes, lanczos_iters)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P(), P(), P(), P()), out_specs=P()
+    )
+
+
 def make_sharded_cg(
     kernel: Kernel,
     mesh: Mesh,

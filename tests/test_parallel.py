@@ -402,3 +402,170 @@ def test_sharded_training_with_steps_per_call(mesh, rng):
                                       trainable_mask=model.trainable_mask(params))
     after = float(eval_loss(out, (x, y), key))
     assert np.isfinite(after) and after < before
+
+
+# -- round 3: SLQ logdet on the sharded path, rff preconditioning, full_cov --
+
+
+def test_sharded_slq_value_matches_dense_and_truth(mesh, rng):
+    """The psum-blocked SLQ value must equal the dense SLQ estimator on the
+    SAME probes (identical Lanczos recurrence), and with Krylov-exhausting
+    iteration counts both approach the true slogdet up to Hutchinson error."""
+    from cggp_tpu.ops.logdet import _slq_value, slq_value_rows
+    from cggp_tpu.parallel.sharded_cg import make_sharded_slq_value
+
+    kernel, kp, z, lam, _ = _system(rng, m=16)
+    m = 16
+    iters = 16  # = m: per-probe quadrature becomes exact
+    probes = jax.random.rademacher(jax.random.PRNGKey(7), (64, m), dtype=z.dtype)
+    mask = jnp.ones((m,), dtype=z.dtype)
+
+    slq = make_sharded_slq_value(kernel, mesh, iters)
+    v_sharded = float(jax.jit(slq)(kp, z, lam, mask, probes))
+
+    a = add_diagonal(kernel.K(kp, z), lam)
+    v_dense = float(_slq_value(a, probes.T, iters))
+    np.testing.assert_allclose(v_sharded, v_dense, rtol=1e-8)
+
+    v_true = float(jnp.linalg.slogdet(a)[1])
+    np.testing.assert_allclose(v_sharded, v_true, rtol=0.15, atol=0.3)
+
+
+def test_sharded_slq_value_with_pads_targets_real_submatrix(mesh, rng):
+    """Masked probes + the ||z||^2 Hutchinson scaling: the SLQ value of the
+    padded system equals the dense SLQ value of the REAL submatrix computed
+    with the same (truncated) probes."""
+    from cggp_tpu.ops.logdet import _slq_value
+    from cggp_tpu.parallel.sharded_cg import make_sharded_slq_value
+
+    kernel, kp, z, lam, _ = _system(rng, m=13)
+    z_p, lam_p = pad_inducing(z, lam, 8)
+    m_pad = z_p.shape[0]
+    mask = jnp.concatenate([jnp.ones(13), jnp.zeros(m_pad - 13)])
+    iters = 13
+    probes = jax.random.rademacher(
+        jax.random.PRNGKey(8), (48, m_pad), dtype=z.dtype
+    ) * mask[None, :]
+
+    slq = make_sharded_slq_value(kernel, mesh, iters)
+    v_padded = float(jax.jit(slq)(kp, z_p, lam_p, mask, probes))
+
+    a_real = add_diagonal(kernel.K(kp, z), lam)
+    v_real = float(_slq_value(a_real, probes[:, :13].T, iters))
+    np.testing.assert_allclose(v_padded, v_real, rtol=1e-8)
+
+
+def test_sharded_slq_gradient_matches_true_logdet_grad(mesh, rng):
+    """SLQ keeps the reference gradient path: with many probes its gradient
+    approaches the autodiff gradient of the true logdet (same contract as the
+    zero-value estimator, test above)."""
+    kernel, kp, z, lam, _ = _system(rng, m=16)
+    sharded = ShardedCGGP(
+        kernel=kernel, mesh=mesh, num_data=10, num_probes=192,
+        error_threshold=1e-14, max_cg_iterations=64,
+        logdet_variant="slq", slq_lanczos_iters=16,
+    )
+    m = z.shape[0]
+    probes = jax.random.rademacher(jax.random.PRNGKey(1), (192, m), dtype=z.dtype)
+    mask = jnp.ones((m,), dtype=z.dtype)
+
+    def logdet_slq(kp_):
+        return sharded._slq_logdet(kp_, z, lam, mask, probes)
+
+    def logdet_true(kp_):
+        a = add_diagonal(kernel.K(kp_, z), lam)
+        return jnp.linalg.slogdet(a)[1]
+
+    # Value: per-probe quadrature exact at iters = m, so only MC error left.
+    v = float(jax.jit(logdet_slq)(kp))
+    np.testing.assert_allclose(v, float(logdet_true(kp)), rtol=0.1, atol=0.3)
+
+    g_est = jax.jit(jax.grad(logdet_slq))(kp)
+    g_true = jax.jit(jax.grad(logdet_true))(kp)
+    for ge, gt in zip(jax.tree_util.tree_leaves(g_est), jax.tree_util.tree_leaves(g_true)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gt), rtol=0.25, atol=0.03)
+
+
+def test_sharded_slq_elbo_value_matches_cholesky_elbo(mesh, rng):
+    """With logdet_variant="slq" the sharded ELBO VALUE approaches the dense
+    Cholesky ClusterGP ELBO (true logdet included) — sharded ELBOs become
+    meaningful, not gradient-only.  Padded M exercises the masked-probe
+    Hutchinson scaling inside the fused step."""
+    sharded, params, dense, dense_params, data = _cluster_setup(rng, mesh, m=13, n=96)
+    sharded = ShardedCGGP(
+        kernel=sharded.kernel, mesh=mesh, num_data=sharded.num_data,
+        num_probes=128, error_threshold=1e-14, max_cg_iterations=64,
+        logdet_variant="slq", slq_lanczos_iters=13,
+    )
+    key = jax.random.PRNGKey(11)
+    e_sharded = float(jax.jit(sharded.elbo)(params, data, key))
+    e_dense = float(dense.elbo(dense_params, data))
+    np.testing.assert_allclose(e_sharded, e_dense, rtol=0.05, atol=0.5)
+
+    # prior_kl and elbo stay consistent (same fused/unfused contract as the
+    # zero-value variant).
+    kl = float(jax.jit(sharded.prior_kl)(params, key))
+    x, y = data
+    mu, var = jax.jit(sharded.predict_f)(params, x)
+    ve = float(jnp.sum(sharded.likelihood.variational_expectations(
+        params["likelihood"], mu, var, y)))
+    np.testing.assert_allclose(e_sharded, ve - kl, rtol=1e-6)
+
+    # Gradients: finite everywhere, exactly zero on padded pseudo_u rows.
+    grads = jax.jit(jax.grad(lambda p: sharded.training_loss(p, data, key)))(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    np.testing.assert_array_equal(np.asarray(grads["pseudo_u"][13:]), 0.0)
+
+
+def test_sharded_rff_preconditioned_elbo_matches(mesh, rng):
+    """RFF preconditioning on the sharded model (round-2 verdict item 7):
+    preconditioning is solver state, so ELBO values and gradients must match
+    the unpreconditioned model on converged solves."""
+    x = jnp.asarray(rng.uniform(-1, 1, (64, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])) + 0.1 * rng.standard_normal((64, 1)))
+    kernel = Matern32()
+    counts = jnp.asarray(rng.integers(1, 9, (9, 1)), x.dtype)
+    u = jnp.asarray(rng.standard_normal((9, 1)))
+
+    def build(**kw):
+        model = ShardedCGGP(kernel=kernel, mesh=mesh, num_data=64, num_probes=2,
+                            error_threshold=1e-14, max_cg_iterations=64, **kw)
+        return model, model.init_params(x[:9], pseudo_u=u, cluster_counts=counts)
+
+    plain, params = build()
+    pre, params_pre = build(precondition="rff", precond_rank=16)
+    key = jax.random.PRNGKey(5)
+
+    e_plain = float(jax.jit(plain.elbo)(params, (x, y), key))
+    e_pre = float(jax.jit(pre.elbo)(params_pre, (x, y), key))
+    np.testing.assert_allclose(e_pre, e_plain, rtol=1e-7)
+
+    g_plain = jax.jit(jax.grad(lambda p: plain.training_loss(p, (x, y), key)))(params)
+    g_pre = jax.jit(jax.grad(lambda p: pre.training_loss(p, (x, y), key)))(params_pre)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pre), jax.tree_util.tree_leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_full_cov_matches_dense(mesh, rng):
+    """full_cov predictive covariance on the sharded paths (round-2 verdict
+    item 4): predict_f and posterior_predict (both solvers) must match the
+    dense ClusterGP's full covariance, pads stripped exactly."""
+    sharded, params, dense, dense_params, data = _cluster_setup(rng, mesh, m=13)
+    x = data[0][:17]
+
+    mu_d, cov_d = dense.predict_f(dense_params, x, full_cov=True)
+    mu_s, cov_s = jax.jit(sharded.predict_f, static_argnames="full_cov")(
+        params, x, full_cov=True
+    )
+    assert cov_s.shape == (1, 17, 17)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_d), atol=1e-6)
+
+    for solver in ("chol", "cg"):
+        post = jax.jit(sharded.posterior, static_argnames="solver")(params, solver=solver)
+        mu_p, cov_p = jax.jit(sharded.posterior_predict, static_argnames="full_cov")(
+            post, x, full_cov=True
+        )
+        np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_d), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_d), atol=1e-6)
