@@ -218,6 +218,26 @@ def create_model(
         params = model.init_params(
             iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
         )
+    elif model_name == "cdgp-implicit":
+        from cggp_tpu.models import ImplicitCGGP
+
+        if dot != "standard":
+            raise ValueError(
+                "cdgp-implicit's blocked matvec accumulates in HIGHEST "
+                "precision already; the compensated-dot option applies to "
+                "the dense solver only"
+            )
+        model = ImplicitCGGP(
+            kernel=kernel,
+            num_data=n,
+            error_threshold=error_threshold,
+            max_cg_iterations=max_cg_iterations or 100,
+            relative_threshold=relative_threshold,
+            **model_kwargs,
+        )
+        params = model.init_params(
+            iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
+        )
     elif model_name == "clustergp":
         model = ClusterGP(kernel=kernel, num_data=n, **model_kwargs)
         params = model.init_params(
@@ -434,12 +454,12 @@ def create_model_and_update_fn(
     clustering_kwargs = clustering_kwargs or {}
     if kernel_fn is None:
         kernel_fn = default_kernel_fn
-    if model_name != "cdgp":
-        # CG-solver knobs only apply to the CG-powered model.
+    if model_name not in ("cdgp", "cdgp-implicit"):
+        # CG-solver knobs only apply to the CG-powered models.
         model_kwargs = {
             k: v for k, v in model_kwargs.items()
             if k not in ("num_probes", "logdet_variant", "precondition",
-                         "precond_rank")
+                         "precond_rank", "block")
         }
     model, params = create_model(
         model_name,
@@ -448,7 +468,7 @@ def create_model_and_update_fn(
         error_threshold=error_threshold,
         dtype=dtype,
         seed=seed,
-        dot=dot if model_name == "cdgp" else "standard",
+        dot=dot if model_name == "cdgp" else "standard",  # implicit: HIGHEST-only
         jitter=jitter,
         relative_threshold=relative_threshold,
         **model_kwargs,

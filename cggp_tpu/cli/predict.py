@@ -91,14 +91,30 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
         flat.pop("inducing_mask", None)
 
     m = flat["inducing_points"].shape[0] if "inducing_points" in flat else None
+    model_kwargs = {}
+    if model_class == "cdgp-implicit" and info.get("block"):
+        model_kwargs["block"] = int(info["block"])
     model, params = create_model(
         model_class, kernel_fn, dataset.train,
         num_inducing_points=m, error_threshold=error_threshold, seed=seed,
+        **model_kwargs,
     )
     from cggp_tpu.utils import assign_flat
 
+    had_pseudo_u = "pseudo_u" in flat
+    if "inducing_mask" in params and all(
+        k in flat for k in ("inducing_points", "pseudo_u", "cluster_counts")
+    ):
+        # Row-solver rebuild (e.g. cdgp-implicit): params carry pad rows at a
+        # serving-time multiple that need not match the training one — re-pad
+        # the stripped real rows through the model's own machinery, then
+        # assign the remaining (hyperparameter) entries by name.
+        params = model.assign_clusters(
+            params, flat.pop("inducing_points"), flat.pop("pseudo_u"),
+            flat.pop("cluster_counts"),
+        )
     params = assign_flat(params, flat)
-    if "pseudo_u" in params and "pseudo_u" not in flat:
+    if "pseudo_u" in params and not had_pseudo_u:
         # e.g. a GPR config dir: hyperparameters only.  The variational mean
         # stays at its zero init, so every dumped posterior mean is exactly
         # zero — correct algebra, but rarely what the caller wanted.

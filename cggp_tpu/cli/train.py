@@ -101,6 +101,20 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     help="Run K optimizer steps per dispatch (lax.scan): amortizes host "
          "dispatch overhead. Inducing updates/monitor then fire every K steps.",
 )
+@click.option(
+    "--matrix-free/--dense", "matrix_free", default=False,
+    help="Never materialise the [M, M] Gram: CG over scanned kernel panels "
+         "(ImplicitCGGP). Required past M ~ 40-50k fp32 on one chip.",
+)
+@click.option(
+    "--block", type=int, default=2048,
+    help="Panel height of the matrix-free Gram row blocks (--matrix-free).",
+)
+@click.option(
+    "--max-cg-iterations", type=int, default=None,
+    help="Cap CG iterations per solve (default: M for the dense model, "
+         "100 for --matrix-free).",
+)
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
@@ -108,7 +122,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     error_threshold, record_step, num_devices, precondition,
                     precond_rank, relative_threshold, resume_from,
                     checkpoint_every, trainable_u, steps_per_call,
-                    tensorboard):
+                    matrix_free, block, max_cg_iterations, tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -121,9 +135,10 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
     logdir = obj["logdir"]
     key = jax.random.PRNGKey(obj["seed"])
 
+    model_class = "cdgp-implicit" if matrix_free else "cdgp"
     info = {
         "command": "train_cggp_adam",
-        "model_class": "cdgp",
+        "model_class": model_class,
         # So `predict` rebuilds with the SAME kernel (identity is not
         # recoverable from params.npz; all kernels share param names).
         "kernel": obj["kernel_fn"](int(train_data[0].shape[-1]))[0].name,
@@ -145,9 +160,16 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         "trainable_u": trainable_u,
         "steps_per_call": steps_per_call,
         "num_devices": num_devices,
+        "matrix_free": matrix_free,
+        "block": block if matrix_free else None,
     }
     click.echo(f"-> {json.dumps(info, indent=2)}")
 
+    if matrix_free and num_devices is not None:
+        raise click.UsageError(
+            "--matrix-free is single-chip; ShardedCGGP (--num-devices) is "
+            "already matrix-free per device"
+        )
     if num_devices is not None:
         import numpy as _np
 
@@ -176,14 +198,23 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         click.echo(f"sharded over {num_devices} devices; "
                    f"M={m0} padded to {params['inducing_points'].shape[0]}")
     else:
+        extra = {"block": block} if matrix_free else {}
         model, params = create_model(
-            "cdgp", obj["kernel_fn"], train_data,
+            model_class, obj["kernel_fn"], train_data,
             num_inducing_points=num_inducing_points,
             error_threshold=error_threshold, seed=obj["seed"],
+            max_cg_iterations=max_cg_iterations,
             relative_threshold=relative_threshold,
             precondition=None if precondition == "none" else precondition,
             precond_rank=precond_rank,
+            **extra,
         )
+        if matrix_free:
+            click.echo(
+                f"matrix-free: M={num_inducing_points} padded to "
+                f"{params['inducing_points'].shape[0]} (block {block}); "
+                "no [M, M] Gram is ever built"
+            )
     if resume_from is not None:
         from pathlib import Path as _Path
 

@@ -11,6 +11,7 @@ from cggp_tpu.models.sgpr import SGPR, SGPRPosterior
 from cggp_tpu.models.lpsvgp import LpSVGP
 from cggp_tpu.models.clustergp import ClusterGP
 from cggp_tpu.models.cggp import CGGP, CGGPPosterior
+from cggp_tpu.models.implicit import ImplicitCGGP, ImplicitCGGPPosterior
 from cggp_tpu.models.pathwise import PathwiseClusterGP
 
 __all__ = [
@@ -20,10 +21,12 @@ __all__ = [
     "LpSVGP",
     "ClusterGP",
     "CGGP",
+    "ImplicitCGGP",
     "PathwiseClusterGP",
     # serving caches (GPflow posterior() analogues, net-new)
     "CholPosterior",
     "GPRPosterior",
     "SGPRPosterior",
     "CGGPPosterior",
+    "ImplicitCGGPPosterior",
 ]

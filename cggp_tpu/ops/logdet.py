@@ -303,6 +303,116 @@ def slq_logdet(
     )
 
 
+# ---------------------------------------------------------------------------
+# Logdet estimators over an IMPLICIT operator (no [M, M] matrix argument):
+# shared by the M-sharded multi-chip model (psum-blocked matvec/solve,
+# parallel/model.py) and the single-chip matrix-free model (scanned panel
+# matvec/solve, models/implicit.py).  Conventions:
+#   matvec(kp, z, lam, mask, rows [R, M]) -> rows @ (K(Z,Z)*mask + diag(lam))
+#   solve(kp, z, lam, rows, precond_state, mask) -> (solution_rows, stats)
+#   precond_state_fn(kp, z, lam, mask) -> solver-state pytree (() = identity)
+# ---------------------------------------------------------------------------
+
+
+def make_matfree_logdet_from_solves(matvec):
+    """Zero-valued logdet whose gradient reuses ALREADY-SOLVED probes
+    (``solved = A^{-1} probes`` rows from a fused solve launch): the
+    Hutchinson rule ``theta_bar = df/P * vjp(matvec at probes)(solved)``
+    costs zero extra CG loops (dense twin: :func:`eval_logdet_from_solves`)."""
+
+    @jax.custom_vjp
+    def logdet(kp, z, lam, mask, probes, solved):
+        del kp, z, lam, mask, solved
+        return jnp.zeros((), dtype=probes.dtype)
+
+    def fwd(kp, z, lam, mask, probes, solved):
+        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, mask, probes, solved)
+
+    def bwd(residuals, df):
+        kp, z, lam, mask, probes, solved = residuals
+        num_probes = probes.shape[0]
+        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        return (kp_bar, z_bar, lam_bar, jnp.zeros_like(mask),
+                jnp.zeros_like(probes), jnp.zeros_like(solved))
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
+def make_matfree_eval_logdet(matvec, solve, precond_state_fn=None):
+    """Zero-valued logdet over the implicit matrix; the gradient is the
+    Rademacher/CG trace estimator (reference models.py:21-48 semantics),
+    computed with matrix-free solves and a VJP of the matvec.
+
+    ``precond_state_fn(kp, z, lam, mask)`` (optional) supplies the model's
+    per-step preconditioner state for the backward probe solves — without it
+    those solves run identity-preconditioned and silently stall in exactly
+    the ill-conditioned regime preconditioning exists for.
+    """
+
+    @jax.custom_vjp
+    def logdet(kp, z, lam, mask, probes):
+        del kp, z, lam, mask
+        return jnp.zeros((), dtype=probes.dtype)
+
+    def fwd(kp, z, lam, mask, probes):
+        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, mask, probes)
+
+    def bwd(residuals, df):
+        kp, z, lam, mask, probes = residuals
+        num_probes = probes.shape[0]
+        state = () if precond_state_fn is None else precond_state_fn(kp, z, lam, mask)
+        solved, _ = solve(kp, z, lam, probes, state, mask)  # [P, M] rows of A^{-1} p
+        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
+        # d logdet / d theta = tr(A^{-1} dA/dtheta) ~= (1/P) sum_p solved_p^T dA probe_p
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        return kp_bar, z_bar, lam_bar, jnp.zeros_like(mask), jnp.zeros_like(probes)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
+def make_matfree_slq_logdet(slq_value, matvec, solve, precond_state_fn=None):
+    """SLQ logdet VALUE over the implicit matrix, with the same CG-probe
+    Hutchinson gradient as :func:`make_matfree_eval_logdet` — matrix-free
+    twin of :func:`slq_logdet`: reported ELBO values become meaningful while
+    the gradient path stays reference-exact (models.py:21-48).
+
+    ``slq_value(kp, z, lam, mask, probes [P, M]) -> scalar`` supplies the
+    forward estimate (e.g. :func:`slq_value_rows` over the model's matvec,
+    or its shard_map'd twin).
+    """
+
+    @jax.custom_vjp
+    def logdet(kp, z, lam, mask, probes):
+        return slq_value(kp, z, lam, mask, probes)
+
+    def fwd(kp, z, lam, mask, probes):
+        return slq_value(kp, z, lam, mask, probes), (kp, z, lam, mask, probes)
+
+    def bwd(residuals, df):
+        kp, z, lam, mask, probes = residuals
+        num_probes = probes.shape[0]
+        state = () if precond_state_fn is None else precond_state_fn(kp, z, lam, mask)
+        solved, _ = solve(kp, z, lam, probes, state, mask)
+        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
+        _, matvec_vjp = jax.vjp(
+            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
+        )
+        kp_bar, z_bar, lam_bar = matvec_vjp(w)
+        return kp_bar, z_bar, lam_bar, jnp.zeros_like(mask), jnp.zeros_like(probes)
+
+    logdet.defvjp(fwd, bwd)
+    return logdet
+
+
 def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int):
     """Batched matrix-free Lanczos with full reorthogonalisation.
 

@@ -15,165 +15,54 @@ zero-valued logdet with CG-probe gradient — or, with ``logdet_variant="slq"``,
 a matrix-free stochastic-Lanczos-quadrature logdet VALUE through the
 psum-blocked matvec (same CG-probe gradient), so sharded ELBO values are
 meaningful like the single-chip SLQ path.
+
+All objective/predict math lives in :class:`cggp_tpu.models.rowcg.RowSolveCGGP`
+(shared with the single-chip matrix-free :class:`~cggp_tpu.models.implicit.ImplicitCGGP`);
+this class only wires the shard_map'd backends and the mesh-multiple padding.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
-from cggp_tpu.models.clustergp import ClusterGP
-from cggp_tpu.ops.kernels import Kernel
-from cggp_tpu.ops.logdet import rademacher
+# Generic implicit-operator logdet estimators (moved to ops/logdet.py round 3;
+# aliased here for back-compat with the round-1/2 public names).
+from cggp_tpu.ops.logdet import (
+    make_matfree_eval_logdet as make_sharded_eval_logdet,  # noqa: F401
+    make_matfree_logdet_from_solves as make_sharded_logdet_from_solves,  # noqa: F401
+    make_matfree_slq_logdet as make_sharded_slq_logdet,  # noqa: F401
+)
+from cggp_tpu.models.rowcg import RowCGGPPosterior, RowSolveCGGP
 from cggp_tpu.parallel.mesh import DATA_AXIS
 from cggp_tpu.parallel.sharded_cg import (
     make_sharded_cg,
     make_sharded_matvec,
     make_sharded_slq_value,
-    pad_inducing,
-    pivoted_cholesky_kernel,
-    spectral_precond_state,
 )
-from jax.sharding import PartitionSpec as P
 
-Array = jnp.ndarray
-
-
-def make_sharded_logdet_from_solves(matvec):
-    """Zero-valued logdet whose gradient reuses ALREADY-SOLVED probes
-    (``solved = A^{-1} probes`` rows from the fused launch): the Hutchinson
-    rule ``theta_bar = df/P * vjp(matvec at probes)(solved)`` costs zero
-    extra CG loops (single-device twin: ops.logdet.eval_logdet_from_solves)."""
-
-    @jax.custom_vjp
-    def logdet(kp, z, lam, mask, probes, solved):
-        del kp, z, lam, mask, solved
-        return jnp.zeros((), dtype=probes.dtype)
-
-    def fwd(kp, z, lam, mask, probes, solved):
-        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, mask, probes, solved)
-
-    def bwd(residuals, df):
-        kp, z, lam, mask, probes, solved = residuals
-        num_probes = probes.shape[0]
-        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
-        _, matvec_vjp = jax.vjp(
-            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
-        )
-        kp_bar, z_bar, lam_bar = matvec_vjp(w)
-        return (kp_bar, z_bar, lam_bar, jnp.zeros_like(mask),
-                jnp.zeros_like(probes), jnp.zeros_like(solved))
-
-    logdet.defvjp(fwd, bwd)
-    return logdet
-
-
-def make_sharded_eval_logdet(matvec, solve, precond_state_fn=None):
-    """Zero-valued logdet over the *implicit* sharded matrix; the gradient is
-    the Rademacher/CG trace estimator (reference models.py:21-48 semantics),
-    computed with sharded solves and a VJP of the sharded matvec.
-
-    ``precond_state_fn(kp, z, lam, mask)`` (optional) supplies the model's
-    per-step preconditioner state for the backward probe solves — without it
-    those solves run identity-preconditioned and silently stall in exactly
-    the ill-conditioned regime preconditioning exists for.
-    """
-
-    @jax.custom_vjp
-    def logdet(kp, z, lam, mask, probes):
-        del kp, z, lam, mask
-        return jnp.zeros((), dtype=probes.dtype)
-
-    def fwd(kp, z, lam, mask, probes):
-        return jnp.zeros((), dtype=probes.dtype), (kp, z, lam, mask, probes)
-
-    def bwd(residuals, df):
-        kp, z, lam, mask, probes = residuals
-        num_probes = probes.shape[0]
-        state = () if precond_state_fn is None else precond_state_fn(kp, z, lam, mask)
-        solved, _ = solve(kp, z, lam, probes, state, mask)  # [P, M] rows of A^{-1} p
-        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
-        # d logdet / d theta = tr(A^{-1} dA/dtheta) ~= (1/P) sum_p solved_p^T dA probe_p
-        _, matvec_vjp = jax.vjp(
-            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
-        )
-        kp_bar, z_bar, lam_bar = matvec_vjp(w)
-        return kp_bar, z_bar, lam_bar, jnp.zeros_like(mask), jnp.zeros_like(probes)
-
-    logdet.defvjp(fwd, bwd)
-    return logdet
-
-
-def make_sharded_slq_logdet(slq_value, matvec, solve, precond_state_fn=None):
-    """SLQ logdet VALUE over the implicit sharded matrix, with the same
-    CG-probe Hutchinson gradient as :func:`make_sharded_eval_logdet` —
-    sharded twin of :func:`cggp_tpu.ops.logdet.slq_logdet`: reported sharded
-    ELBO values become meaningful while the gradient path stays
-    reference-exact (models.py:21-48)."""
-
-    @jax.custom_vjp
-    def logdet(kp, z, lam, mask, probes):
-        return slq_value(kp, z, lam, mask, probes)
-
-    def fwd(kp, z, lam, mask, probes):
-        return slq_value(kp, z, lam, mask, probes), (kp, z, lam, mask, probes)
-
-    def bwd(residuals, df):
-        kp, z, lam, mask, probes = residuals
-        num_probes = probes.shape[0]
-        state = () if precond_state_fn is None else precond_state_fn(kp, z, lam, mask)
-        solved, _ = solve(kp, z, lam, probes, state, mask)  # [P, M] rows of A^{-1} p
-        w = solved * (df / jnp.asarray(num_probes, dtype=probes.dtype))
-        _, matvec_vjp = jax.vjp(
-            lambda kp_, z_, lam_: matvec(kp_, z_, lam_, mask, probes), kp, z, lam
-        )
-        kp_bar, z_bar, lam_bar = matvec_vjp(w)
-        return kp_bar, z_bar, lam_bar, jnp.zeros_like(mask), jnp.zeros_like(probes)
-
-    logdet.defvjp(fwd, bwd)
-    return logdet
+# Back-compat alias: the serving cache is now the shared row-convention one.
+ShardedCGGPPosterior = RowCGGPPosterior
 
 
 @dataclasses.dataclass(frozen=True)
-class ShardedCGGP(ClusterGP):
+class ShardedCGGP(RowSolveCGGP):
     """CGGP with M sharded over a device mesh.
 
     Build with :meth:`create`; ``init_params`` pads (Z, u, counts) so M
-    divides the mesh size (see :func:`pad_inducing` — pads are exact no-ops).
+    divides the mesh size (see :func:`~cggp_tpu.ops.cg_implicit.pad_inducing`
+    — pads are exact no-ops).  See :class:`RowSolveCGGP` for the shared
+    fields (preconditioning, relative thresholds, logdet variants).
     """
 
     mesh: Mesh = None  # type: ignore[assignment]
-    error_threshold: float = 1e-8
-    max_cg_iterations: int = 100
-    num_probes: int = 5
     axis_name: str = DATA_AXIS
-    # Per-step matrix-free preconditioning of the fused solve (net-new;
-    # single-chip twin: CGGP.precondition).  "pivchol" builds the [M, k]
-    # factor from per-pivot kernel rows, "rff" from a random-Fourier sketch
-    # of Kuu — neither materialises [M, M] — and both apply replicated
-    # inside the sharded loop (no extra collectives).  Divergence from the
-    # single-chip model: the rff sketch key is FIXED (``precond_seed``)
-    # instead of per-step — solver state only affects iteration counts, not
-    # solutions, and the sharded logdet backward has no step key to thread.
-    precondition: Optional[str] = None  # None | "pivchol" | "rff"
-    precond_rank: int = 128  # pivchol columns; for "rff": Fourier bases L (rank 2L)
-    precond_seed: int = 0  # rff sketch key (fixed across steps; see above)
-    # Net-new stopping rule: scale each RHS row's target by its own norm
-    # (see ops.cg.cg_loop) — recommended for large fused batches, where the
-    # reference's absolute rule is scale-dependent.
-    relative_threshold: bool = False
-    # "zero": reference semantics (ELBO values omit the logdet; gradients
-    # exact, models.py:21-48).  "slq": matrix-free stochastic Lanczos
-    # quadrature VALUE through the psum-blocked matvec — reported sharded
-    # ELBOs become meaningful, gradient path unchanged (single-chip twin:
-    # CGGP.logdet_variant, ops/logdet.py:281-303).
-    logdet_variant: str = "zero"  # "zero" | "slq"
-    slq_lanczos_iters: int = 25
+
+    # Serving may materialise the [M, M] replica per chip: at the M this
+    # model targets per BASELINE config 5 (<= a few 10k padded), one
+    # Cholesky factor fits comfortably and beats per-batch CG.
+    _supports_chol_serving = True
 
     def __post_init__(self):
         if self.mesh is None:
@@ -192,355 +81,17 @@ class ShardedCGGP(ClusterGP):
             self, "_matvec", make_sharded_matvec(self.kernel, self.mesh, self.axis_name)
         )
         object.__setattr__(
-            self, "_logdet",
-            make_sharded_eval_logdet(self._matvec, self._solve, self._precond_state),
-        )
-        object.__setattr__(
-            self, "_logdet_from_solves", make_sharded_logdet_from_solves(self._matvec)
-        )
-        if self.logdet_variant not in ("zero", "slq"):
-            raise ValueError(f"unknown logdet_variant: {self.logdet_variant!r}")
-        if self.logdet_variant == "slq":
-            slq_value = make_sharded_slq_value(
+            self, "_slq_value",
+            make_sharded_slq_value(
                 self.kernel, self.mesh, self.slq_lanczos_iters,
                 axis_name=self.axis_name,
-            )
-            object.__setattr__(
-                self, "_slq_logdet",
-                make_sharded_slq_logdet(
-                    slq_value, self._matvec, self._solve, self._precond_state
-                ),
-            )
+            ),
+        )
+        self._wire_logdets()
 
     @property
     def num_devices(self) -> int:
         return self.mesh.devices.size
 
-    def _precond_state(self, kp, z, lam, mask=None):
-        """Solver-state pytree for the fused solve; () = identity."""
-        if self.precondition is None:
-            return ()
-        sg = jax.lax.stop_gradient
-        if self.precondition == "pivchol":
-            # Pads keep the full constant K_diag; left unmasked, greedy
-            # pivoting would burn up to num_devices-1 precond columns on
-            # no-op directions.
-            factor = pivoted_cholesky_kernel(
-                self.kernel, sg(kp), sg(z), self.precond_rank,
-                mask=None if mask is None else sg(mask),
-            )
-        elif self.precondition == "rff":
-            from cggp_tpu.ops.rff import rff_basis
-
-            # [M, 2L] Fourier sketch of Kuu — matrix-free by construction.
-            # Pad rows sit at huge coordinates where cos/sin are garbage
-            # (NOT small) — zero them so pads stay out of the sketch.
-            factor = rff_basis(
-                sg(z), self.kernel, sg(kp), self.precond_rank,
-                jax.random.PRNGKey(self.precond_seed),
-            )
-            if mask is not None:
-                factor = factor * sg(mask).reshape(-1)[:, None]
-        else:
-            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
-        return spectral_precond_state(factor, sg(lam))
-
-    def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
-                    **kwargs) -> Dict:
-        params = super().init_params(
-            inducing_points, pseudo_u=pseudo_u, cluster_counts=cluster_counts,
-            **kwargs,
-        )
-        m_real = params["inducing_points"].shape[0]
-        dtype = params["inducing_points"].dtype
-        z, _lam, u_t, counts_t, mask_t = pad_inducing(
-            params["inducing_points"],
-            jnp.ones(m_real, dtype),
-            self.num_devices,
-            params["pseudo_u"].T,
-            params["cluster_counts"].T,
-            jnp.ones((1, m_real), dtype),
-        )
-        params["inducing_points"] = z
-        params["pseudo_u"] = u_t.T
-        # Padded counts of 1 give lam = noise there; the kernel row of a pad
-        # point is 0 against every real point, so pads stay decoupled.
-        counts = counts_t.T
-        counts = jnp.where(counts == 0.0, 1.0, counts)
-        params["cluster_counts"] = counts
-        # 1 for real inducing points, 0 for pads: probes and the KL constant
-        # are masked with it so pads are EXACT no-ops in every objective.
-        params["inducing_mask"] = mask_t.T
-        return params
-
-    def trainable_mask(self, params: Dict, trainable_inducing_points: bool = False,
-                       trainable_pseudo_u: bool = False) -> Dict:
-        mask = super().trainable_mask(params, trainable_inducing_points,
-                                      trainable_pseudo_u=trainable_pseudo_u)
-        mask["inducing_mask"] = False
-        return mask
-
-    def assign_clusters(self, params: Dict, iv, means, counts) -> Dict:
-        """Re-cluster + re-pad: the new M must again divide the mesh size and
-        the pad mask must track the new real count."""
-        dtype = params["inducing_points"].dtype
-        m_real = jnp.asarray(iv).shape[0]
-        z, _lam, u_t, counts_t, mask_t = pad_inducing(
-            jnp.asarray(iv, dtype),
-            jnp.ones(m_real, dtype),
-            self.num_devices,
-            jnp.asarray(means, dtype).T,
-            jnp.asarray(counts, dtype).T,
-            jnp.ones((1, m_real), dtype),
-        )
-        new = dict(params)
-        new["inducing_points"] = z
-        new["pseudo_u"] = u_t.T
-        new["cluster_counts"] = jnp.where(counts_t.T == 0.0, 1.0, counts_t.T)
-        new["inducing_mask"] = mask_t.T
-        return new
-
-    # -- KL ------------------------------------------------------------------
-
-    def prior_kl(self, params: Dict, key: jax.Array) -> Array:
-        kp = params["kernel"]
-        z = params["inducing_points"]
-        u = params["pseudo_u"]
-        var = self.diag_variance(params)
-        lam = var[:, 0]
-        m = z.shape[0]
-        dtype = z.dtype
-        zeros_lam = jnp.zeros_like(lam)
-
-        # Same key split as the fused elbo path, so both draw identical probes.
-        key_probes, key_logdet = jax.random.split(key)
-        mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
-        mask = mask_row[0]
-        probes = rademacher(key_probes, (self.num_probes, m), dtype) * mask_row  # rows
-        rhs = jnp.concatenate([u.T, probes], axis=0)  # [(1+P), M]
-        solved, _stats = self._solve(
-            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
-        )
-        nu = solved[:1]  # [1, M] row
-        solved_probes = solved[1:]
-
-        # One matvec launch for [nu | probes]: the per-device Gram row-block
-        # build dominates the matvec, so fusing halves the KL's build cost.
-        kmm_rows = self._matvec(
-            kp, z, zeros_lam, mask, jnp.concatenate([nu, probes], axis=0)
-        )
-        kmm_nu, kmm_probes = kmm_rows[:1], kmm_rows[1:]
-        quad = jnp.sum(kmm_nu * nu)
-        trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(
-            self.num_probes, dtype=dtype
-        )
-        # Independent logdet probes (matches the fused elbo and the dense
-        # CGGP / reference models.py:37-44 — reusing the trace probes would
-        # correlate the two estimators and diverge from elbo's gradients).
-        logdet_probes = rademacher(
-            key_logdet, (self.num_probes, m), dtype
-        ) * mask_row
-        if self.logdet_variant == "slq":
-            logdet = self._slq_logdet(kp, z, lam, mask, logdet_probes)
-        else:
-            logdet = self._logdet(kp, z, lam, mask, logdet_probes)
-        const = jnp.sum(mask_row[0] * jnp.log(var[:, 0]))
-        return 0.5 * (quad - trace + logdet - const)
-
-    # -- predict ---------------------------------------------------------------
-
-    def predict_f(self, params: Dict, x_new: Array, full_cov: bool = False) -> Tuple[Array, Array]:
-        kp = params["kernel"]
-        z = params["inducing_points"]
-        u = params["pseudo_u"]
-        var = self.diag_variance(params)
-        lam = var[:, 0]
-
-        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
-        kmn = self.kernel.K(kp, x_new, z) * mask[None, :]  # [T, M] rows (replicated)
-        rhs = jnp.concatenate([u.T, kmn], axis=0)  # [(1+T), M]
-        solved, _ = self._solve(
-            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
-        )
-        inv_u = solved[:1]  # [1, M]
-        inv_kmn = solved[1:]  # [T, M]
-
-        if full_cov:
-            # Dense-twin layout (models/cggp.py: knn - Kmn^T A^{-1} Kmn);
-            # here both factors are [T, M] rows, so the quadratic form is one
-            # replicated [T, T] matmul on the already-solved block.
-            knn = self.kernel.K(kp, x_new)
-            fvar = (knn - kmn @ inv_kmn.T)[None, ...]
-        else:
-            knn = self.kernel.K_diag(kp, x_new)
-            fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
-        fmu = (kmn @ inv_u.T)  # [T, 1]
-        return fmu, fvar
-
-    def elbo(self, params: Dict, data: Tuple[Array, Array],
-             key: Optional[jax.Array] = None) -> Array:
-        """ELBO with one fused sharded solve per step: rows
-        ``[u | trace probes | logdet probes | Kmn(batch)]`` go through a
-        single psum-blocked CG launch (mirrors CGGP's fused path), and the
-        logdet gradient reuses this launch's probe solutions."""
-        if key is None:
-            raise ValueError("ShardedCGGP.elbo requires a PRNG key")
-        x, y = data
-        kp = params["kernel"]
-        z = params["inducing_points"]
-        u = params["pseudo_u"]
-        var = self.diag_variance(params)
-        lam = var[:, 0]
-        m = z.shape[0]
-        dtype = z.dtype
-        zeros_lam = jnp.zeros_like(lam)
-        p = self.num_probes
-
-        key_probes, key_logdet = jax.random.split(key)
-        mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
-        mask = mask_row[0]
-        use_slq = self.logdet_variant == "slq"
-        probes = rademacher(key_probes, (p, m), dtype) * mask_row
-        # SLQ runs its own Lanczos launch on fresh probes; only the zero-value
-        # variant batches its gradient probes into the fused solve.
-        n_ld = 0 if use_slq else p
-        logdet_probes = rademacher(key_logdet, (n_ld, m), dtype) * mask_row
-        kmn = self.kernel.K(kp, x, z) * mask_row  # [B, M] rows
-
-        rhs = jnp.concatenate([u.T, probes, logdet_probes, kmn], axis=0)
-        solved, _stats = self._solve(
-            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
-        )
-        nu = solved[:1]
-        solved_probes = solved[1 : 1 + p]
-        solved_logdet = solved[1 + p : 1 + p + n_ld]
-        inv_kmn = solved[1 + p + n_ld :]
-
-        # -- KL --
-        kmm_nu = self._matvec(kp, z, zeros_lam, mask, nu)
-        quad = jnp.sum(kmm_nu * nu)
-        kmm_probes = self._matvec(kp, z, zeros_lam, mask, probes)
-        trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(p, dtype)
-        if use_slq:
-            slq_probes = rademacher(key_logdet, (p, m), dtype) * mask_row
-            logdet = self._slq_logdet(kp, z, lam, mask, slq_probes)
-        else:
-            logdet = self._logdet_from_solves(
-                kp, z, lam, mask, logdet_probes, jax.lax.stop_gradient(solved_logdet)
-            )
-        const = jnp.sum(mask_row[0] * jnp.log(lam))
-        kl = 0.5 * (quad - trace + logdet - const)
-
-        # -- data term --
-        knn = self.kernel.K_diag(kp, x)
-        f_var = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
-        f_mean = kmn @ nu.T
-        var_exp = self.likelihood.variational_expectations(
-            params["likelihood"], f_mean, f_var, y
-        )
-        scale = minibatch_scale(self.num_data, x.shape[0], kl.dtype)
-        return jnp.sum(var_exp) * scale - kl
-
-    def training_loss(self, params: Dict, data: Tuple[Array, Array],
-                      key: Optional[jax.Array] = None) -> Array:
-        return -self.elbo(params, data, key)
-
-    # -- cached serving (multi-chip twin of CGGP.posterior; the reference's
-    # predict path recomputes the u-solve per batch, models.py:333-345) ------
-
-    def posterior(self, params: Dict,
-                  solver: str = "auto") -> "ShardedCGGPPosterior":
-        """Precompute the params-only serving state: the sharded u-solve
-        ``nu`` and the block-solve state.  ``posterior_mean`` then needs no
-        CG at all and ``posterior_predict`` solves only the Kmn block.
-
-        ``solver="chol"`` additionally materializes the masked
-        ``Kmm + Lambda`` (pads decoupled, unit diagonal) and factorizes it
-        ONCE — per-batch variance becomes two replicated triangular solves
-        instead of a psum-blocked CG.  ``"auto"``: chol for M_pad <= 16384
-        (the [M, M] replica fits comfortably per chip), else ``"cg"``."""
-        kp = params["kernel"]
-        z = params["inducing_points"]
-        u = params["pseudo_u"]
-        lam = self.diag_variance(params)[:, 0]
-        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
-        if solver == "auto":
-            solver = "chol" if z.shape[0] <= 16384 else "cg"
-        if solver == "chol":
-            kmm = self.kernel.K(kp, z) * (mask[:, None] * mask[None, :])
-            a = kmm + jnp.diag(lam * mask + (1.0 - mask))
-            chol = jnp.linalg.cholesky(a)
-            nu = jax.scipy.linalg.cho_solve(
-                (chol, True), u * mask[:, None]
-            ).T  # [1, M_pad] row, matching the CG path's layout
-            return ShardedCGGPPosterior(
-                kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
-                nu=nu, precond_state=(), chol=chol,
-            )
-        if solver != "cg":
-            raise ValueError(f"unknown posterior solver: {solver!r}")
-        precond_state = self._precond_state(kp, z, lam, mask)
-        nu, _ = self._solve(kp, z, lam, u.T, precond_state, mask=mask)
-        return ShardedCGGPPosterior(
-            kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
-            nu=nu, precond_state=precond_state, chol=None,
-        )
-
-    def posterior_mean(self, post: "ShardedCGGPPosterior", x_new: Array) -> Array:
-        """CG-free serving mean: one skinny ``K(x, Z) @ nu`` matmul."""
-        kmn = self.kernel.K(post.kernel_params, x_new, post.inducing_points)
-        return (kmn * post.mask[None, :]) @ post.nu.T  # [T, 1]
-
-    def posterior_predict(self, post: "ShardedCGGPPosterior", x_new: Array,
-                          full_cov: bool = False) -> Tuple[Array, Array]:
-        """Mean + variance from the cache: the per-batch solve covers only
-        the [T, M] Kmn block (u column and preconditioner build amortized)."""
-        kp = post.kernel_params
-        z = post.inducing_points
-        kmn = self.kernel.K(kp, x_new, z) * post.mask[None, :]  # [T, M]
-        if post.chol is not None:
-            inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn.T).T
-        else:
-            inv_kmn, _ = self._solve(
-                kp, z, post.lam, kmn, post.precond_state, mask=post.mask
-            )
-        if full_cov:
-            knn = self.kernel.K(kp, x_new)
-            fvar = (knn - kmn @ inv_kmn.T)[None, ...]
-        else:
-            knn = self.kernel.K_diag(kp, x_new)
-            fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
-        fmu = kmn @ post.nu.T
-        return fmu, fvar
-
-    def cg_stats(self, params: Dict, data: Tuple[Array, Array], key: jax.Array):
-        """Iterations/residual of the fused sharded solve (observability)."""
-        x, _y = data
-        kp = params["kernel"]
-        z = params["inducing_points"]
-        u = params["pseudo_u"]
-        lam = self.diag_variance(params)[:, 0]
-        m = z.shape[0]
-        mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]
-        mask = mask_row[0]
-        probes = rademacher(key, (2 * self.num_probes, m), z.dtype) * mask_row
-        kmn = self.kernel.K(kp, x, z) * mask_row
-        rhs = jnp.concatenate([u.T, probes, kmn], axis=0)
-        _, stats = self._solve(
-            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask=mask
-        )
-        return stats
-
-
-class ShardedCGGPPosterior(NamedTuple):
-    """Serving cache produced by :meth:`ShardedCGGP.posterior` — a pytree,
-    so it passes straight through ``jax.jit`` as an argument (single-chip
-    twin: :class:`cggp_tpu.models.cggp.CGGPPosterior`)."""
-
-    kernel_params: Dict
-    inducing_points: Array  # [M_pad, D] (mesh-divisible, pads decoupled)
-    lam: Array  # [M_pad] = sigma^2 / counts
-    mask: Array  # [M_pad] 1 real / 0 pad
-    nu: Array  # [1, M_pad] row = ((Kmm + Lambda)^{-1} u)^T
-    precond_state: Tuple  # () = identity, else SpectralPreconditioner state
-    chol: Optional[Array] = None  # [M_pad, M_pad] lower Cholesky (masked A)
+    def _pad_multiple_for(self, m: int) -> int:
+        return self.num_devices

@@ -39,30 +39,9 @@ from cggp_tpu.parallel.mesh import DATA_AXIS
 Array = jnp.ndarray
 
 
-def pad_inducing(
-    z: Array, lam: Array, multiple: int, *rhs_arrays: Array
-) -> Tuple:
-    """Pad (Z, Λ, rhs...) so M divides the mesh size.
-
-    Padding points are placed at huge coordinates (1e6 + arange) so every
-    stationary kernel value against real points underflows to 0; Λ pads are 1
-    and rhs pads are 0, so padded solution entries are exactly 0 and real
-    entries are untouched.
-    """
-    m = z.shape[0]
-    rem = (-m) % multiple
-    if rem == 0:
-        return (z, lam, *rhs_arrays)
-    far = 1.0e6 * (1.0 + jnp.arange(1, rem + 1, dtype=z.dtype))[:, None]
-    z_pad = jnp.concatenate([z, jnp.broadcast_to(far, (rem, z.shape[-1]))], axis=0)
-    lam_pad = jnp.concatenate([lam.reshape(-1), jnp.ones((rem,), dtype=lam.dtype)])
-    padded_rhs = tuple(
-        jnp.concatenate(
-            [r, jnp.zeros((*r.shape[:-1], rem), dtype=r.dtype)], axis=-1
-        )
-        for r in rhs_arrays
-    )
-    return (z_pad, lam_pad, *padded_rhs)
+# pad_inducing moved to ops/cg_implicit.py (shared with the single-chip
+# matrix-free solver); re-exported here for back-compat.
+from cggp_tpu.ops.cg_implicit import pad_inducing  # noqa: E402,F401
 
 
 def _local_rows(kernel: Kernel, kp, z: Array, lam: Array, axis_name: str,
