@@ -149,22 +149,97 @@ def east_africa(
     return _split(x, y, train_proportion, seed)
 
 
-def uci(name: str, seed: int = 0, prop: float = SPLIT_PROPORTION) -> Tuple[Dataset, Dataset]:
-    """UCI regression set from ``{data_dir}/uci/{name}.npz`` (keys X, Y).
+def _uci_source(name: str) -> Optional[Path]:
+    """First existing on-disk source for a UCI set, trying our .npz format
+    and the bayesian_benchmarks/Wilson native layouts.
 
-    Replaces the reference's ``bayesian_benchmarks.data.Wilson_*`` loaders
-    (data.py:123-132) with the same seeded shuffle + 0.67 split.
+    bayesian_benchmarks (the reference's loader, data.py:123-132) extracts
+    Wilson's archives to ``{DATA_PATH}/uci/{name}/{name}.mat`` — a MATLAB
+    file whose ``data`` array holds features with the target as the LAST
+    column.  Mirrors sometimes ship flat ``{name}.mat`` or headerless
+    ``data.csv``; all are accepted so driver-staged data needs no conversion.
     """
-    path = data_dir() / "uci" / f"{name}.npz"
-    if not path.exists():
+    base = data_dir() / "uci"
+    for candidate in (
+        base / f"{name}.npz",
+        base / name / f"{name}.npz",
+        base / name / f"{name}.mat",
+        base / f"{name}.mat",
+        base / f"wilson_{name}" / f"{name}.mat",
+        base / f"Wilson_{name}" / f"{name}.mat",
+        base / name / "data.csv",
+        base / f"{name}.csv",
+        base / name / "data.txt",
+    ):
+        if candidate.exists():
+            return candidate
+    return None
+
+
+def _read_uci_arrays(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    """Read (X, Y) from any accepted on-disk format (see :func:`_uci_source`)."""
+    if path.suffix == ".npz":
+        with np.load(path) as blob:
+            if "X" in blob and "Y" in blob:
+                x = np.asarray(blob["X"], np.float64)
+                y = np.asarray(blob["Y"], np.float64)
+                return x, y if y.ndim > 1 else y[:, None]
+            data = np.asarray(blob["data"], np.float64)  # Wilson-style blob
+    elif path.suffix == ".mat":
+        from scipy.io import loadmat
+
+        blob = loadmat(str(path))
+        if "data" in blob:
+            data = np.asarray(blob["data"], np.float64)
+        else:  # tolerate a single differently-named array
+            arrays = [v for k, v in blob.items()
+                      if not k.startswith("__") and hasattr(v, "ndim")]
+            if len(arrays) != 1:
+                raise ValueError(
+                    f"{path}: expected a 'data' array (Wilson .mat format); "
+                    f"found keys {sorted(k for k in blob if not k.startswith('__'))}"
+                )
+            data = np.asarray(arrays[0], np.float64)
+    elif path.suffix in (".csv", ".txt"):
+        delimiter = "," if path.suffix == ".csv" else None
+        data = np.asarray(np.loadtxt(path, delimiter=delimiter), np.float64)
+    else:
+        raise ValueError(f"unrecognised UCI data file: {path}")
+    # Wilson convention: target is the last column.
+    return data[:, :-1], data[:, -1:]
+
+
+def available_uci_datasets() -> Tuple[str, ...]:
+    """UCI sets with data present on disk (any accepted layout) — lets
+    harnesses auto-pick up driver-staged real data with zero new code."""
+    skip = {"snelson1d", "east_africa", "synthetic1d", "synthetic"}
+    return tuple(
+        n for n in DATASET_NAMES if n not in skip and _uci_source(n) is not None
+    )
+
+
+def uci(name: str, seed: int = 0, prop: float = SPLIT_PROPORTION) -> Tuple[Dataset, Dataset]:
+    """UCI regression set from ``{data_dir}/uci/`` in our .npz format (keys
+    X, Y) or the bayesian_benchmarks/Wilson native layouts
+    (``{name}/{name}.mat`` with a last-column-target ``data`` array,
+    headerless csv/txt) — see :func:`_uci_source`.
+
+    Split matches the reference's ``bayesian_benchmarks`` semantics
+    (data.py:123-132): indices shuffled by a RandomState seeded with the
+    split index (identical stream to bbd's ``np.random.seed``), first
+    ``int(prop * N)`` rows train.  Note: the reference's ``naval``/``power``
+    go through bbd-specific preprocessing (column drops, target selection) —
+    stage those pre-processed, last-column-target.
+    """
+    path = _uci_source(name)
+    if path is None:
         raise FileNotFoundError(
-            f"UCI dataset {name!r} not found at {path}. Save it as an .npz "
-            "with arrays 'X' [N, D] and 'Y' [N, 1]."
+            f"UCI dataset {name!r} not found under {data_dir() / 'uci'}. "
+            f"Accepted layouts: {name}.npz (arrays 'X' [N, D], 'Y' [N, 1]), "
+            f"the bayesian_benchmarks extraction {name}/{name}.mat ('data' "
+            "array, target = last column), or headerless data.csv/.txt."
         )
-    with np.load(path) as blob:
-        x, y = np.asarray(blob["X"], np.float64), np.asarray(blob["Y"], np.float64)
-    if y.ndim == 1:
-        y = y[:, None]
+    x, y = _read_uci_arrays(path)
     return _split(x, y, prop, seed)
 
 

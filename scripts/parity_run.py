@@ -103,10 +103,25 @@ def one_dataset(dataset: str, seed: int, clustering: str, m_or_res: str,
     return rows
 
 
+def default_datasets():
+    """Real UCI sets if any are staged under $CGGP_DATA_DIR (any accepted
+    layout — npz / Wilson .mat / csv), else the hermetic synthetic family.
+    The moment the driver stages real data, parity rows become real with
+    zero new code."""
+    sys.path.insert(0, str(REPO))
+    from cggp_tpu.data import available_uci_datasets
+
+    real = list(available_uci_datasets())
+    if real:
+        print(f"found staged UCI data: {real} (CGGP_DATA_DIR="
+              f"{os.environ.get('CGGP_DATA_DIR', '~/.datasets')})")
+        return real
+    return ["synthetic:n=16000:dim=4", "synthetic:n=15000:dim=3"]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("datasets", nargs="*",
-                    default=["synthetic:n=16000:dim=4", "synthetic:n=15000:dim=3"])
+    ap.add_argument("datasets", nargs="*", default=None)
     ap.add_argument("--seeds", type=int, nargs="*", default=[0, 1])
     ap.add_argument("--clustering", default="covertree",
                     choices=["covertree", "kmeans", "oips", "uniform", "greedy"])
@@ -118,6 +133,8 @@ def main():
     ap.add_argument("-o", "--output",
                     default=str(REPO / "benchmarks" / "parity_results.csv"))
     args = ap.parse_args()
+    if not args.datasets:
+        args.datasets = default_datasets()
     m_or_res = args.m_or_res or ("0.5" if args.clustering == "covertree" else "512")
 
     all_rows = []

@@ -108,3 +108,91 @@ def test_snelson_download_path(tmp_path, monkeypatch):
     cache2 = tmp_path / "cache2"
     (xt3, _), _ = data_mod.snelson1d(target_dir=str(cache2))
     np.testing.assert_allclose(xt3, xt)
+
+
+# -- round 3: bayesian_benchmarks/Wilson native on-disk layouts ---------------
+
+
+def _wilson_raw(n=50, d=3, seed=7):
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((n, d))
+    y = rng.standard_normal((n, 1))
+    return x, y, np.concatenate([x, y], axis=-1)
+
+
+def test_uci_wilson_mat_layout(tmp_path, monkeypatch):
+    """The exact bayesian_benchmarks extraction layout the reference's loader
+    reads (data.py:123-132): {DATA}/uci/{name}/{name}.mat with a 'data'
+    array whose LAST column is the target."""
+    from scipy.io import savemat
+
+    from cggp_tpu.data import load_data, uci
+
+    monkeypatch.setenv("CGGP_DATA_DIR", str(tmp_path))
+    x, y, data = _wilson_raw()
+    target = tmp_path / "uci" / "elevators"
+    target.mkdir(parents=True)
+    savemat(str(target / "elevators.mat"), {"data": data})
+
+    (xtr, ytr), (xte, yte) = uci("elevators", seed=0)
+    assert xtr.shape[0] == int(0.67 * 50) and xtr.shape[1] == 3
+    # Same split as the npz path given the same raw arrays.
+    np.testing.assert_array_equal(np.sort(np.r_[ytr, yte], axis=0),
+                                  np.sort(y, axis=0))
+    bundle = load_data("elevators", seed=0)
+    assert np.isfinite(bundle.train[0]).all()
+
+
+def test_uci_all_layouts_agree(tmp_path, monkeypatch):
+    """npz (X/Y), flat .mat, dir .mat, data.csv and flat .csv must all load
+    identical arrays and produce identical seeded splits."""
+    from scipy.io import savemat
+
+    import cggp_tpu.data as data_mod
+
+    x, y, data = _wilson_raw()
+    loads = {}
+    for layout in ("npz", "mat_flat", "mat_dir", "csv_dir", "csv_flat"):
+        root = tmp_path / layout
+        base = root / "uci"
+        base.mkdir(parents=True)
+        if layout == "npz":
+            np.savez(base / "pol.npz", X=x, Y=y)
+        elif layout == "mat_flat":
+            savemat(str(base / "pol.mat"), {"data": data})
+        elif layout == "mat_dir":
+            (base / "pol").mkdir()
+            savemat(str(base / "pol" / "pol.mat"), {"data": data})
+        elif layout == "csv_dir":
+            (base / "pol").mkdir()
+            np.savetxt(base / "pol" / "data.csv", data, delimiter=",")
+        else:
+            np.savetxt(base / "pol.csv", data, delimiter=",")
+        monkeypatch.setenv("CGGP_DATA_DIR", str(root))
+        assert data_mod.available_uci_datasets() == ("pol",)
+        loads[layout] = data_mod.uci("pol", seed=3)
+
+    ref = loads.pop("npz")
+    for layout, got in loads.items():
+        for a, b in zip(ref[0] + ref[1], got[0] + got[1]):
+            np.testing.assert_allclose(a, b, atol=1e-12, err_msg=layout)
+
+
+def test_uci_split_matches_bayesian_benchmarks_semantics(tmp_path, monkeypatch):
+    """The reference relies on bbd's split (np.random.seed(split); shuffle;
+    first int(N * prop) rows train) — byte-identical indices required."""
+    import cggp_tpu.data as data_mod
+
+    monkeypatch.setenv("CGGP_DATA_DIR", str(tmp_path))
+    x, y, _ = _wilson_raw(n=101)
+    (tmp_path / "uci").mkdir(parents=True)
+    np.savez(tmp_path / "uci" / "bike.npz", X=x, Y=y)
+
+    for seed in (0, 1, 5):
+        (xtr, _), (xte, _) = data_mod.uci("bike", seed=seed)
+        ind = np.arange(101)
+        np.random.seed(seed)  # bbd uses the global stream; RandomState(seed)
+        np.random.shuffle(ind)  # produces the identical permutation
+        n_train = int(101 * 0.67)
+        np.testing.assert_array_equal(xtr, x[ind[:n_train]])
+        np.testing.assert_array_equal(xte, x[ind[n_train:]])
