@@ -29,6 +29,7 @@ from cggp_tpu.ops.linalg import add_diagonal
 from cggp_tpu.ops.logdet import (
     eval_logdet,
     eval_logdet_from_solves,
+    lanczos_extremal_eigs,
     rademacher,
     slq_logdet,
 )
@@ -199,7 +200,13 @@ class CGGP(ClusterGP):
         - ``"cg"``: the round-1 behavior (cache the preconditioner, CG the
           Kmn block per batch).  The only choice when M is too large to
           factorize or the matrix is streamed/matrix-free.
-        - ``"auto"`` (default): ``"chol"`` for M <= 16384, else ``"cg"``.
+        - ``"auto"`` (default): ``"chol"`` when the [M, M] factor fits
+          (M <= 16384) AND an estimated ``kappa(Kmm + Lambda) * eps(dtype)``
+          is safely below 1 (Lanczos extremal Ritz values, ~64 matvecs) —
+          the actual fp32 breakdown boundary, not just a size rule.  Under
+          ``jit`` the matrix is a tracer and no data-dependent static choice
+          exists: auto falls back to the size rule there, backstopped by the
+          serving-time NaN fallback (training/optimize.dump_posterior_arrays).
         """
         kp = params["kernel"]
         z = params["inducing_points"]
@@ -208,7 +215,7 @@ class CGGP(ClusterGP):
         kmm = self.kernel.K(kp, z)
         kmm_lambda = add_diagonal(kmm, var[:, 0])
         if solver == "auto":
-            solver = "chol" if z.shape[0] <= 16384 else "cg"
+            solver = self._auto_serving_solver(kmm_lambda)
         if solver == "chol":
             chol = jnp.linalg.cholesky(kmm_lambda)
             nu = jax.scipy.linalg.cho_solve((chol, True), u)
@@ -233,6 +240,29 @@ class CGGP(ClusterGP):
             precond_state=() if precond is None else precond.state,
             chol=None,
         )
+
+    # kappa * eps must stay below this for the one-shot Cholesky serving
+    # factorization to be trustworthy; 0.1 also absorbs the mild optimism of
+    # the Ritz-value kappa estimate (lanczos_extremal_eigs docstring).
+    _CHOL_KAPPA_EPS_MARGIN = 0.1
+
+    def _auto_serving_solver(self, kmm_lambda: Array) -> str:
+        m = kmm_lambda.shape[-1]
+        if m > 16384:
+            return "cg"  # the [M, M] factor alone would crowd HBM
+        if isinstance(kmm_lambda, jax.core.Tracer):
+            # Inside jit the conditioning estimate is a tracer — the
+            # chol/cg choice must be static, so only the size rule applies
+            # (the NaN fallback catches the rare ill-conditioned case).
+            return "chol"
+        eig_min, eig_max = lanczos_extremal_eigs(
+            jax.lax.stop_gradient(kmm_lambda), jax.random.PRNGKey(0),
+            num_iters=min(64, m),
+        )
+        eps = float(jnp.finfo(kmm_lambda.dtype).eps)
+        tiny = float(jnp.finfo(kmm_lambda.dtype).tiny)
+        kappa = float(eig_max) / max(float(eig_min), tiny)
+        return "chol" if kappa * eps <= self._CHOL_KAPPA_EPS_MARGIN else "cg"
 
     def posterior_mean(self, post: "CGGPPosterior", x_new: Array) -> Array:
         """CG-free serving mean: ``K(x, Z) @ nu``, one skinny matmul."""
