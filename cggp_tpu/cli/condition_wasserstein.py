@@ -69,16 +69,25 @@ def sample_gpr_prior(kernel: Kernel, kp, inputs: Array, key, jitter: float = 1e-
     return chol @ eps
 
 
-def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
+def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
+              solver_dtype=None, precondition: str = None):
     """One dimension's resolution sweep; returns a list of row dicts.
 
-    Runs in the ambient default dtype: fp64 when the CLI enables x64 (the
-    reference runs under gpflow's float64 default — fp32 NaNs out of the
-    ``jitter=1e-10`` prior Cholesky at these lengthscales).
+    Ground truth — the GP-prior sample, the exact GPR posterior, and the W2
+    distance — always runs in the ambient default dtype (fp64 when the CLI
+    enables x64; the reference runs under gpflow's float64 default, and
+    fp32 NaNs out of the ``jitter=1e-10`` prior Cholesky at these
+    lengthscales).  ``solver_dtype`` (net-new, round-3) runs ONLY the CDGP
+    side — covertree-conditioned ``Kuu+Λ``, CG solves, predictive moments —
+    at a lower precision, so the fp32-TPU production regime can be compared
+    against the same fp64 oracle.  ``precondition`` threads the model's
+    per-step preconditioner (``"pivchol"`` / ``"rff"``) into both the
+    stats solve and the predict path.
     """
     key = jax.random.PRNGKey(seed)
     key_x, key_f, key_probe = jax.random.split(key, 3)
     dtype = jnp.asarray(0.0).dtype
+    solver_dtype = dtype if solver_dtype is None else jnp.dtype(solver_dtype)
 
     kernel = SquaredExponential()
     kp = kernel.init_params(variance=1.0, lengthscales=np.full(dim, 0.5), dtype=dtype)
@@ -94,25 +103,44 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
     mu_exact, cov_exact = gpr.predict_f(gpr_params, data, x, full_cov=True)
     gpr_moments = (mu_exact, cov_exact[0])
 
+    # Model-side inputs at solver precision (data stays fp64 for the oracle).
+    x_lo = x.astype(solver_dtype)
+    kp_lo = jax.tree_util.tree_map(lambda a: jnp.asarray(a, solver_dtype), dict(kp))
+
     rows = []
     for resolution in resolutions:
         iv, means, counts = covertree_update_inducing_parameters(data, float(resolution))
         m = iv.shape[0]
 
         cg = ConjugateGradient(1e-6, max_iterations=max(m, 8))
-        model = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=num_data, num_probes=5)
+        model = CGGP(kernel=kernel, conjugate_gradient=cg, num_data=num_data,
+                     num_probes=5, precondition=precondition)
         params = model.init_params(
-            iv, pseudo_u=means, cluster_counts=counts, noise_variance=noise, dtype=dtype
+            iv.astype(solver_dtype), pseudo_u=means.astype(solver_dtype),
+            cluster_counts=counts.astype(solver_dtype), noise_variance=noise,
+            dtype=solver_dtype,
         )
-        params["kernel"] = dict(kp)
+        params["kernel"] = kp_lo
 
-        lam = model.diag_variance(params)[:, 0]
-        kuu_lambda = add_diagonal(kernel.K(kp, params["inducing_points"]), lam)
-        _, stats = cg.solve_with_stats(kuu_lambda, params["pseudo_u"])
-        eigvals = np.asarray(jnp.linalg.eigvalsh(kuu_lambda))
+        var = model.diag_variance(params)
+        lam = var[:, 0]
+        kuu = kernel.K(params["kernel"], params["inducing_points"])
+        kuu_lambda = add_diagonal(kuu, lam)
+        precond = model._build_preconditioner(
+            params["kernel"], params["inducing_points"], kuu, var,
+            jax.random.PRNGKey(seed + 1),
+        )
+        _, stats = cg.solve_with_stats(
+            kuu_lambda, params["pseudo_u"], preconditioner=precond
+        )
+        # Condition number of the solver-precision matrix, measured in fp64
+        # (eigvalsh at fp32 would itself be rounding-limited at kappa~1e7).
+        eigvals = np.linalg.eigvalsh(np.asarray(kuu_lambda, np.float64))
 
-        mu_approx, cov_approx = model.predict_f(params, x, full_cov=True)
-        w2 = float(wasserstein2(gpr_moments, (mu_approx, cov_approx[0])))
+        mu_approx, cov_approx = model.predict_f(params, x_lo, full_cov=True)
+        w2 = float(wasserstein2(
+            gpr_moments, (mu_approx.astype(dtype), cov_approx[0].astype(dtype))
+        ))
 
         row = {
             "dim": dim,
@@ -148,19 +176,39 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int):
     default=(1.0, 0.5, 0.2, 0.1, 0.05, 0.02),
 )
 @click.option("--plot/--no-plot", default=False)
-def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot):
-    """Reference paper_visualization (:151-213)."""
-    if precision == np.float64:
-        jax.config.update("jax_enable_x64", True)
+@click.option(
+    "--precondition", type=click.Choice(["none", "pivchol", "rff"]), default="none",
+    help="Per-solve preconditioner for the CDGP side (net-new, round-3).",
+)
+def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot,
+         precondition):
+    """Reference paper_visualization (:151-213).
+
+    ``-p fp64`` reproduces the reference protocol end-to-end in fp64.
+    ``-p fp32`` (net-new) keeps the ORACLE — prior sample, exact GPR
+    posterior, W2 — in fp64 but runs the CDGP/CG side at fp32, i.e. the
+    precision the TPU production path actually uses; outputs get a
+    ``_fp32`` filename suffix so both regimes can be checked in side by
+    side.
+    """
+    # x64 is always on: the fp64 oracle (jitter=1e-10 prior Cholesky) is
+    # shared by both precision modes; `-p` picks the CDGP solver dtype.
+    jax.config.update("jax_enable_x64", True)
+    solver_dtype = jnp.float32 if precision == np.float32 else jnp.float64
+    precondition = None if precondition == "none" else precondition
+    suffix = "_fp32" if precision == np.float32 else ""
+    if precondition is not None:
+        suffix += f"_{precondition}"
 
     import pandas as pd
 
     all_rows = []
     for dim in dims:
-        rows = run_sweep(dim, num_data, resolutions, noise, seed)
+        rows = run_sweep(dim, num_data, resolutions, noise, seed,
+                         solver_dtype=solver_dtype, precondition=precondition)
         all_rows.extend(rows)
         frame = pd.DataFrame(rows)
-        out = Path(logdir, f"condition_wasserstein_dim{dim}.csv")
+        out = Path(logdir, f"condition_wasserstein_dim{dim}{suffix}.csv")
         frame.to_csv(out, index=False)
         click.echo(f"dim={dim}: wrote {out}")
         click.echo(frame.to_string(index=False))
@@ -186,8 +234,8 @@ def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot):
             ax.set_yscale("log")
             ax.legend()
         fig.tight_layout()
-        fig.savefig(Path(logdir, "condition_wasserstein.png"), dpi=120)
-        click.echo(f"wrote {Path(logdir, 'condition_wasserstein.png')}")
+        fig.savefig(Path(logdir, f"condition_wasserstein{suffix}.png"), dpi=120)
+        click.echo(f"wrote {Path(logdir, f'condition_wasserstein{suffix}.png')}")
 
     click.echo("=== Script finished ===")
 
