@@ -62,7 +62,16 @@ class CoverTree:
         lloyds: bool = True,
         voronoi: bool = True,
         backend: str = "auto",
+        plotting: bool = False,
     ):
+        """``plotting=True`` records per-level coverage diagnostics
+        (reference covertree.py:34,61-62,116-117 keeps per-node data
+        snapshots for its playground plots): ``self.plotting_data[level]``
+        is a dict with ``centers`` [M_l, D], ``radius`` (float), and
+        ``labels`` [N] — the PRE-Voronoi claim labels, so each node's
+        claimed point set (all within ``radius`` of its center) can be
+        recovered.  Forces the numpy backend (the native builder does not
+        export per-level assignments)."""
         if distance is not None:
             # Parity with the reference, which ignores the distance argument
             # and forces the Euclidean norm (covertree.py:36-47).
@@ -76,6 +85,10 @@ class CoverTree:
         if y.ndim == 1:
             y = y[:, None]
         n = x.shape[0]
+
+        self.plotting_data: List[dict] = []
+        if plotting and backend in ("auto", "native"):
+            backend = "numpy"
 
         if backend in ("auto", "native"):
             # Multithreaded C++ builder (cggp_tpu/native/covertree.cc) — the
@@ -118,6 +131,12 @@ class CoverTree:
         self.num_levels = num_levels
         self.level_centers: List[np.ndarray] = [root[None, :]]
         labels = np.zeros(n, dtype=np.int64)
+        if plotting:
+            self.plotting_data.append({
+                "centers": root[None, :].copy(),
+                "radius": float(max_radius),
+                "labels": labels.copy(),
+            })
 
         for level in range(1, num_levels):
             radius = max_radius / (2**level)
@@ -162,6 +181,15 @@ class CoverTree:
                 center_arr = np.vstack([center_arr, point[None, :]])
 
             center_arr = np.stack(centers)
+            if plotting:
+                # PRE-Voronoi claim labels: every point is within `radius`
+                # of its labeled center (the coverage invariant the plots
+                # visualize); Voronoi reassignment below may break that.
+                self.plotting_data.append({
+                    "centers": center_arr.copy(),
+                    "radius": float(radius),
+                    "labels": labels.copy(),
+                })
             if voronoi:
                 labels = _nearest_center_labels(x, center_arr)
             self.level_centers.append(center_arr)

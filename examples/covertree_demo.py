@@ -32,5 +32,38 @@ def main():
                   f"{ratio:>12.3f} {dt:>8.2f}")
 
 
+def plot_levels(out_path: str = "covertree_levels.png"):
+    """Per-level coverage plot from ``CoverTree(plotting=True)`` diagnostics
+    (the reference's playground drew these from per-node ``plotting_data``
+    snapshots, covertree.py:61-62,116-117 / legacy/playground_covertree.py):
+    claimed points colored per node with the level's covering circles."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    (x, y), _ = synthetic(n=2_000, dim=2, seed=0)
+    tree = CoverTree(None, (x, y), spatial_resolution=0.25, plotting=True)
+
+    n_levels = len(tree.plotting_data)
+    fig, axes = plt.subplots(1, n_levels, figsize=(4 * n_levels, 4))
+    for ax, (level, snap) in zip(np.atleast_1d(axes), enumerate(tree.plotting_data)):
+        centers, radius, labels = snap["centers"], snap["radius"], snap["labels"]
+        ax.scatter(x[:, 0], x[:, 1], c=labels, s=4, cmap="tab20", alpha=0.6)
+        ax.scatter(centers[:, 0], centers[:, 1], c="black", s=18, marker="x")
+        for c in centers:
+            ax.add_patch(plt.Circle(c, radius, fill=False, color="black",
+                                    linewidth=0.6, alpha=0.5))
+        ax.set_title(f"level {level}: M={centers.shape[0]}, r={radius:.3g}")
+        ax.set_aspect("equal")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    print(f"wrote {out_path}")
+
+
 if __name__ == "__main__":
+    import sys
+
+    if "--plot" in sys.argv:
+        plot_levels()
     main()

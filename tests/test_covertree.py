@@ -143,3 +143,25 @@ def test_cluster_means_multi_output_y():
         if sel.any():
             np.testing.assert_allclose(means[i], y[sel].mean(axis=0), atol=1e-12)
             assert counts[i, 0] == sel.sum()
+
+
+def test_plotting_diagnostics(rng):
+    """plotting=True (reference covertree.py:34,61-62,116-117 parity):
+    per-level snapshots carry the coverage invariant — every point lies
+    within `radius` of its PRE-Voronoi labeled center — plus the halving
+    radius schedule, independent of the later Voronoi reassignment."""
+    x, y = _data(rng, n=300)
+    tree = CoverTree(None, (x, y), spatial_resolution=0.5, plotting=True)
+
+    assert len(tree.plotting_data) == tree.num_levels
+    for level, snap in enumerate(tree.plotting_data):
+        centers, radius, labels = snap["centers"], snap["radius"], snap["labels"]
+        assert centers.shape[0] == tree.level_centers[level].shape[0]
+        np.testing.assert_allclose(radius, tree.max_radius / 2**level)
+        assert labels.shape == (300,)
+        dists = np.linalg.norm(x - centers[labels], axis=-1)
+        assert dists.max() <= radius + 1e-12, (level, dists.max(), radius)
+
+    # Default stays lean: no snapshots recorded, native backend allowed.
+    lean = CoverTree(None, (x, y), spatial_resolution=0.5)
+    assert lean.plotting_data == []
