@@ -91,12 +91,15 @@ def _backend_responsive_with_retry() -> bool:
 
     budget = float(os.environ.get("CGGP_BENCH_PROBE_BUDGET_S", "600"))
     deadline = _time.monotonic() + budget
-    attempt, per_probe = 0, 150
+    attempt, per_probe, min_useful_probe = 0, 150, 20
     while True:
         remaining = deadline - _time.monotonic()
-        if remaining <= 0:
+        # Never clamp a probe UP past the deadline (a 5s-remaining budget
+        # must not block 30s past it — harness windows are sized to the
+        # advertised budget); below ~20s a probe cannot finish init anyway.
+        if remaining < min_useful_probe:
             return False
-        if _backend_responsive(timeout_s=min(per_probe, max(30, int(remaining)))):
+        if _backend_responsive(timeout_s=min(per_probe, int(remaining))):
             return True
         attempt += 1
         sleep = min(60, 10 * attempt, max(0.0, deadline - _time.monotonic()))

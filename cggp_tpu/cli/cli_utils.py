@@ -461,6 +461,11 @@ def create_model_and_update_fn(
             if k not in ("num_probes", "logdet_variant", "precondition",
                          "precond_rank", "block")
         }
+    elif model_name != "cdgp-implicit":
+        # `block` is the implicit row-solver's panel size; the dense CGGP
+        # has no such field — strip it so one model_kwargs dict can sweep
+        # both legs.
+        model_kwargs = {k: v for k, v in model_kwargs.items() if k != "block"}
     model, params = create_model(
         model_name,
         kernel_fn,

@@ -94,9 +94,23 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
     model_kwargs = {}
     if model_class == "cdgp-implicit" and info.get("block"):
         model_kwargs["block"] = int(info["block"])
+    if model_class in ("cdgp", "cdgp-implicit"):
+        # Rebuild with the TRAINING run's solver configuration (train.py
+        # records it): dropping the preconditioner / relative threshold /
+        # iteration cap here silently degrades the serving solves on
+        # exactly the ill-conditioned large-M systems those knobs exist
+        # for (the u-solve and per-batch Kmn CG would run
+        # identity-preconditioned with an absolute threshold).
+        if info.get("precondition") not in (None, "none"):
+            model_kwargs["precondition"] = info["precondition"]
+            if info.get("precond_rank"):
+                model_kwargs["precond_rank"] = int(info["precond_rank"])
+        if info.get("max_cg_iterations"):
+            model_kwargs["max_cg_iterations"] = int(info["max_cg_iterations"])
     model, params = create_model(
         model_class, kernel_fn, dataset.train,
         num_inducing_points=m, error_threshold=error_threshold, seed=seed,
+        relative_threshold=bool(info.get("relative_threshold", False)),
         **model_kwargs,
     )
     from cggp_tpu.utils import assign_flat

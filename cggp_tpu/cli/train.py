@@ -162,6 +162,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         "num_devices": num_devices,
         "matrix_free": matrix_free,
         "block": block if matrix_free else None,
+        "max_cg_iterations": max_cg_iterations,
     }
     click.echo(f"-> {json.dumps(info, indent=2)}")
 

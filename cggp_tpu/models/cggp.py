@@ -20,6 +20,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cggp_tpu.models.base import GaussianLikelihood, minibatch_scale
 from cggp_tpu.models.clustergp import ClusterGP
@@ -206,7 +207,10 @@ class CGGP(ClusterGP):
           the actual fp32 breakdown boundary, not just a size rule.  Under
           ``jit`` the matrix is a tracer and no data-dependent static choice
           exists: auto falls back to the size rule there, backstopped by the
-          serving-time NaN fallback (training/optimize.dump_posterior_arrays).
+          serving-time NaN fallback.  Production callers that jit this
+          method (training/optimize.predict_in_batches) resolve "auto"
+          eagerly first via :meth:`resolve_serving_solver`, so the
+          conditioning estimate DOES run on the real serving path.
         """
         kp = params["kernel"]
         z = params["inducing_points"]
@@ -246,6 +250,22 @@ class CGGP(ClusterGP):
     # the Ritz-value kappa estimate (lanczos_extremal_eigs docstring).
     _CHOL_KAPPA_EPS_MARGIN = 0.1
 
+    def resolve_serving_solver(self, params: Dict) -> str:
+        """Resolve ``solver="auto"`` to a concrete ``"chol"``/``"cg"`` choice
+        EAGERLY (outside jit), where the Lanczos conditioning estimate can be
+        computed.  Serving callers that jit ``posterior`` (the production
+        path, training/optimize._cached_posterior_jits) must call this first
+        and pass the concrete choice through — inside jit the matrix is a
+        tracer, no data-dependent static choice exists, and ``"auto"`` would
+        silently degrade to the size-only rule (round-3 review finding).
+        Costs one [M, M] Gram build + ~64 matvecs, once per cache build."""
+        m = params["inducing_points"].shape[0]
+        if m > 16384:
+            return "cg"
+        kmm = self.kernel.K(params["kernel"], params["inducing_points"])
+        kmm_lambda = add_diagonal(kmm, self.diag_variance(params)[:, 0])
+        return self._auto_serving_solver(kmm_lambda)
+
     def _auto_serving_solver(self, kmm_lambda: Array) -> str:
         m = kmm_lambda.shape[-1]
         if m > 16384:
@@ -262,6 +282,11 @@ class CGGP(ClusterGP):
         eps = float(jnp.finfo(kmm_lambda.dtype).eps)
         tiny = float(jnp.finfo(kmm_lambda.dtype).tiny)
         kappa = float(eig_max) / max(float(eig_min), tiny)
+        if not np.isfinite(kappa):
+            # Non-finite estimate = poisoned inputs, not ill-conditioning
+            # (CG would serve NaNs too).  Defer to the size rule so the
+            # serving-time NaN fallback surfaces its diagnostic warning.
+            return "chol"
         return "chol" if kappa * eps <= self._CHOL_KAPPA_EPS_MARGIN else "cg"
 
     def posterior_mean(self, post: "CGGPPosterior", x_new: Array) -> Array:

@@ -31,9 +31,11 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cggp_tpu.models.base import minibatch_scale
 from cggp_tpu.models.clustergp import ClusterGP
+from cggp_tpu.ops.cg import spectral_precond_state
 from cggp_tpu.ops.cg_implicit import pad_inducing, pivoted_cholesky_kernel
 from cggp_tpu.ops.logdet import (
     make_matfree_eval_logdet,
@@ -43,13 +45,6 @@ from cggp_tpu.ops.logdet import (
 )
 
 Array = jnp.ndarray
-
-
-def spectral_precond_state(factor: Array, lam: Array):
-    """Build SpectralPreconditioner state (pure jnp ops; jit-safe)."""
-    from cggp_tpu.ops.cg import SpectralPreconditioner
-
-    return SpectralPreconditioner(factor, lam).state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -342,6 +337,40 @@ class RowSolveCGGP(ClusterGP):
     # -- cached serving (twin of CGGP.posterior; the reference's predict
     # path recomputes the u-solve per batch, models.py:333-345) -------------
 
+    # kappa * eps must stay below this for the one-shot Cholesky serving
+    # factorization to be trustworthy (same margin as CGGP's dense rule).
+    _CHOL_KAPPA_EPS_MARGIN = 0.1
+
+    def resolve_serving_solver(self, params: Dict) -> str:
+        """Eager ``"auto"`` resolution for the row-solver serving path
+        (dense twin: :meth:`CGGP.resolve_serving_solver`): Lanczos extremal
+        Ritz values through the model's own matrix-free masked matvec — no
+        [M, M] build.  Masked start vector => the estimate covers the real
+        submatrix only (pads are decoupled)."""
+        if not self._supports_chol_serving:
+            return "cg"
+        z = params["inducing_points"]
+        if z.shape[0] > 16384:
+            return "cg"
+        kp = params["kernel"]
+        lam = self.diag_variance(params)[:, 0]
+        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
+        from cggp_tpu.ops.logdet import lanczos_extremal_eigs_rows
+
+        eig_min, eig_max = lanczos_extremal_eigs_rows(
+            lambda rows: self._matvec(kp, z, lam, mask, rows),
+            jax.random.PRNGKey(0), z.shape[0], z.dtype,
+            num_iters=min(64, int(z.shape[0])), mask=mask,
+        )
+        eps = float(jnp.finfo(z.dtype).eps)
+        tiny = float(jnp.finfo(z.dtype).tiny)
+        kappa = float(eig_max) / max(float(eig_min), tiny)
+        if not np.isfinite(kappa):
+            # Poisoned inputs, not ill-conditioning: defer to the size rule
+            # so the serving-time NaN fallback surfaces its warning.
+            return "chol"
+        return "chol" if kappa * eps <= self._CHOL_KAPPA_EPS_MARGIN else "cg"
+
     def posterior(self, params: Dict,
                   solver: str = "auto") -> "RowCGGPPosterior":
         """Precompute the params-only serving state: the u-solve ``nu`` and
@@ -352,7 +381,10 @@ class RowSolveCGGP(ClusterGP):
         additionally materializes the masked ``Kmm + Lambda`` (pads
         decoupled, unit diagonal) and factorizes it ONCE — per-batch
         variance becomes two triangular solves instead of a blocked CG.
-        ``"auto"``: chol for M_pad <= 16384 when supported, else ``"cg"``.
+        ``"auto"``: chol for M_pad <= 16384 when supported, else ``"cg"``
+        (the in-jit fallback rule; eager callers and
+        training/optimize.predict_in_batches resolve "auto" through the
+        conditioning-aware :meth:`resolve_serving_solver` first).
         """
         kp = params["kernel"]
         z = params["inducing_points"]

@@ -251,6 +251,14 @@ class SpectralPreconditioner:
         return self.apply(self.state, vec, mat)
 
 
+def spectral_precond_state(factor: Array, lam: Array):
+    """Build :class:`SpectralPreconditioner` state (pure jnp ops; jit-safe).
+
+    Single definition shared by the row-solver models and the sharded CG
+    (both previously carried verbatim copies)."""
+    return SpectralPreconditioner(factor, lam).state
+
+
 def pivoted_cholesky_preconditioner(matrix: Array, lam: Array, rank: int) -> "SpectralPreconditioner":
     """Rank-``rank`` pivoted-Cholesky preconditioner for ``matrix + diag(lam)``.
 

@@ -160,20 +160,34 @@ def make_implicit_cg(
     with :func:`pivoted_cholesky_kernel` + ``SpectralPreconditioner``); the
     backward solve reuses it.  ``mask`` marks real (1) vs pad (0) inducing
     points when Z was padded to a block multiple — pads stay exactly
-    decoupled (the Pallas path does not support masking; pad with
-    ``use_pallas=False`` or keep M a block multiple).
+    decoupled on both matvec paths.  The Pallas kernel itself is unmasked;
+    masking composes around it exactly (mask in {0,1}):
+
+        masked(p) = mask * kuu_matvec(p * mask) + p * lam * (1 - mask)
+
+    — premasking kills pad COLUMNS, postmasking kills pad ROWS, and the
+    correction restores the pads' lam diagonal that the postmask removed
+    (pad kernel entries themselves underflow to 0 at the 1e6 pad
+    coordinates, so no garbage survives the masks).
     """
     if max_steps_cycle is None:
         max_steps_cycle = max_iterations + 1
 
     def matvec_for_solve(kp, z, lam, mask, p):
-        if use_pallas and mask is None:
+        if use_pallas:
             from cggp_tpu.ops.pallas_gram import kuu_matvec
 
             ell = kernel.lengthscales(kp)
-            return kuu_matvec(
-                z / ell, lam.reshape(-1), p, kernel.variance(kp), kernel.name
+            lam_flat = lam.reshape(-1)
+            if mask is None:
+                return kuu_matvec(
+                    z / ell, lam_flat, p, kernel.variance(kp), kernel.name
+                )
+            out = kuu_matvec(
+                z / ell, lam_flat, p * mask[None, :], kernel.variance(kp),
+                kernel.name,
             )
+            return out * mask[None, :] + p * (lam_flat * (1.0 - mask))[None, :]
         return blocked_kuu_matvec(kernel, kp, z, lam, p, block=block, mask=mask)
 
     def run_solve(kp, z, lam, mask, rhs, precond_state):

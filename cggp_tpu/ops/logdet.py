@@ -496,9 +496,15 @@ def lanczos_extremal_eigs(matrix: Array, key: jax.Array, num_iters: int = 64):
     dtype = matrix.dtype
     v0 = jax.random.normal(key, (n,), dtype)
     alphas, betas = _lanczos_tridiag(matrix, v0, num_iters)
-    # If Lanczos terminated early (beta == 0, Krylov space exhausted), the
-    # trailing rows are zero; fill their diagonal with a Rayleigh quotient
-    # (guaranteed inside [eig_min, eig_max]) so they are never extremal.
+    return _ritz_extremes(alphas, betas)
+
+
+def _ritz_extremes(alphas: Array, betas: Array):
+    """(eig_min, eig_max) Ritz estimates from Lanczos (alphas [k], betas
+    [k-1]).  If Lanczos terminated early (beta == 0, Krylov space
+    exhausted), the trailing rows are zero; fill their diagonal with a
+    Rayleigh quotient (guaranteed inside [eig_min, eig_max]) so they are
+    never extremal."""
     bad = jnp.concatenate([jnp.zeros((1,), bool), betas <= 0.0])
     used = jnp.cumsum(bad) == 0
     diag = jnp.where(used, alphas, alphas[0])
@@ -506,3 +512,18 @@ def lanczos_extremal_eigs(matrix: Array, key: jax.Array, num_iters: int = 64):
     t = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
     evs = jnp.linalg.eigvalsh(t)
     return evs[0], evs[-1]
+
+
+def lanczos_extremal_eigs_rows(matvec_rows, key: jax.Array, n: int, dtype,
+                               num_iters: int = 64,
+                               mask: Optional[Array] = None):
+    """Matrix-free :func:`lanczos_extremal_eigs`: the operator is given as a
+    row-convention matvec (``[1, M] -> v @ A``) — e.g. the blocked implicit
+    matvec or the psum-sharded one.  A masked start vector keeps the Krylov
+    space inside the REAL coordinates of a padded system (pads are
+    decoupled), so the estimate covers the real submatrix only."""
+    v0 = jax.random.normal(key, (1, n), dtype)
+    if mask is not None:
+        v0 = v0 * mask.reshape(1, -1)
+    alphas, betas = lanczos_tridiag_rows(matvec_rows, v0, num_iters)
+    return _ritz_extremes(alphas[:, 0], betas[:, 0])

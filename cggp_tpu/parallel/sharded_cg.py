@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from cggp_tpu.ops.cg import CGStats, cg_loop
+from cggp_tpu.ops.cg import CGStats, cg_loop, spectral_precond_state  # noqa: F401 (re-export)
 from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.parallel.mesh import DATA_AXIS
 
@@ -91,11 +91,6 @@ from cggp_tpu.ops.cg import precond_apply_or_identity as _precond_apply
 from cggp_tpu.ops.cg_implicit import pivoted_cholesky_kernel  # re-export
 
 
-def spectral_precond_state(factor: Array, lam: Array):
-    """Build SpectralPreconditioner state (pure jnp ops; jit-safe)."""
-    from cggp_tpu.ops.cg import SpectralPreconditioner
-
-    return SpectralPreconditioner(factor, lam).state
 
 
 def make_sharded_matvec(kernel: Kernel, mesh: Mesh, axis_name: str = DATA_AXIS):

@@ -729,6 +729,16 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         )
 
     if posterior_capable:
+        # Resolve "auto" EAGERLY before jitting: inside jit the system
+        # matrix is a tracer and the model's auto rule silently degrades to
+        # the size-only choice — the conditioning-aware estimate (Lanczos
+        # extremal Ritz values) only exists out here (round-3 review
+        # finding: the production serving path never ran it).
+        requested_solver = posterior_solver
+        if posterior_solver == "auto" and _posterior_takes_solver(model):
+            resolver = getattr(model, "resolve_serving_solver", None)
+            if resolver is not None:
+                posterior_solver = resolver(params)
         # Models are frozen (hashable) dataclasses: cache the jitted programs
         # per model so repeated calls reuse the compiled executables — a
         # fresh closure per call would re-trace AND re-compile every time
@@ -751,7 +761,9 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
             and getattr(post, "chol", None) is not None
             and not bool(jnp.all(jnp.isfinite(jnp.diagonal(post.chol))))
         ):
-            if posterior_solver == "chol":
+            # An EXPLICIT chol request fails loudly; an auto-RESOLVED chol
+            # (requested "auto") falls back to CG like before.
+            if requested_solver == "chol":
                 raise FloatingPointError(
                     "posterior(solver='chol'): non-finite Cholesky factor — "
                     "Kmm+Lambda is too ill-conditioned for a raw fp32 "

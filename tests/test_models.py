@@ -450,3 +450,53 @@ def test_cggp_auto_serving_solver_picks_by_conditioning(rng):
     # Under jit the estimate is a tracer: auto must still work (size rule).
     post_jit = jax.jit(model.posterior)(params)
     assert post_jit.chol is not None
+
+
+def test_predict_in_batches_auto_resolves_conditioning_eagerly(rng, monkeypatch):
+    """Round-3 review regression: the production serving path
+    (predict_in_batches -> jitted posterior) previously never ran the
+    conditioning estimate — posterior() was always traced, the Tracer check
+    fired, and "auto" degraded to the size-only rule.  The resolver must now
+    run EAGERLY before jitting: an ill-conditioned fp32 M=96 system routes
+    to CG serving without tripping the post-hoc NaN fallback."""
+    import warnings as _warnings
+
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.training import optimize as opt
+
+    n, d, m = 256, 2, 96
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+    model = CGGP(
+        kernel=SquaredExponential(),
+        conjugate_gradient=ConjugateGradient(
+            1e-6, max_iterations=4 * m, relative_threshold=True
+        ),
+        num_data=n, num_probes=3, precondition="pivchol", precond_rank=32,
+    )
+    params = model.init_params(
+        x[:m], lengthscales=jnp.full(d, 8.0, jnp.float32), noise_variance=0.1,
+        pseudo_u=jnp.asarray(rng.standard_normal((m, 1)), jnp.float32),
+        cluster_counts=jnp.full((m, 1), 1.0e4, jnp.float32),
+        dtype=jnp.float32,
+    )
+
+    solvers_used = []
+    orig = opt._cached_posterior_jits.__wrapped__
+
+    def spy(mdl, solver="auto"):
+        solvers_used.append(solver)
+        return orig(mdl, solver)
+
+    monkeypatch.setattr(opt, "_cached_posterior_jits", spy)
+
+    with _warnings.catch_warnings():
+        # The eager resolver must choose CG up front — reaching the NaN
+        # fallback (a RuntimeWarning) means the estimate never ran.
+        _warnings.simplefilter("error", RuntimeWarning)
+        mu, var = opt.predict_in_batches(model, params, x, batch_size=64)
+    assert solvers_used == ["cg"], solvers_used
+    assert np.isfinite(np.asarray(mu)).all() and np.isfinite(np.asarray(var)).all()

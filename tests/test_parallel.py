@@ -569,3 +569,46 @@ def test_sharded_full_cov_matches_dense(mesh, rng):
         )
         np.testing.assert_allclose(np.asarray(mu_p), np.asarray(mu_d), atol=1e-6)
         np.testing.assert_allclose(np.asarray(cov_p), np.asarray(cov_d), atol=1e-6)
+
+
+def test_sharded_resolve_serving_solver_by_conditioning(mesh, rng):
+    """Round-3 review follow-up: the eager 'auto' resolver (matrix-free
+    Lanczos through the psum matvec, no [M, M] build) must route an
+    ill-conditioned fp32 system to CG serving and a well-conditioned one to
+    chol — the dense CGGP rule, one class up in the shared row-solver base."""
+    n, d, m = 128, 2, 24
+
+    def build(lengthscale, counts_scale):
+        x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+        model = ShardedCGGP(
+            kernel=SquaredExponential(), mesh=mesh, num_data=n, num_probes=2,
+            error_threshold=1e-6, max_cg_iterations=4 * m,
+            relative_threshold=True,
+        )
+        params = model.init_params(
+            x[:m], lengthscales=jnp.full(d, lengthscale, jnp.float32),
+            noise_variance=0.1,
+            pseudo_u=jnp.asarray(rng.standard_normal((m, 1)), jnp.float32),
+            cluster_counts=jnp.full((m, 1), counts_scale, jnp.float32),
+            dtype=jnp.float32,
+        )
+        return model, params
+
+    model, params = build(0.5, 1.0)
+    assert model.resolve_serving_solver(params) == "chol"
+
+    model, params = build(8.0, 1.0e4)  # kappa >> 1/eps(fp32)
+    assert model.resolve_serving_solver(params) == "cg"
+    post = model.posterior(params, solver="cg")
+    mu, var = model.posterior_predict(post, jnp.asarray(
+        rng.uniform(-1, 1, (16, d)), jnp.float32))
+    assert np.isfinite(np.asarray(mu)).all() and np.isfinite(np.asarray(var)).all()
+
+    # The matrix-free model never cholesky-serves, whatever the conditioning.
+    from cggp_tpu.models import ImplicitCGGP
+
+    imp = ImplicitCGGP(kernel=SquaredExponential(), num_data=n, block=16,
+                       error_threshold=1e-6, max_cg_iterations=64)
+    x = jnp.asarray(rng.uniform(-1, 1, (m, d)), jnp.float32)
+    ip = imp.init_params(x, noise_variance=0.1, dtype=jnp.float32)
+    assert imp.resolve_serving_solver(ip) == "cg"
