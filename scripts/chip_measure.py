@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""One-command chip re-measurement for everything waiting on the TPU tunnel.
+
+The device tunnel wedges for hours when a client dies mid-compile (see
+docs/ROADMAP.md round-3 status); this script packs every pending chip
+measurement into one run so a single recovery window captures all of it:
+
+1. ``bench.py`` — the driver's headline CG-matvec GB/s + e2e train/serve
+   metrics; a green run also refreshes ``logs/bench_last_good.json``, the
+   wedge-replay cache that keeps later BENCH_r{N}.json nonzero.
+2. The mixed-precision CG variant table (fp32 / bf16_ir / drift-adaptive
+   bf16_ru at M=32768, 16 RHS, relative targets 1e-4 and 1e-6) — the
+   round-3 drift-adaptive loop is CPU-validated for iteration counts
+   (docs/PERF.md round-3 table); this captures real-chip WALL TIMES.
+
+Results land in ``logs/chip_measure.json`` (one JSON object per section)
+plus a markdown table on stdout ready for docs/PERF.md.
+
+Usage:
+    python scripts/chip_measure.py            # full run (TPU, ~minutes)
+    python scripts/chip_measure.py --tiny     # CPU smoke (structure check)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def probe_backend(timeout_s: int = 150) -> bool:
+    """Child-process probe (never blocks this script on a wedged tunnel)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env=dict(os.environ),
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run_bench() -> dict:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=1800, env=dict(os.environ),
+    )
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    return json.loads(lines[-1]) if lines else {"error": proc.stderr[-500:]}
+
+
+def bf16_variant_table(m: int, num_rhs: int, targets, repeats: int = 3) -> list:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cggp_tpu.ops.cg import conjugate_gradient
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.ops.linalg import add_diagonal
+    from cggp_tpu.utils import cache
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # --tiny: the tunnel sitecustomize force-overrides jax_platforms to
+        # "axon,cpu" at interpreter start (see memory/tpu-tunnel-wedge);
+        # re-pin AFTER import, before any device use, or the smoke run
+        # blocks on a wedged tunnel.
+        jax.config.update("jax_platforms", "cpu")
+
+    cache.enable_persistent_cache(jax, "chipmeasure-")
+
+    rng = np.random.RandomState(0)
+    kernel = Matern32()
+    kp = kernel.init_params(
+        variance=1.0, lengthscales=np.full(8, 1.2), dtype=jnp.float32
+    )
+    z = jnp.asarray(rng.uniform(-2, 2, (m, 8)), jnp.float32)
+    lam = jnp.asarray(rng.uniform(0.05, 0.5, (m,)), jnp.float32)
+    a = add_diagonal(kernel.K(kp, z), lam)
+    rhs = jnp.asarray(rng.standard_normal((num_rhs, m)), jnp.float32)
+    v0 = jnp.zeros_like(rhs)
+
+    rows = []
+    for target in targets:
+        for impl in ("xla", "bf16_ir", "bf16_ru"):
+            @jax.jit
+            def solve(a, rhs, v0, impl=impl, target=target):
+                sol, stats = conjugate_gradient(
+                    a, rhs, v0, target, max_iterations=2 * m,
+                    max_steps_cycle=2 * m + 1, matvec_impl=impl,
+                    relative_threshold=True,
+                )
+                # scalar reduce inside jit = reliable sync over the tunnel
+                return jnp.sum(sol), stats.steps, jnp.max(stats.error)
+
+            checksum, steps, err = solve(a, rhs, v0)
+            float(checksum)  # compile + warm
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                checksum, steps, err = solve(a, rhs, v0)
+                float(checksum)
+                times.append(time.perf_counter() - t0)
+            rows.append({
+                "M": m, "target": target, "impl": impl,
+                "steps": int(steps), "max_error": float(err),
+                "wall_s": round(min(times), 4),
+            })
+            print(f"  {impl:8s} target={target:g} steps={int(steps):5d} "
+                  f"t={min(times):.3f}s", flush=True)
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU smoke run (M=1024, skips bench.py)")
+    ap.add_argument("--skip-bench", action="store_true")
+    args = ap.parse_args()
+
+    if args.tiny:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+    out = {"unix": int(time.time()), "tiny": args.tiny}
+
+    if not args.tiny and not probe_backend():
+        print("chip_measure: backend unresponsive (tunnel wedged?) — "
+              "nothing measured; re-run after recovery", flush=True)
+        sys.exit(2)
+
+    if not args.tiny and not args.skip_bench:
+        print("== bench.py ==", flush=True)
+        out["bench"] = run_bench()
+        print(json.dumps(out["bench"]), flush=True)
+
+    m = 1024 if args.tiny else 32768
+    print(f"== bf16 variant table (M={m}) ==", flush=True)
+    out["bf16_variants"] = bf16_variant_table(m, 16, (1e-4, 1e-6))
+
+    path = os.path.join(REPO, "logs", "chip_measure.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", flush=True)
+
+    # Markdown for docs/PERF.md
+    print("\n| M | target | impl | steps | wall_s |")
+    print("|---|---|---|---|---|")
+    for r in out["bf16_variants"]:
+        print(f"| {r['M']} | {r['target']:g} | {r['impl']} | "
+              f"{r['steps']} | {r['wall_s']} |")
+
+
+if __name__ == "__main__":
+    main()
