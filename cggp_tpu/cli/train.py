@@ -276,6 +276,15 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         if resume_from is None:
             params = update_fn(params)
         update_fn = None
+    if num_devices is not None and steps_per_call == 1:
+        # Hybrid dp+tp: batch rows sharded over the same mesh the model's
+        # KL is M-sharded on (GSPMD psums for the data terms).  The scan-
+        # chunked multi-step keeps replicated batches (see the trainer
+        # docstring), so dp engages only at steps_per_call=1.
+        click.echo(f"data-parallel batches over the {num_devices}-device mesh")
+        train_mesh = mesh
+    else:
+        train_mesh = None
     params = train_using_adam_and_update(
         params,
         lambda p, b, k: model.training_loss(p, b, k),
@@ -288,6 +297,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         trainable_mask=model.trainable_mask(params, trainable_pseudo_u=trainable_u),
         monitor=monitor,
         steps_per_call=steps_per_call,
+        mesh=train_mesh,
     )
     save_config_dir(logdir, params, info)
     monitor.close()

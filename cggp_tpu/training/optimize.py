@@ -134,9 +134,20 @@ def train_using_adam_and_update(
     profile_steps: Tuple[int, int] = (2, 6),
     scalar_record_step: int = 1,
     steps_per_call: int = 1,
+    mesh=None,
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
+
+    ``mesh`` (net-new) turns each step into the hybrid dp+tp SPMD step:
+    batch rows are sharded over the mesh (``parallel.shard_batch``) and the
+    whole value-and-grad + Adam update runs under GSPMD
+    (``parallel.make_data_parallel_train_step``) — the likelihood term is
+    computed on local rows with compiler-inserted psums, while an M-sharded
+    model (ShardedCGGP) keeps its KL collectives.  Composes with
+    ``steps_per_call == 1`` only: the scan-chunked multi-step gathers
+    minibatches from the FULL dataset inside jit, which under a row-sharded
+    dataset would lower to per-step cross-device gathers.
 
     ``update_fn(params) -> params`` runs host-side between jitted steps; if it
     changes any array shape (e.g. covertree changed M), the optimizer state is
@@ -157,6 +168,19 @@ def train_using_adam_and_update(
     key, data_key = jax.random.split(key)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+
+    if mesh is not None:
+        if steps_per_call > 1:
+            raise ValueError(
+                "mesh (data-parallel batches) composes with steps_per_call=1 "
+                "only — the scan-chunked multi-step gathers from the full "
+                "dataset inside jit (see docstring)"
+            )
+        if batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the "
+                f"{mesh.devices.size}-device mesh"
+            )
 
     if steps_per_call > 1:
         from cggp_tpu.training.batching import minibatch_index_iterator
@@ -211,7 +235,20 @@ def train_using_adam_and_update(
         return params
 
     batches = minibatch_iterator(data_key, data, batch_size)
-    step = make_adam_step(loss_fn, optimizer, trainable_mask)
+    if mesh is not None:
+        from cggp_tpu.parallel import replicate, shard_batch
+        from cggp_tpu.parallel.data_parallel import make_data_parallel_train_step
+
+        step_spmd = make_data_parallel_train_step(
+            loss_fn, optimizer, mesh, trainable_mask
+        )
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+
+        def step(params, opt_state, batch, step_key):
+            return step_spmd(params, opt_state, shard_batch(mesh, *batch), step_key)
+    else:
+        step = make_adam_step(loss_fn, optimizer, trainable_mask)
 
     for iteration in range(int(iterations)):
         if profile_dir is not None and iteration == profile_steps[0]:

@@ -612,3 +612,46 @@ def test_sharded_resolve_serving_solver_by_conditioning(mesh, rng):
     x = jnp.asarray(rng.uniform(-1, 1, (m, d)), jnp.float32)
     ip = imp.init_params(x, noise_variance=0.1, dtype=jnp.float32)
     assert imp.resolve_serving_solver(ip) == "cg"
+
+
+def test_trainer_mesh_hybrid_dp_tp_matches_replicated(mesh, rng):
+    """train_using_adam_and_update(mesh=...) (net-new, round 3): the hybrid
+    dp+tp step — batch rows sharded, GSPMD psums for the data terms, the
+    model's own M-sharded KL collectives — must produce the same training
+    trajectory as the replicated-batch path (identical PRNG streams =>
+    identical minibatches; only the reduction layout differs)."""
+    from cggp_tpu.training.optimize import train_using_adam_and_update
+
+    n, d, m = 128, 2, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])) + 0.1 * rng.standard_normal((n, 1)))
+    model = ShardedCGGP(
+        kernel=SquaredExponential(), mesh=mesh, num_data=n, num_probes=2,
+        error_threshold=1e-12, max_cg_iterations=32,
+    )
+    params0 = model.init_params(
+        x[:m], noise_variance=0.1,
+        pseudo_u=jnp.asarray(rng.standard_normal((m, 1))),
+        cluster_counts=jnp.full((m, 1), 4.0),
+    )
+    kw = dict(
+        iterations=4, batch_size=64, learning_rate=0.05,
+        key=jax.random.PRNGKey(7),
+        trainable_mask=model.trainable_mask(params0),
+    )
+    loss_fn = lambda p, b, k: model.training_loss(p, b, k)
+    p_repl = train_using_adam_and_update(dict(params0), loss_fn, (x, y), **kw)
+    p_dp = train_using_adam_and_update(dict(params0), loss_fn, (x, y),
+                                       mesh=mesh, **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(p_repl),
+                    jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+    with pytest.raises(ValueError, match="steps_per_call"):
+        train_using_adam_and_update(dict(params0), loss_fn, (x, y), mesh=mesh,
+                                    steps_per_call=4, **kw)
+    with pytest.raises(ValueError, match="divide"):
+        bad = dict(kw, batch_size=60)
+        train_using_adam_and_update(dict(params0), loss_fn, (x, y), mesh=mesh,
+                                    **bad)
