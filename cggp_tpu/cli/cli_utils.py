@@ -42,7 +42,7 @@ from cggp_tpu.selection.update import (
 Array = jnp.ndarray
 
 CLUSTERING_TYPES = ("kmeans", "kmeans2", "covertree", "oips", "uniform", "greedy")
-MODEL_NAMES = ("sgpr", "cdgp")
+MODEL_NAMES = ("sgpr", "cdgp", "cdgp-implicit")
 DistanceChoices = click.Choice(DistanceType)
 ModelChoices = click.Choice(MODEL_NAMES)
 
@@ -461,11 +461,31 @@ def create_model_and_update_fn(
             if k not in ("num_probes", "logdet_variant", "precondition",
                          "precond_rank", "block")
         }
-    elif model_name != "cdgp-implicit":
-        # `block` is the implicit row-solver's panel size; the dense CGGP
-        # has no such field — strip it so one model_kwargs dict can sweep
-        # both legs.
-        model_kwargs = {k: v for k, v in model_kwargs.items() if k != "block"}
+    else:
+        # One model_kwargs dict may sweep BOTH CG legs (cdgp vs
+        # cdgp-implicit): strip keys that are fields of the other CG model
+        # only (e.g. the implicit row-solver's `block`/`use_pallas` on the
+        # dense leg).  Typos still raise: anything that is a field of
+        # neither class reaches the constructor unchanged.
+        import dataclasses as _dc
+
+        from cggp_tpu.models import ImplicitCGGP as _Implicit
+
+        target = _Implicit if model_name == "cdgp-implicit" else CGGP
+        other = CGGP if model_name == "cdgp-implicit" else _Implicit
+        only_other = (
+            {f.name for f in _dc.fields(other)}
+            - {f.name for f in _dc.fields(target)}
+        )
+        # ...but never strip create_model's own named parameters (e.g.
+        # max_cg_iterations is an ImplicitCGGP field AND a named param that
+        # configures the dense model's ConjugateGradient).
+        import inspect as _inspect
+
+        only_other -= set(_inspect.signature(create_model).parameters)
+        model_kwargs = {
+            k: v for k, v in model_kwargs.items() if k not in only_other
+        }
     model, params = create_model(
         model_name,
         kernel_fn,
@@ -531,6 +551,30 @@ def covariance_properties(model, params: Dict, jitter: float,
     """
     z = params["inducing_points"]
     m = z.shape[0]
+    if hasattr(model, "_matvec") and "inducing_mask" in params:
+        # Row-solver family (cdgp-implicit / sharded): NEVER materialise
+        # [M, M] — matrix-free Lanczos through the model's masked matvec
+        # (lam = jitter restores the reference's Kuu + jitter I operand;
+        # the masked start vector keeps the estimate on the real submatrix).
+        import jax
+
+        from cggp_tpu.ops.logdet import lanczos_extremal_eigs_rows
+
+        kp = params["kernel"]
+        mask = params["inducing_mask"][:, 0]
+        lam = jnp.full((m,), jitter, dtype=z.dtype)
+        lo, hi = lanczos_extremal_eigs_rows(
+            lambda rows: model._matvec(kp, z, lam, mask, rows),
+            jax.random.PRNGKey(0), m, z.dtype,
+            num_iters=min(96, m), mask=mask,
+        )
+        eig_min, eig_max = float(lo), float(hi)
+        return dict(
+            condition_number=eig_max / eig_min, eig_min=eig_min,
+            eig_max=eig_max, estimator="lanczos",
+            condition_method="lanczos",
+            eig_min_is_upper_bound=True,
+        )
     kuu = model.kernel.K(params["kernel"], z)
     kuu = kuu + jitter * jnp.eye(m, dtype=z.dtype)
     if method == "auto":

@@ -129,7 +129,24 @@ def main(
             preconditioner=preconditioner,
             num_rff_bases=num_rff_bases,
             precond_rank=precond_rank,
-            model_kwargs={"logdet_variant": logdet_variant},
+            model_kwargs=(
+                {"logdet_variant": logdet_variant}
+                if model_class != "cdgp-implicit"
+                # The matrix-free model builds its preconditioner per solve
+                # from CURRENT params (no post-update rebuild step like the
+                # dense cdgp path in compute_metrics), so the -P choice is a
+                # construction-time field here.
+                else {
+                    "logdet_variant": logdet_variant,
+                    **(
+                        {"precondition": preconditioner,
+                         "precond_rank": (num_rff_bases
+                                          if preconditioner == "rff"
+                                          else precond_rank)}
+                        if preconditioner != "eye" else {}
+                    ),
+                }
+            ),
             jit=jit,
         )
     )

@@ -276,15 +276,24 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         if resume_from is None:
             params = update_fn(params)
         update_fn = None
+    train_mesh = None
     if num_devices is not None and steps_per_call == 1:
         # Hybrid dp+tp: batch rows sharded over the same mesh the model's
         # KL is M-sharded on (GSPMD psums for the data terms).  The scan-
         # chunked multi-step keeps replicated batches (see the trainer
-        # docstring), so dp engages only at steps_per_call=1.
-        click.echo(f"data-parallel batches over the {num_devices}-device mesh")
-        train_mesh = mesh
-    else:
-        train_mesh = None
+        # docstring), so dp engages only at steps_per_call=1 — and only
+        # when the effective batch divides the mesh, so every previously
+        # valid invocation still trains (replicated) instead of aborting.
+        effective_batch = min(batch_size, train_data[0].shape[0])
+        if effective_batch % num_devices == 0:
+            click.echo(f"data-parallel batches over the {num_devices}-device mesh")
+            train_mesh = mesh
+        else:
+            click.echo(
+                f"replicated batches: effective batch {effective_batch} does "
+                f"not divide the {num_devices}-device mesh (pick a multiple "
+                "to enable data-parallel batches)"
+            )
     params = train_using_adam_and_update(
         params,
         lambda p, b, k: model.training_loss(p, b, k),

@@ -74,3 +74,27 @@ class CholPosterior(NamedTuple):
     inducing_points: Array  # [M, D]
     chol: Array  # [M, M] lower Cholesky of Kmm + diag(var)
     nu: Array  # [M, 1] predictive weights: mean(x) = K(x, Z) @ nu
+
+
+# kappa * eps must stay below this for a one-shot fp32 Cholesky serving
+# factorization to be trustworthy; 0.1 also absorbs the mild optimism of
+# the Ritz-value estimate (lanczos_extremal_eigs docstring).  Single source
+# for the dense CGGP and the row-solver/sharded models.
+CHOL_KAPPA_EPS_MARGIN = 0.1
+
+
+def chol_or_cg_from_eigs(eig_min, eig_max, dtype,
+                         margin: float = CHOL_KAPPA_EPS_MARGIN) -> str:
+    """Serving-solver policy from extremal-eigenvalue estimates: ``"chol"``
+    iff the estimated ``kappa * eps(dtype)`` is safely below 1.  A
+    NON-finite estimate means poisoned inputs, not ill-conditioning (CG
+    would serve NaNs too): defer to ``"chol"`` so the serving-time NaN
+    fallback surfaces its diagnostic warning."""
+    import numpy as _np
+
+    eps = float(jnp.finfo(dtype).eps)
+    tiny = float(jnp.finfo(dtype).tiny)
+    kappa = float(eig_max) / max(float(eig_min), tiny)
+    if not _np.isfinite(kappa):
+        return "chol"
+    return "chol" if kappa * eps <= margin else "cg"

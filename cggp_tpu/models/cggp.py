@@ -16,6 +16,7 @@ MXU matmul instead of two separate solver launches.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -36,6 +37,24 @@ from cggp_tpu.ops.logdet import (
 )
 
 Array = jnp.ndarray
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_extremal_eigs(model):
+    """Per-model cached jitted (eig_min, eig_max) estimator for the serving
+    resolver (models are frozen, hashable dataclasses, so the compiled
+    program is reused across predict_in_batches calls — the Lanczos scan is
+    traced once and the transient [M, M] Gram is freed at program exit)."""
+
+    def estimate(params):
+        kmm = model.kernel.K(params["kernel"], params["inducing_points"])
+        kmm_lambda = add_diagonal(kmm, model.diag_variance(params)[:, 0])
+        return lanczos_extremal_eigs(
+            jax.lax.stop_gradient(kmm_lambda), jax.random.PRNGKey(0),
+            num_iters=min(64, kmm_lambda.shape[-1]),
+        )
+
+    return jax.jit(estimate)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -245,11 +264,6 @@ class CGGP(ClusterGP):
             chol=None,
         )
 
-    # kappa * eps must stay below this for the one-shot Cholesky serving
-    # factorization to be trustworthy; 0.1 also absorbs the mild optimism of
-    # the Ritz-value kappa estimate (lanczos_extremal_eigs docstring).
-    _CHOL_KAPPA_EPS_MARGIN = 0.1
-
     def resolve_serving_solver(self, params: Dict) -> str:
         """Resolve ``solver="auto"`` to a concrete ``"chol"``/``"cg"`` choice
         EAGERLY (outside jit), where the Lanczos conditioning estimate can be
@@ -258,15 +272,21 @@ class CGGP(ClusterGP):
         and pass the concrete choice through — inside jit the matrix is a
         tracer, no data-dependent static choice exists, and ``"auto"`` would
         silently degrade to the size-only rule (round-3 review finding).
-        Costs one [M, M] Gram build + ~64 matvecs, once per cache build."""
-        m = params["inducing_points"].shape[0]
-        if m > 16384:
+        The estimate itself runs as a CACHED jitted program (per model — no
+        per-call retrace of the Lanczos scan; the transient Gram is freed at
+        program exit); only two scalars come back to host.  The chol/cg
+        policy is shared: :func:`cggp_tpu.models.base.chol_or_cg_from_eigs`."""
+        from cggp_tpu.models.base import chol_or_cg_from_eigs
+
+        z = params["inducing_points"]
+        if z.shape[0] > 16384:
             return "cg"
-        kmm = self.kernel.K(params["kernel"], params["inducing_points"])
-        kmm_lambda = add_diagonal(kmm, self.diag_variance(params)[:, 0])
-        return self._auto_serving_solver(kmm_lambda)
+        eig_min, eig_max = _jitted_extremal_eigs(self)(params)
+        return chol_or_cg_from_eigs(eig_min, eig_max, z.dtype)
 
     def _auto_serving_solver(self, kmm_lambda: Array) -> str:
+        from cggp_tpu.models.base import chol_or_cg_from_eigs
+
         m = kmm_lambda.shape[-1]
         if m > 16384:
             return "cg"  # the [M, M] factor alone would crowd HBM
@@ -279,15 +299,7 @@ class CGGP(ClusterGP):
             jax.lax.stop_gradient(kmm_lambda), jax.random.PRNGKey(0),
             num_iters=min(64, m),
         )
-        eps = float(jnp.finfo(kmm_lambda.dtype).eps)
-        tiny = float(jnp.finfo(kmm_lambda.dtype).tiny)
-        kappa = float(eig_max) / max(float(eig_min), tiny)
-        if not np.isfinite(kappa):
-            # Non-finite estimate = poisoned inputs, not ill-conditioning
-            # (CG would serve NaNs too).  Defer to the size rule so the
-            # serving-time NaN fallback surfaces its diagnostic warning.
-            return "chol"
-        return "chol" if kappa * eps <= self._CHOL_KAPPA_EPS_MARGIN else "cg"
+        return chol_or_cg_from_eigs(eig_min, eig_max, kmm_lambda.dtype)
 
     def posterior_mean(self, post: "CGGPPosterior", x_new: Array) -> Array:
         """CG-free serving mean: ``K(x, Z) @ nu``, one skinny matmul."""

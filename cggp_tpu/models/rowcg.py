@@ -27,11 +27,11 @@ probes, masked KL constant).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cggp_tpu.models.base import minibatch_scale
 from cggp_tpu.models.clustergp import ClusterGP
@@ -45,6 +45,28 @@ from cggp_tpu.ops.logdet import (
 )
 
 Array = jnp.ndarray
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_row_extremal_eigs(model):
+    """Per-model cached jitted (eig_min, eig_max) for the serving resolver:
+    Lanczos extremal Ritz values through the model's own matrix-free masked
+    matvec — no [M, M] build, no per-call retrace (dense twin:
+    models/cggp._jitted_extremal_eigs)."""
+    from cggp_tpu.ops.logdet import lanczos_extremal_eigs_rows
+
+    def estimate(params):
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        lam = model.diag_variance(params)[:, 0]
+        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
+        return lanczos_extremal_eigs_rows(
+            lambda rows: model._matvec(kp, z, lam, mask, rows),
+            jax.random.PRNGKey(0), z.shape[0], z.dtype,
+            num_iters=min(64, int(z.shape[0])), mask=mask,
+        )
+
+    return jax.jit(estimate)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -337,39 +359,21 @@ class RowSolveCGGP(ClusterGP):
     # -- cached serving (twin of CGGP.posterior; the reference's predict
     # path recomputes the u-solve per batch, models.py:333-345) -------------
 
-    # kappa * eps must stay below this for the one-shot Cholesky serving
-    # factorization to be trustworthy (same margin as CGGP's dense rule).
-    _CHOL_KAPPA_EPS_MARGIN = 0.1
-
     def resolve_serving_solver(self, params: Dict) -> str:
         """Eager ``"auto"`` resolution for the row-solver serving path
         (dense twin: :meth:`CGGP.resolve_serving_solver`): Lanczos extremal
         Ritz values through the model's own matrix-free masked matvec — no
         [M, M] build.  Masked start vector => the estimate covers the real
         submatrix only (pads are decoupled)."""
+        from cggp_tpu.models.base import chol_or_cg_from_eigs
+
         if not self._supports_chol_serving:
             return "cg"
         z = params["inducing_points"]
         if z.shape[0] > 16384:
             return "cg"
-        kp = params["kernel"]
-        lam = self.diag_variance(params)[:, 0]
-        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
-        from cggp_tpu.ops.logdet import lanczos_extremal_eigs_rows
-
-        eig_min, eig_max = lanczos_extremal_eigs_rows(
-            lambda rows: self._matvec(kp, z, lam, mask, rows),
-            jax.random.PRNGKey(0), z.shape[0], z.dtype,
-            num_iters=min(64, int(z.shape[0])), mask=mask,
-        )
-        eps = float(jnp.finfo(z.dtype).eps)
-        tiny = float(jnp.finfo(z.dtype).tiny)
-        kappa = float(eig_max) / max(float(eig_min), tiny)
-        if not np.isfinite(kappa):
-            # Poisoned inputs, not ill-conditioning: defer to the size rule
-            # so the serving-time NaN fallback surfaces its warning.
-            return "chol"
-        return "chol" if kappa * eps <= self._CHOL_KAPPA_EPS_MARGIN else "cg"
+        eig_min, eig_max = _jitted_row_extremal_eigs(self)(params)
+        return chol_or_cg_from_eigs(eig_min, eig_max, z.dtype)
 
     def posterior(self, params: Dict,
                   solver: str = "auto") -> "RowCGGPPosterior":

@@ -165,10 +165,13 @@ def make_implicit_cg(
 
         masked(p) = mask * kuu_matvec(p * mask) + p * lam * (1 - mask)
 
-    — premasking kills pad COLUMNS, postmasking kills pad ROWS, and the
-    correction restores the pads' lam diagonal that the postmask removed
-    (pad kernel entries themselves underflow to 0 at the 1e6 pad
-    coordinates, so no garbage survives the masks).
+    — premasking kills pad COLUMNS, postmasking kills pad ROWS (including
+    each pad's kernel DIAGONAL ``K(pad, pad) = variance``, which is NOT
+    small — self-distance is zero regardless of placement), and the
+    correction restores the pads' lam diagonal that the postmask removed.
+    The masks are what protect the result; the only job of the 1e6-spaced
+    pad placement is to keep off-diagonal pad kernel entries finite (they
+    underflow to 0, never NaN).
     """
     if max_steps_cycle is None:
         max_steps_cycle = max_iterations + 1

@@ -176,10 +176,15 @@ def train_using_adam_and_update(
                 "only — the scan-chunked multi-step gathers from the full "
                 "dataset inside jit (see docstring)"
             )
-        if batch_size % mesh.devices.size != 0:
+        # Validate the EFFECTIVE batch: minibatch_iterator clamps to the
+        # dataset size, so batch_size > n would pass a nominal check and
+        # then crash in shard_batch at the first step.
+        effective_batch = min(int(batch_size), int(data[0].shape[0]))
+        if effective_batch % mesh.devices.size != 0:
             raise ValueError(
-                f"batch_size {batch_size} must divide over the "
-                f"{mesh.devices.size}-device mesh"
+                f"effective batch size {effective_batch} (min of batch_size "
+                f"{batch_size} and dataset rows {data[0].shape[0]}) must "
+                f"divide over the {mesh.devices.size}-device mesh"
             )
 
     if steps_per_call > 1:

@@ -35,23 +35,23 @@ sys.path.insert(0, REPO)
 
 
 def probe_backend(timeout_s: int = 150) -> bool:
-    """Child-process probe (never blocks this script on a wedged tunnel)."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s,
-            env=dict(os.environ),
-        )
-        return proc.returncode == 0 and "ok" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    """Child-process probe — bench.py's maintained implementation (one copy:
+    its clamping/retry fixes apply here automatically)."""
+    from bench import _backend_responsive
+
+    return _backend_responsive(timeout_s=timeout_s)
 
 
 def run_bench() -> dict:
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=1800, env=dict(os.environ),
-    )
+    # A wedge can strike any compile — a hung bench must degrade to an
+    # error entry, not crash the script before the other sections run.
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, timeout=1800, env=dict(os.environ),
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": "bench.py timed out after 1800s (tunnel re-wedged?)"}
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     return json.loads(lines[-1]) if lines else {"error": proc.stderr[-500:]}
 
@@ -129,6 +129,13 @@ def main() -> None:
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
     out = {"unix": int(time.time()), "tiny": args.tiny}
+    path = os.path.join(REPO, "logs", "chip_measure.json")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def checkpoint():
+        # Incremental: a late failure must not discard earlier green sections.
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
 
     if not args.tiny and not probe_backend():
         print("chip_measure: backend unresponsive (tunnel wedged?) — "
@@ -139,15 +146,12 @@ def main() -> None:
         print("== bench.py ==", flush=True)
         out["bench"] = run_bench()
         print(json.dumps(out["bench"]), flush=True)
+        checkpoint()
 
     m = 1024 if args.tiny else 32768
     print(f"== bf16 variant table (M={m}) ==", flush=True)
     out["bf16_variants"] = bf16_variant_table(m, 16, (1e-4, 1e-6))
-
-    path = os.path.join(REPO, "logs", "chip_measure.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    checkpoint()
     print(f"wrote {path}", flush=True)
 
     # Markdown for docs/PERF.md

@@ -503,3 +503,46 @@ def test_wasserstein2_analytic_oracle():
         (q @ mu1, q @ jnp.diag(l1) @ q.T), (q @ mu2, q @ jnp.diag(l2) @ q.T)
     ))
     np.testing.assert_allclose(w2_rot, expected, rtol=1e-8)
+
+
+def test_uci_cdgp_implicit(runner, tmp_path):
+    """Net-new, round 3: the UCI evaluation protocol over the MATRIX-FREE
+    model (`-mc cdgp-implicit`) — large-M runs without the [M, M] Gram.
+    The -P preconditioner becomes a construction-time field (the model
+    rebuilds its factor per solve), and the condition-number properties go
+    through the masked matrix-free Lanczos (estimator-tagged)."""
+    gpr_dir = tmp_path / "gpr"
+    _run(runner, [
+        "gpr", "-d", "synthetic1d", "-n", "5", "-l", str(gpr_dir),
+        "-k", "matern32", "-s", "0", "--no-tensorboard",
+    ])
+
+    uci_dir = tmp_path / "uci_implicit"
+    result = _run(runner, [
+        "uci", "-mc", "cdgp-implicit", "-p", "fp64", "-j", "1e-6",
+        "-c", str(gpr_dir), "-P", "pivchol", "--precond-rank", "8",
+        "kmeans", "-m", "16",
+        "compute-metrics", "-l", str(uci_dir),
+    ])
+    out = json.loads((uci_dir / "results.json").read_text())
+    assert out["model"] == "cdgp-implicit"
+    assert np.isfinite(out["test/rmse"])
+    assert out["condition_number"] > 1.0
+    assert out["estimator"] == "lanczos"  # matrix-free route, never [M, M]
+    assert out["preconditioner"] == "pivchol"
+    assert "Script finished" in result.output
+
+    # Same protocol, same hyperparameters: the matrix-free model must score
+    # the same RMSE as the dense cdgp to solver tolerance.
+    uci_dense = tmp_path / "uci_dense"
+    _run(runner, [
+        "uci", "-mc", "cdgp", "-p", "fp64", "-j", "1e-6",
+        "-c", str(gpr_dir),
+        "kmeans", "-m", "16",
+        "compute-metrics", "-l", str(uci_dense),
+    ])
+    dense = json.loads((uci_dense / "results.json").read_text())
+    # Both runs stop at 0.5||r||^2 <= 1e-6 (absolute): solutions agree to
+    # ~1e-3 residual, so scores differ at the ~1e-4 relative level.
+    np.testing.assert_allclose(out["test/rmse"], dense["test/rmse"],
+                               rtol=1e-3)
