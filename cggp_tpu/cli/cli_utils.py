@@ -516,7 +516,7 @@ def create_model_and_update_fn(
 
 def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
                           mean_only: bool = False,
-                          posterior_solver: str = "auto"):
+                          posterior_solver: str = "auto", mesh=None):
     """Posterior (mean, var) over ``x`` as numpy, on the fastest serving path.
 
     Routes through ``predict_in_batches``, so every model family serves
@@ -535,7 +535,7 @@ def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
     mean, var = predict_in_batches(
         model, params, x, batch_size=batch_size,
         train_data=train_data if needs_data else None,
-        mean_only=mean_only, posterior_solver=posterior_solver,
+        mean_only=mean_only, posterior_solver=posterior_solver, mesh=mesh,
     )
     return np.asarray(mean), None if var is None else np.asarray(var)
 

@@ -40,8 +40,12 @@ from cggp_tpu.utils import load_config_dir
                    "preconditioned-CG path (any conditioning). auto = chol "
                    "for M<=16384 with automatic CG fallback on a "
                    "non-finite factor.")
+@click.option("--num-devices", type=int, default=None,
+              help="Serve data-parallel: query rows of each batch sharded "
+                   "over an N-device mesh, the posterior cache replicated "
+                   "(single-device-style models only).")
 def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
-         mean_only, serving_solver):
+         mean_only, serving_solver, num_devices):
     flat, info = load_config_dir(config_dir)
     dataset_name = info.get("dataset_name", info.get("dataset"))
     seed = int(info.get("seed", 0))
@@ -139,10 +143,17 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
             err=True,
         )
 
+    mesh = None
+    if num_devices is not None:
+        from cggp_tpu.parallel import make_mesh
+
+        mesh = make_mesh(num_devices)
+        click.echo(f"data-parallel serving over {num_devices} devices")
+
     for split_name, split in (("train", dataset.train), ("test", dataset.test)):
         mean, var = dump_posterior_arrays(
             model, params, dataset.train, split[0], test_batch_size,
-            mean_only=mean_only, posterior_solver=serving_solver,
+            mean_only=mean_only, posterior_solver=serving_solver, mesh=mesh,
         )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
         if var is not None:

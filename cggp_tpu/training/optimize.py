@@ -700,17 +700,32 @@ def _posterior_takes_solver(model) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_posterior_jits(model, solver: str = "auto"):
+def _cached_posterior_jits(model, solver: str = "auto", mesh=None):
     if _posterior_takes_solver(model):
         build = jax.jit(functools.partial(model.posterior, solver=solver))
     else:
         # Cholesky-family models (GPR/SGPR/ClusterGP/LpSVGP) have a single
         # natural serving path; the solver knob is CGGP-specific.
         build = jax.jit(model.posterior)
+    predict_kw, mean_kw = {}, {}
+    if mesh is not None:
+        # Data-parallel serving: query rows sharded over the mesh, the
+        # posterior cache replicated; GSPMD partitions the per-batch kernel
+        # block + solve over rows (they are row-independent) and the
+        # outputs come back row-sharded.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cggp_tpu.parallel.mesh import DATA_AXIS
+
+        rows = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+        predict_kw = dict(in_shardings=(repl, rows), out_shardings=(rows, rows))
+        mean_kw = dict(in_shardings=(repl, rows), out_shardings=rows)
     return (
         build,
-        jax.jit(lambda post, xb: model.posterior_predict(post, xb, full_cov=False)),
-        jax.jit(model.posterior_mean),
+        jax.jit(lambda post, xb: model.posterior_predict(post, xb, full_cov=False),
+                **predict_kw),
+        jax.jit(model.posterior_mean, **mean_kw),
     )
 
 
@@ -726,7 +741,7 @@ def _posterior_takes_data(model) -> bool:
 def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
                        mean_only: bool = False, use_posterior: bool = True,
-                       posterior_solver: str = "auto"):
+                       posterior_solver: str = "auto", mesh=None):
     """Full-dataset posterior (mean, var), asynchronously pipelined (net-new).
 
     One jitted predict per fixed-size batch, dispatched back-to-back with NO
@@ -751,9 +766,30 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
     ``posterior_solver`` ("auto"/"chol"/"cg") is forwarded to models whose
     ``posterior()`` takes a solver (CGGP/ShardedCGGP); "auto" falls back to
     CG automatically if the Cholesky factor comes back non-finite.
+
+    ``mesh`` (net-new, round 3) serves DATA-PARALLEL: query rows of each
+    batch are sharded over the mesh with the posterior cache replicated
+    (serving twin of the trainer's dp mode).  Requires the posterior-cache
+    path and a single-device-style model — a model that runs its own
+    shard_map collectives over the same mesh (ShardedCGGP) would conflict
+    with row-sharded inputs and is rejected.
     """
+    if mesh is not None:
+        if not use_posterior:
+            raise ValueError("mesh serving requires the posterior-cache path")
+        if getattr(model, "mesh", None) is not None:
+            raise ValueError(
+                f"{type(model).__name__} runs its own mesh collectives; "
+                "data-parallel query sharding composes with single-device "
+                "models (CGGP/ImplicitCGGP/Cholesky families) only"
+            )
     n = x.shape[0]
     batch_size = min(int(batch_size), n)
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        # Round the batch UP to a mesh multiple (x is padded to a batch
+        # multiple below anyway, so this only changes the chunking).
+        d = mesh.devices.size
+        batch_size = min(-(-batch_size // d) * d, -(-n // d) * d)
     num_batches = -(-n // batch_size)
     pad = num_batches * batch_size - n
     x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, x.shape[-1]))], axis=0) \
@@ -786,7 +822,7 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         # fresh closure per call would re-trace AND re-compile every time
         # (minutes through a remote-device tunnel).
         build, post_predict, post_mean = _cached_posterior_jits(
-            model, posterior_solver
+            model, posterior_solver, mesh
         )
         post = build(params, train_data) if _posterior_takes_data(model) \
             else build(params)
@@ -816,7 +852,7 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                 "(ill-conditioned Kmm+Lambda); falling back to CG serving",
                 RuntimeWarning,
             )
-            build, post_predict, post_mean = _cached_posterior_jits(model, "cg")
+            build, post_predict, post_mean = _cached_posterior_jits(model, "cg", mesh)
             post = build(params, train_data) if _posterior_takes_data(model) \
                 else build(params)
         if mean_only:

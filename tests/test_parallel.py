@@ -655,3 +655,50 @@ def test_trainer_mesh_hybrid_dp_tp_matches_replicated(mesh, rng):
         bad = dict(kw, batch_size=60)
         train_using_adam_and_update(dict(params0), loss_fn, (x, y), mesh=mesh,
                                     **bad)
+
+
+def test_predict_in_batches_mesh_dp_serving_matches(mesh, rng):
+    """Data-parallel serving (net-new, round 3): predict_in_batches(mesh=...)
+    shards query rows over the mesh with the posterior cache replicated —
+    outputs must match single-device serving exactly; models that run their
+    own mesh collectives are rejected."""
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    n, d, m = 200, 2, 24
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+    model = CGGP(
+        kernel=SquaredExponential(),
+        conjugate_gradient=ConjugateGradient(1e-10, max_iterations=4 * m),
+        num_data=n, num_probes=2,
+    )
+    params = model.init_params(
+        x[:m], noise_variance=0.1,
+        pseudo_u=jnp.asarray(rng.standard_normal((m, 1)), jnp.float32),
+        cluster_counts=jnp.full((m, 1), 4.0, jnp.float32),
+        dtype=jnp.float32,
+    )
+    xq = jnp.asarray(rng.uniform(-1, 1, (100, d)), jnp.float32)
+
+    mu1, var1 = predict_in_batches(model, params, xq, batch_size=40)
+    # batch 40 does not divide 8 devices: rounded up internally to 48.
+    mu8, var8 = predict_in_batches(model, params, xq, batch_size=40, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(mu8), np.asarray(mu1),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
+                               rtol=1e-6, atol=1e-7)
+
+    mu_m, none = predict_in_batches(model, params, xq, batch_size=40,
+                                    mesh=mesh, mean_only=True)
+    assert none is None
+    # GSPMD partitions the [M] contraction of the mean matmul; fp32
+    # reduction order differs from the single-device program at ~1e-5 abs.
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu1),
+                               rtol=1e-3, atol=1e-4)
+
+    sharded = ShardedCGGP(kernel=SquaredExponential(), mesh=mesh, num_data=n,
+                          error_threshold=1e-8, max_cg_iterations=64)
+    sp = sharded.init_params(x[:m], noise_variance=0.1, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="own mesh collectives"):
+        predict_in_batches(sharded, sp, xq, batch_size=40, mesh=mesh)
