@@ -487,9 +487,9 @@ def test_predict_in_batches_auto_resolves_conditioning_eagerly(rng, monkeypatch)
     solvers_used = []
     orig = opt._cached_posterior_jits.__wrapped__
 
-    def spy(mdl, solver="auto"):
+    def spy(mdl, solver="auto", mesh=None):
         solvers_used.append(solver)
-        return orig(mdl, solver)
+        return orig(mdl, solver, mesh)
 
     monkeypatch.setattr(opt, "_cached_posterior_jits", spy)
 
