@@ -297,6 +297,54 @@ def create_gpr_model(
     return model, params
 
 
+def create_itergpr_model(
+    train_data: Tuple[Array, Array],
+    kernel_fn: Callable,
+    dtype=None,
+    positive_minimum: Optional[float] = None,
+    num_probes: int = 8,
+    cg_threshold: float = 1e-8,
+    block: int = 4096,
+):
+    """Matrix-free CG exact-GPR factory (net-new twin of
+    :func:`create_gpr_model` — same parameter pytree / config-dir contract,
+    but the [N, N] system is never materialised, lifting the reference's
+    10k-row GPR cap, paper_cli_gpr.py:60-66)."""
+    import dataclasses as _dc
+
+    from cggp_tpu.models import IterGPR
+    from cggp_tpu.models.base import GaussianLikelihood
+
+    if positive_minimum is None:
+        from cggp_tpu.config import default_config
+
+        pm = default_config().positive_minimum
+        positive_minimum = pm if pm > 0.0 else None
+
+    dim = np.asarray(train_data[0]).shape[-1]
+    n = int(np.asarray(train_data[0]).shape[0])
+    kernel, kernel_init = kernel_fn(dim)
+    kw = dict(
+        error_threshold=cg_threshold, relative_threshold=True,
+        max_cg_iterations=min(n, 1000), num_probes=num_probes,
+        logdet_variant="slq", precondition="pivchol",
+        precond_rank=min(128, max(8, n // 8)), block=block,
+    )
+    if positive_minimum is not None:
+        kernel = _dc.replace(kernel, positive_lower=positive_minimum)
+        model = IterGPR(
+            kernel=kernel,
+            likelihood=GaussianLikelihood(positive_lower=positive_minimum),
+            **kw,
+        )
+    else:
+        model = IterGPR(kernel=kernel, **kw)
+    params = model.init_params(
+        input_dim=dim, noise_variance=0.1, dtype=dtype, **kernel_init
+    )
+    return model, params
+
+
 # ---------------------------------------------------------------------------
 # Update-fn factories (reference cli_utils.py:187-360)
 # ---------------------------------------------------------------------------

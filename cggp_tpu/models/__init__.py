@@ -12,6 +12,7 @@ from cggp_tpu.models.lpsvgp import LpSVGP
 from cggp_tpu.models.clustergp import ClusterGP
 from cggp_tpu.models.cggp import CGGP, CGGPPosterior
 from cggp_tpu.models.implicit import ImplicitCGGP, ImplicitCGGPPosterior
+from cggp_tpu.models.itergpr import IterGPR, IterGPRPosterior
 from cggp_tpu.models.pathwise import PathwiseClusterGP
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "ClusterGP",
     "CGGP",
     "ImplicitCGGP",
+    "IterGPR",
     "PathwiseClusterGP",
     # serving caches (GPflow posterior() analogues, net-new)
     "CholPosterior",
@@ -29,4 +31,5 @@ __all__ = [
     "SGPRPosterior",
     "CGGPPosterior",
     "ImplicitCGGPPosterior",
+    "IterGPRPosterior",
 ]

@@ -1,0 +1,299 @@
+"""IterGPR: exact GP regression at scale via matrix-free CG (net-new).
+
+The reference's exact GPR is an O(N^3) Cholesky capped at 10k training rows
+(reference paper_cli_gpr.py:60-66, cli_utils.py:449-452).  This model keeps
+GPR's EXACT posterior semantics but replaces every factorization of the
+[N, N] system ``K(X, X) + sigma^2 I`` with the framework's matrix-free
+machinery, so the system is never materialised and N is bounded by compute,
+not by an [N, N] HBM buffer:
+
+* solves: :func:`~cggp_tpu.ops.cg_implicit.make_implicit_cg` — CG whose
+  matvec scans [block, N] kernel panels built on the fly (optionally the
+  fused Pallas Gram kernel), with the implicit-function custom VJP
+  (backward = another matrix-free solve);
+* log-marginal-likelihood: quadratic term through the CG solve's custom VJP;
+  log-det through the matrix-free estimators (ops/logdet.py) — ``"slq"``
+  reports a true stochastic-Lanczos-quadrature VALUE (meaningful LML),
+  ``"zero"`` keeps the reference's value-free gradient-only convention
+  (reference models.py:21-48);
+* preconditioning: matrix-free pivoted Cholesky of ``K(X, X)`` (per-pivot
+  kernel rows) or an RFF sketch, applied through the cancellation-free SPD
+  spectral form — the classic preconditioner for CG-powered exact GPs;
+* serving: a :meth:`posterior` cache holding ``alpha = (K+sigma^2 I)^{-1} y``
+  — the mean is then one skinny matmul per batch (CG-free) and the variance
+  one blocked CG solve of the [T, N] cross-kernel block.
+
+This is the "conjugate-gradient GP" construction of Gardner et al. 2018
+(GPyTorch/BBMM) re-done TPU-first; it slots into the reference's
+config-dir workflow as a drop-in GPR upgrade (``gpr --iterative`` trains on
+the FULL train split instead of the 10k slice).
+
+N is padded to the panel-block multiple with exactly-decoupled pad rows
+(:func:`~cggp_tpu.ops.cg_implicit.pad_inducing` + mask threading, the same
+contract the matrix-free CGGP models use).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cggp_tpu.config import default_float
+from cggp_tpu.models.base import GaussianLikelihood
+from cggp_tpu.ops.cg import spectral_precond_state
+from cggp_tpu.ops.cg_implicit import (
+    blocked_kuu_matvec,
+    make_implicit_cg,
+    pad_inducing,
+    pivoted_cholesky_kernel,
+)
+from cggp_tpu.ops.kernels import Kernel
+from cggp_tpu.ops.logdet import (
+    make_matfree_eval_logdet,
+    make_matfree_slq_logdet,
+    rademacher,
+    slq_value_rows,
+)
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class IterGPR:
+    """Exact GPR whose linear algebra is matrix-free CG on ``K + sigma^2 I``.
+
+    ``block`` is the height of the scanned Gram row panels (peak extra memory
+    one [block, N] panel).  ``num_probes``/``logdet_variant`` control the
+    stochastic log-det machinery: Rademacher probes drawn from the
+    ``key`` passed to :meth:`log_marginal_likelihood` (explicit ``probes``
+    rows may be supplied instead — e.g. scaled identity rows make both the
+    Hutchinson gradient and the SLQ value exact, which the parity tests use,
+    and a fixed probe set makes the objective deterministic for L-BFGS).
+    """
+
+    kernel: Kernel
+    likelihood: GaussianLikelihood = GaussianLikelihood()
+    error_threshold: float = 1e-10
+    max_cg_iterations: int = 1000
+    num_probes: int = 8
+    # "slq": true log-det VALUE via matrix-free stochastic Lanczos quadrature
+    # (reported LMLs are meaningful); "zero": the reference's gradient-only
+    # convention (models.py:21-48) — values omit the log-det term.
+    logdet_variant: str = "slq"  # "slq" | "zero"
+    slq_lanczos_iters: int = 25
+    precondition: Optional[str] = "pivchol"  # None | "pivchol" | "rff"
+    precond_rank: int = 128
+    precond_seed: int = 0  # rff sketch key (fixed; solver state only)
+    relative_threshold: bool = True
+    block: int = 4096
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        solve = make_implicit_cg(
+            self.kernel, self.error_threshold, self.max_cg_iterations,
+            block=self.block, use_pallas=self.use_pallas,
+            relative_threshold=self.relative_threshold,
+        )
+        object.__setattr__(self, "_solve", solve)
+
+        def matvec(kp, x, lam, mask, rows):
+            return blocked_kuu_matvec(
+                self.kernel, kp, x, lam, rows, block=self.block, mask=mask
+            )
+
+        object.__setattr__(self, "_matvec", matvec)
+
+        def slq_value(kp, x, lam, mask, probes):
+            return slq_value_rows(
+                lambda v: matvec(kp, x, lam, mask, v), probes,
+                self.slq_lanczos_iters,
+            )
+
+        object.__setattr__(
+            self, "_logdet_zero",
+            make_matfree_eval_logdet(matvec, solve, self._precond_state),
+        )
+        if self.logdet_variant not in ("zero", "slq"):
+            raise ValueError(f"unknown logdet_variant: {self.logdet_variant!r}")
+        object.__setattr__(
+            self, "_logdet_slq",
+            make_matfree_slq_logdet(slq_value, matvec, solve, self._precond_state),
+        )
+
+    # -- parameters (same pytree as the dense GPR: config-dir compatible) ----
+
+    def init_params(self, input_dim: int, variance: float = 1.0,
+                    lengthscales=None, noise_variance: float = 0.1,
+                    dtype=None) -> Dict:
+        dtype = default_float() if dtype is None else dtype
+        if lengthscales is None:
+            lengthscales = jnp.ones((input_dim,), dtype=dtype)
+        return {
+            "kernel": self.kernel.init_params(variance, lengthscales, dtype=dtype),
+            "likelihood": self.likelihood.init_params(noise_variance, dtype=dtype),
+        }
+
+    # -- system assembly ------------------------------------------------------
+
+    def _pad_multiple_for(self, n: int) -> int:
+        # blocked_kuu_matvec handles n <= block densely in one panel; above
+        # that N must divide the panel height.
+        return self.block if n > self.block else 1
+
+    def _padded_system(self, params: Dict, x: Array, y: Optional[Array] = None):
+        """(x_pad, lam_pad, mask [N_pad], y_rows [Q, N_pad] or None).
+
+        ``lam = sigma^2`` on real rows (differentiable w.r.t. the noise
+        parameter) and 1 on pads; pad kernel rows/columns are masked to zero,
+        so pads are exactly decoupled in every solve/matvec/probe.
+        """
+        n = x.shape[0]
+        noise = self.likelihood.variance(params["likelihood"])
+        lam = noise * jnp.ones((n,), dtype=x.dtype)
+        mult = self._pad_multiple_for(n)
+        ones_row = jnp.ones((1, n), dtype=x.dtype)
+        if y is None:
+            x_pad, lam_pad, mask_row = pad_inducing(x, lam, mult, ones_row)
+            return x_pad, lam_pad, mask_row[0], None
+        x_pad, lam_pad, y_rows, mask_row = pad_inducing(x, lam, mult, y.T, ones_row)
+        return x_pad, lam_pad, mask_row[0], y_rows
+
+    def _precond_state(self, kp, x, lam, mask=None):
+        """Solver-state pytree; () = identity (same discipline as the
+        row-solver CGGP family: stop-gradient — the preconditioner changes
+        iteration counts, never solutions or gradients)."""
+        if self.precondition is None:
+            return ()
+        sg = jax.lax.stop_gradient
+        if self.precondition == "pivchol":
+            factor = pivoted_cholesky_kernel(
+                self.kernel, sg(kp), sg(x), self.precond_rank,
+                mask=None if mask is None else sg(mask),
+            )
+        elif self.precondition == "rff":
+            from cggp_tpu.ops.rff import rff_basis
+
+            factor = rff_basis(
+                sg(x), self.kernel, sg(kp), self.precond_rank,
+                jax.random.PRNGKey(self.precond_seed),
+            )
+            if mask is not None:
+                factor = factor * sg(mask).reshape(-1)[:, None]
+        else:
+            raise ValueError(f"unknown precondition mode: {self.precondition!r}")
+        return spectral_precond_state(factor, sg(lam))
+
+    # -- objective -------------------------------------------------------------
+
+    def log_marginal_likelihood(
+        self, params: Dict, data: Tuple[Array, Array],
+        key: Optional[jax.Array] = None, probes: Optional[Array] = None,
+    ) -> Array:
+        """-0.5 (y^T K_hat^{-1} y + logdet K_hat + N log 2*pi), all iterative.
+
+        The quadratic term's gradient flows through the CG solve's implicit
+        custom VJP (exact); the log-det term follows ``logdet_variant``.
+        ``probes`` ([P, N] rows, pre-masked if you padded yourself) overrides
+        the internal Rademacher draw — ``sqrt(N) * I`` rows make both the
+        SLQ value and the Hutchinson gradient exact (test/oracle use).
+        """
+        x, y = data
+        n = x.shape[0]
+        kp = params["kernel"]
+        x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
+        n_pad = x_pad.shape[0]
+        state = self._precond_state(kp, x_pad, lam, mask)
+        alpha, _stats = self._solve(kp, x_pad, lam, y_rows, state, mask)
+        quad = jnp.sum(alpha * y_rows)
+
+        if probes is None:
+            if key is None:
+                raise ValueError(
+                    "IterGPR.log_marginal_likelihood requires a PRNG key "
+                    "(or explicit probes) for the log-det estimator"
+                )
+            probes = rademacher(key, (self.num_probes, n_pad), x.dtype)
+        elif probes.shape[-1] != n_pad:
+            # Caller supplied real-N probes; pad columns with zeros (pads are
+            # decoupled, so zero probe entries keep them out of the estimate).
+            probes = jnp.concatenate(
+                [probes,
+                 jnp.zeros((probes.shape[0], n_pad - probes.shape[-1]), x.dtype)],
+                axis=-1,
+            )
+        probes = probes * mask[None, :]
+        if self.logdet_variant == "slq":
+            logdet = self._logdet_slq(kp, x_pad, lam, mask, probes)
+        else:
+            logdet = self._logdet_zero(kp, x_pad, lam, mask, probes)
+        const = jnp.asarray(n * math.log(2.0 * math.pi), dtype=x.dtype)
+        return -0.5 * (quad + logdet + const)
+
+    # In the reference CLI, GPR's objective plays the role of the ELBO.
+    def maximum_log_likelihood_objective(self, params, data, key=None, probes=None):
+        return self.log_marginal_likelihood(params, data, key=key, probes=probes)
+
+    def training_loss(self, params: Dict, data: Tuple[Array, Array],
+                      key: Optional[jax.Array] = None,
+                      probes: Optional[Array] = None) -> Array:
+        return -self.log_marginal_likelihood(params, data, key=key, probes=probes)
+
+    # -- serving (posterior cache; twin of GPR.posterior) ----------------------
+
+    def posterior(self, params: Dict, data: Tuple[Array, Array]) -> "IterGPRPosterior":
+        """One CG solve for ``alpha = (K + sigma^2 I)^{-1} y``; the cache then
+        serves means CG-free and variances with one [T, N]-block solve per
+        batch (the dense GPR factorizes [N, N] here — impossible at this
+        model's target N)."""
+        x, y = data
+        kp = params["kernel"]
+        x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
+        state = self._precond_state(kp, x_pad, lam, mask)
+        alpha, _ = self._solve(kp, x_pad, lam, y_rows, state, mask)
+        return IterGPRPosterior(
+            kernel_params=kp, x_train=x_pad, lam=lam, mask=mask,
+            alpha=alpha, precond_state=state,
+        )
+
+    def posterior_mean(self, post: "IterGPRPosterior", x_new: Array) -> Array:
+        kmn = self.kernel.K(post.kernel_params, x_new, post.x_train)
+        return (kmn * post.mask[None, :]) @ post.alpha.T  # [T, Q]
+
+    def posterior_predict(self, post: "IterGPRPosterior", x_new: Array,
+                          full_cov: bool = False) -> Tuple[Array, Array]:
+        kp = post.kernel_params
+        kmn = self.kernel.K(kp, x_new, post.x_train) * post.mask[None, :]  # [T, N]
+        inv_kmn, _ = self._solve(
+            kp, post.x_train, post.lam, kmn, post.precond_state, post.mask
+        )
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            var = (knn - kmn @ inv_kmn.T)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            var = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        return kmn @ post.alpha.T, var
+
+    def predict_f(
+        self, params: Dict, data: Tuple[Array, Array], x_new: Array,
+        full_cov: bool = False,
+    ) -> Tuple[Array, Array]:
+        """Same signature as the dense GPR (train data bound per call) so the
+        shared metrics/predict plumbing treats both identically."""
+        post = self.posterior(params, data)
+        return self.posterior_predict(post, x_new, full_cov=full_cov)
+
+
+class IterGPRPosterior(NamedTuple):
+    """Serving cache from :meth:`IterGPR.posterior` — a pytree, jit-safe."""
+
+    kernel_params: Dict
+    x_train: Array  # [N_pad, D] (pads decoupled)
+    lam: Array  # [N_pad] = sigma^2 on real rows, 1 on pads
+    mask: Array  # [N_pad] 1 real / 0 pad
+    alpha: Array  # [Q, N_pad] rows = ((K + sigma^2 I)^{-1} y)^T
+    precond_state: Tuple  # () = identity, else SpectralPreconditioner state

@@ -290,6 +290,53 @@ def train_using_adam_and_update(
     return params
 
 
+def train_full_batch_adam(
+    params: Dict,
+    loss_fn: Callable[[Dict, jax.Array], Array],
+    iterations: int,
+    learning_rate: float = 0.05,
+    key: Optional[jax.Array] = None,
+    monitor: Optional[Monitor] = None,
+    trainable_mask: Optional[Dict] = None,
+) -> Dict:
+    """Full-batch Adam with a FRESH PRNG key per step (net-new).
+
+    The optimizer for objectives that are stochastic *estimators* over the
+    whole training set — IterGPR's marginal likelihood (log-det probes drawn
+    per step) is the canonical case: minibatching is not available (the MLL
+    does not decompose over rows) and L-BFGS line searches distrust a
+    re-randomised loss, but Adam tolerates unbiased gradient noise.
+    """
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mask = (
+        None if trainable_mask is None
+        else _expand_trainable_mask(trainable_mask, params)
+    )
+
+    @jax.jit
+    def step(p, s, k):
+        loss, grads = jax.value_and_grad(lambda q: loss_fn(q, k))(p)
+        if mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.where(m, g, 0.0), grads, mask
+            )
+        updates, s = optimizer.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    for i in range(int(iterations)):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        if monitor is not None:
+            monitor.add_scalar("train/loss", float(loss), i)
+            monitor(i, params)
+    if monitor is not None:
+        monitor.flush()
+    return params
+
+
 def train_using_lbfgs_and_update(
     params: Dict,
     loss_fn: Callable[[Dict], Array],
