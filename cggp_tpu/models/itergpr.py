@@ -113,6 +113,12 @@ class IterGPR:
                 self.slq_lanczos_iters,
             )
 
+        self._wire_logdets(matvec, solve, slq_value)
+
+    def _wire_logdets(self, matvec, solve, slq_value) -> None:
+        """Build the log-det estimators from the solver hooks (called at the
+        END of ``__post_init__``; the sharded subclass re-wires the hooks to
+        their psum-blocked twins and reuses this)."""
         object.__setattr__(
             self, "_logdet_zero",
             make_matfree_eval_logdet(matvec, solve, self._precond_state),

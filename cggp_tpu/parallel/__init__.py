@@ -30,6 +30,7 @@ from cggp_tpu.parallel.model import (
     ShardedCGGPPosterior,
     make_sharded_eval_logdet,
 )
+from cggp_tpu.parallel.itergpr import ShardedIterGPR, ShardedIterGPRPosterior
 
 __all__ = [
     "make_mesh",
@@ -44,5 +45,7 @@ __all__ = [
     "ShardedKuuSolver",
     "ShardedCGGP",
     "ShardedCGGPPosterior",
+    "ShardedIterGPR",
+    "ShardedIterGPRPosterior",
     "make_sharded_eval_logdet",
 ]

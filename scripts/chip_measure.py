@@ -117,6 +117,92 @@ def bf16_variant_table(m: int, num_rhs: int, targets, repeats: int = 3) -> list:
     return rows
 
 
+def itergpr_section(n: int, dim: int = 3, tiny: bool = False) -> dict:
+    """Exact-GP-at-scale measurement (IterGPR, round-3 late addition): one
+    MLL value+grad step, the posterior alpha-solve, and mean-only serving
+    throughput at an N far beyond the reference's 10k Cholesky cap.  All
+    matrix-free — peak memory is one [block, N] panel, not [N, N]."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cggp_tpu.models import IterGPR
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.utils import cache
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # see bf16_variant_table
+    cache.enable_persistent_cache(jax, "chipmeasure-")
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (n, dim)), jnp.float32)
+    y = jnp.asarray(
+        np.sin(np.asarray(x).sum(-1, keepdims=True))
+        + 0.1 * rng.standard_normal((n, 1)),
+        jnp.float32,
+    )
+    model = IterGPR(
+        kernel=Matern32(),
+        error_threshold=1e-5, relative_threshold=True,
+        max_cg_iterations=64 if tiny else 256,
+        num_probes=8, logdet_variant="slq", slq_lanczos_iters=20,
+        precondition="pivchol", precond_rank=32 if tiny else 256,
+        block=256 if tiny else 4096,
+    )
+    params = model.init_params(dim, noise_variance=0.1, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    step = jax.jit(jax.value_and_grad(
+        lambda p, k: model.training_loss(p, (x, y), key=k)
+    ))
+
+    def timed(fn, repeats=2):
+        walls = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    loss, grads = step(params, key)  # compile + warm
+    float(loss)
+    grad_norm = float(
+        sum(float(jnp.sum(jnp.square(g)))
+            for g in jax.tree_util.tree_leaves(grads))
+    )
+    step_wall = timed(lambda: float(step(params, key)[0]))
+
+    build_post = jax.jit(model.posterior)
+    post = build_post(params, (x, y))
+    float(jnp.sum(post.alpha))
+    alpha_wall = timed(
+        lambda: float(jnp.sum(build_post(params, (x, y)).alpha))
+    )
+
+    serve_b = 1024 if tiny else 8192
+    serve_points = 8 * serve_b
+    mean_batch = jax.jit(
+        lambda post, xb: jnp.sum(model.posterior_mean(post, xb))
+    )
+    float(mean_batch(post, x[:serve_b]))
+
+    def serve():
+        acc = 0.0
+        for i in range(serve_points // serve_b):
+            start = (i * serve_b) % (n - serve_b)
+            acc = mean_batch(post, jax.lax.dynamic_slice_in_dim(x, start, serve_b))
+        float(acc)
+
+    serve_wall = timed(serve)
+    return {
+        "n": n, "dim": dim, "loss": float(loss),
+        "grad_sq_norm": grad_norm,
+        "mll_step_wall_s": round(step_wall, 3),
+        "alpha_solve_wall_s": round(alpha_wall, 3),
+        "serve_mean_points_per_sec": round(serve_points / serve_wall, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true",
@@ -151,6 +237,12 @@ def main() -> None:
     m = 1024 if args.tiny else 32768
     print(f"== bf16 variant table (M={m}) ==", flush=True)
     out["bf16_variants"] = bf16_variant_table(m, 16, (1e-4, 1e-6))
+    checkpoint()
+
+    n_gp = 2048 if args.tiny else 65536
+    print(f"== itergpr exact GP (N={n_gp}) ==", flush=True)
+    out["itergpr"] = itergpr_section(n_gp, tiny=args.tiny)
+    print(json.dumps(out["itergpr"]), flush=True)
     checkpoint()
     print(f"wrote {path}", flush=True)
 

@@ -223,3 +223,65 @@ def test_itergpr_random_probes_are_unbiased_ballpark(rng):
     # Hutchinson noise scales with the off-diagonal mass of log(K_hat);
     # 64 probes on this system put the estimate within a few percent.
     assert abs(mll_iter - mll_dense) < 0.05 * abs(mll_dense) + 2.0
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip twin: ShardedIterGPR (N-axis row blocks over the virtual mesh)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from cggp_tpu.parallel import make_mesh
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_itergpr_matches_dense_gpr(rng, mesh):
+    """The psum-blocked exact GP equals the dense Cholesky GPR: SLQ MLL value,
+    gradients (through the sharded implicit-function VJP), and the posterior
+    — with N padded to the mesh multiple (52 -> 56 on 8 devices)."""
+    from cggp_tpu.parallel import ShardedIterGPR
+
+    n = 52
+    x, y = _data(rng, n)
+    dense = GPR(kernel=SquaredExponential())
+    model = ShardedIterGPR(
+        kernel=SquaredExponential(), mesh=mesh,
+        error_threshold=1e-13, max_cg_iterations=4 * n,
+        relative_threshold=False, precondition=None,
+        logdet_variant="slq", slq_lanczos_iters=n,
+    )
+    params = dense.init_params(x.shape[-1], noise_variance=0.1,
+                               dtype=jnp.float64)
+    probes = _exact_probes(n, x.dtype)  # model pads the columns itself
+
+    mll_dense = dense.log_marginal_likelihood(params, (x, y))
+    mll_sharded = model.log_marginal_likelihood(params, (x, y), probes=probes)
+    np.testing.assert_allclose(float(mll_sharded), float(mll_dense),
+                               rtol=1e-8, atol=1e-8)
+
+    g_dense = jax.grad(lambda p: dense.training_loss(p, (x, y)))(params)
+    g_sharded = jax.jit(jax.grad(
+        lambda p: model.training_loss(p, (x, y), probes=probes)
+    ))(params)
+    _tree_allclose(g_sharded, g_dense, rtol=1e-6, atol=1e-8)
+
+    xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(24, x.shape[-1])))
+    mu_d, var_d = dense.predict_f(params, (x, y), xq)
+    post = model.posterior(params, (x, y))
+    mu_s, var_s = model.posterior_predict(post, xq)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_d),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_d),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(model.posterior_mean(post, xq)),
+                               np.asarray(mu_d), rtol=1e-5, atol=1e-8)
+
+
+def test_sharded_itergpr_requires_mesh():
+    from cggp_tpu.parallel import ShardedIterGPR
+
+    with pytest.raises(ValueError, match="mesh"):
+        ShardedIterGPR(kernel=SquaredExponential())
