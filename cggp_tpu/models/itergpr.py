@@ -52,12 +52,7 @@ from cggp_tpu.ops.cg_implicit import (
     pivoted_cholesky_kernel,
 )
 from cggp_tpu.ops.kernels import Kernel
-from cggp_tpu.ops.logdet import (
-    make_matfree_eval_logdet,
-    make_matfree_slq_logdet,
-    rademacher,
-    slq_value_rows,
-)
+from cggp_tpu.ops.logdet import rademacher, slq_value_rows
 
 Array = jnp.ndarray
 
@@ -119,16 +114,18 @@ class IterGPR:
         """Build the log-det estimators from the solver hooks (called at the
         END of ``__post_init__``; the sharded subclass re-wires the hooks to
         their psum-blocked twins and reuses this)."""
-        object.__setattr__(
-            self, "_logdet_zero",
-            make_matfree_eval_logdet(matvec, solve, self._precond_state),
-        )
+        from cggp_tpu.ops.logdet import make_matfree_logdet_from_solves
+
         if self.logdet_variant not in ("zero", "slq"):
             raise ValueError(f"unknown logdet_variant: {self.logdet_variant!r}")
+        # Fused-launch machinery (see log_marginal_likelihood): the gradient
+        # reuses probe solutions batched into the main solve, so the log-det
+        # costs ZERO extra CG launches (CGGP's fused-ELBO trick,
+        # models/rowcg.py elbo).
         object.__setattr__(
-            self, "_logdet_slq",
-            make_matfree_slq_logdet(slq_value, matvec, solve, self._precond_state),
+            self, "_logdet_from_solves", make_matfree_logdet_from_solves(matvec)
         )
+        object.__setattr__(self, "_slq_value", slq_value)
 
     # -- parameters (same pytree as the dense GPR: config-dir compatible) ----
 
@@ -212,9 +209,8 @@ class IterGPR:
         kp = params["kernel"]
         x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
         n_pad = x_pad.shape[0]
+        q = y_rows.shape[0]
         state = self._precond_state(kp, x_pad, lam, mask)
-        alpha, _stats = self._solve(kp, x_pad, lam, y_rows, state, mask)
-        quad = jnp.sum(alpha * y_rows)
 
         if probes is None:
             if key is None:
@@ -232,10 +228,29 @@ class IterGPR:
                 axis=-1,
             )
         probes = probes * mask[None, :]
+
+        # ONE fused CG launch for [y | probes] — the per-iteration kernel
+        # panel build dominates the matvec, so batching rows amortizes it —
+        # and the log-det gradient REUSES the solved probes (zero extra
+        # launches; same trick as CGGP's fused ELBO, models/rowcg.py).
+        solved, _stats = self._solve(
+            kp, x_pad, lam, jnp.concatenate([y_rows, probes], axis=0),
+            state, mask,
+        )
+        alpha = solved[:q]
+        solved_probes = jax.lax.stop_gradient(solved[q:])
+        quad = jnp.sum(alpha * y_rows)
+
+        logdet = self._logdet_from_solves(
+            kp, x_pad, lam, mask, probes, solved_probes
+        )
         if self.logdet_variant == "slq":
-            logdet = self._logdet_slq(kp, x_pad, lam, mask, probes)
-        else:
-            logdet = self._logdet_zero(kp, x_pad, lam, mask, probes)
+            # True value from the SLQ quadrature; its own gradient path stays
+            # off (stop_gradient) — the Hutchinson rule above IS the gradient
+            # (reference models.py:21-48 semantics, value upgraded).
+            logdet = logdet + jax.lax.stop_gradient(
+                self._slq_value(kp, x_pad, lam, mask, probes)
+            )
         const = jnp.asarray(n * math.log(2.0 * math.pi), dtype=x.dtype)
         return -0.5 * (quad + logdet + const)
 

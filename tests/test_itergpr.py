@@ -56,7 +56,7 @@ def _tree_allclose(a, b, rtol, atol):
 def test_itergpr_mll_value_and_grad_match_dense(rng):
     """Single-panel path (n <= block): SLQ MLL value and gradients equal the
     dense Cholesky GPR's to solver precision with exact probes."""
-    n = 96
+    n = 56
     x, y = _data(rng, n)
     dense, iter_model = _models(SquaredExponential(), n)
     params = dense.init_params(x.shape[-1], noise_variance=0.1,
@@ -79,7 +79,7 @@ def test_itergpr_zero_variant_value_convention(rng):
     """logdet_variant="zero" keeps the reference's value-free convention
     (models.py:21-48): the reported MLL omits exactly the log-det term while
     the gradient still includes it exactly."""
-    n = 80
+    n = 48
     x, y = _data(rng, n)
     dense, iter_model = _models(Matern32(), n, logdet_variant="zero")
     params = dense.init_params(x.shape[-1], noise_variance=0.15,
@@ -104,12 +104,12 @@ def test_itergpr_zero_variant_value_convention(rng):
 
 def test_itergpr_padded_scan_path_with_preconditioning(rng):
     """n > block forces the scanned-panel matvec and pads N to the block
-    multiple (200 -> 256 at block 64); preconditioning must change iteration
+    multiple (140 -> 144 at block 48); preconditioning must change iteration
     counts only.  MLL value + grad still match the dense GPR exactly."""
-    n = 200
+    n = 140
     x, y = _data(rng, n, dim=3)
     dense, iter_model = _models(
-        SquaredExponential(), n, block=64,
+        SquaredExponential(), n, block=48,
         precondition="pivchol", precond_rank=32,
     )
     params = dense.init_params(x.shape[-1], noise_variance=0.2,
@@ -133,7 +133,7 @@ def test_itergpr_predict_and_posterior_cache_match_dense(rng):
     """predict_f and the posterior cache reproduce the dense GPR posterior
     (mean, diag var, full cov) to solver precision, including through the
     padded scan path."""
-    n = 130
+    n = 90
     x, y = _data(rng, n)
     xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(40, x.shape[-1])))
     dense, iter_model = _models(Matern32(), n, block=32,
@@ -169,7 +169,7 @@ def test_itergpr_predict_in_batches_integration(rng):
     model (like GPR/SGPR): batched serving equals the dense posterior."""
     from cggp_tpu.training.optimize import predict_in_batches
 
-    n = 90
+    n = 64
     x, y = _data(rng, n)
     xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(70, x.shape[-1])))
     dense, iter_model = _models(SquaredExponential(), n)
@@ -208,7 +208,7 @@ def test_itergpr_random_probes_are_unbiased_ballpark(rng):
     """With honest Rademacher probes the SLQ MLL lands near the dense value
     (sanity that the production path — key-drawn probes — is wired right;
     tight parity is covered by the exact-probe tests)."""
-    n = 64
+    n = 48
     x, y = _data(rng, n)
     import dataclasses
 
