@@ -6,6 +6,12 @@ sweeps the spatial resolution, printing condition number and CG iterations
 against the Cholesky-solve residual.
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 import numpy as np
 

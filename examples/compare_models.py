@@ -7,6 +7,12 @@ Prints an RMSE/NLPD table; all models share the GPR-trained hyperparameters
     JAX_PLATFORMS=cpu python examples/compare_models.py
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -6,6 +6,12 @@ radius ratio — the paper's guarantee is ratio >= 1 at the final level —
 plus build timings for the numpy and native C++ backends.
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

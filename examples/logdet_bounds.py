@@ -15,6 +15,12 @@ the estimator CGGP uses to report true ELBO values.
 Run: JAX_PLATFORMS=cpu python examples/logdet_bounds.py
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)  # fp64: the reference runs under gpflow's default

@@ -5,6 +5,12 @@ The Monte-Carlo Gaussian likelihood term of PathwiseClusterGP must converge
 to ClusterGP's analytic variational expectation as samples grow.
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,6 +10,12 @@ including at fp32 (the regime where the naive Woodbury apply cancels
 catastrophically; see docs/PERF.md).
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,6 +11,12 @@ density is the heavy-tailed multivariate Student-t (χ² scale mixture).
 Run: JAX_PLATFORMS=cpu python examples/rff_prior_samples.py
 """
 
+# Runnable without installation: put the repo root on sys.path
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)  # fp64: the exact-prior Cholesky on a
