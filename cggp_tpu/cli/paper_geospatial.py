@@ -106,10 +106,12 @@ def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
          "fire every K steps.",
 )
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=True)
-@click.option("--serving-solver", type=click.Choice(["auto", "chol", "cg"]),
+@click.option("--serving-solver",
+              type=click.Choice(["auto", "chol", "cg", "lanczos"]),
               default="auto",
               help="Block-solve mode of the posterior dumps (auto falls "
-                   "back to CG on a non-finite Cholesky factor).")
+                   "back to CG on a non-finite Cholesky factor; lanczos = "
+                   "LOVE-style solve-free variance for matrix-free models).")
 @click.pass_context
 def train_adam(ctx, num_iterations, batch_size, test_batch_size, learning_rate,
                steps_per_call,

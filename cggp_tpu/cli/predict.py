@@ -32,14 +32,17 @@ from cggp_tpu.utils import load_config_dir
 @click.option("--mean-only", is_flag=True, default=False,
               help="Dump posterior means only — the CG-free cached path "
                    "for CDGP (docs/PERF.md: 16x serving throughput).")
-@click.option("--serving-solver", type=click.Choice(["auto", "chol", "cg"]),
+@click.option("--serving-solver",
+              type=click.Choice(["auto", "chol", "cg", "lanczos"]),
               default="auto",
               help="Block-solve mode of the serving cache: chol = one-time "
                    "factorization + triangular solves (fast; needs "
                    "kappa(Kmm+Lambda) within fp32 range), cg = the "
                    "preconditioned-CG path (any conditioning). auto = chol "
                    "for M<=16384 with automatic CG fallback on a "
-                   "non-finite factor.")
+                   "non-finite factor. lanczos = LOVE-style rank-k cache "
+                   "(matrix-free models, e.g. cdgp-implicit: solve-free "
+                   "per-batch variance, conservative over-estimates).")
 @click.option("--num-devices", type=int, default=None,
               help="Serve data-parallel: query rows of each batch sharded "
                    "over an N-device mesh, the posterior cache replicated "

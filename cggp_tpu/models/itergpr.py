@@ -86,6 +86,9 @@ class IterGPR:
     relative_threshold: bool = True
     block: int = 4096
     use_pallas: bool = False
+    # Rank of the opt-in posterior(solver="lanczos") LOVE serving cache —
+    # see RowSolveCGGP.serving_lanczos_rank for the contract.
+    serving_lanczos_rank: int = 128
 
     def __post_init__(self):
         solve = make_implicit_cg(
@@ -265,19 +268,39 @@ class IterGPR:
 
     # -- serving (posterior cache; twin of GPR.posterior) ----------------------
 
-    def posterior(self, params: Dict, data: Tuple[Array, Array]) -> "IterGPRPosterior":
+    def posterior(self, params: Dict, data: Tuple[Array, Array],
+                  solver: str = "cg") -> "IterGPRPosterior":
         """One CG solve for ``alpha = (K + sigma^2 I)^{-1} y``; the cache then
         serves means CG-free and variances with one [T, N]-block solve per
         batch (the dense GPR factorizes [N, N] here — impossible at this
-        model's target N)."""
+        model's target N).
+
+        ``solver="lanczos"`` additionally builds the LOVE-style rank-k
+        quadratic-form cache (``serving_lanczos_rank``): per-batch variance
+        becomes two skinny matmuls, no CG at all — approximate (conservative
+        over-estimates, exact at rank = N).  ``"auto"`` maps to ``"cg"``
+        (exact; the approximation must be opted into).
+        """
+        if solver not in ("auto", "cg", "lanczos"):
+            raise ValueError(f"unknown posterior solver: {solver!r}")
         x, y = data
         kp = params["kernel"]
         x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
         state = self._precond_state(kp, x_pad, lam, mask)
         alpha, _ = self._solve(kp, x_pad, lam, y_rows, state, mask)
+        lanczos_r = None
+        if solver == "lanczos":
+            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows
+
+            start = jax.lax.stop_gradient(y_rows[:1])  # [1, N] masked seed
+            rank = min(int(self.serving_lanczos_rank), int(x_pad.shape[0]))
+            lanczos_r = lanczos_quad_cache_rows(
+                lambda rows: self._matvec(kp, x_pad, lam, mask, rows),
+                start, rank,
+            )
         return IterGPRPosterior(
             kernel_params=kp, x_train=x_pad, lam=lam, mask=mask,
-            alpha=alpha, precond_state=state,
+            alpha=alpha, precond_state=state, lanczos_r=lanczos_r,
         )
 
     def posterior_mean(self, post: "IterGPRPosterior", x_new: Array) -> Array:
@@ -288,6 +311,18 @@ class IterGPR:
                           full_cov: bool = False) -> Tuple[Array, Array]:
         kp = post.kernel_params
         kmn = self.kernel.K(kp, x_new, post.x_train) * post.mask[None, :]  # [T, N]
+        if post.lanczos_r is not None:
+            # LOVE path: solve-free variance via the rank-k cache (see
+            # posterior(solver="lanczos") — conservative over-estimates).
+            rk = jnp.matmul(post.lanczos_r, kmn.T,
+                            precision=jax.lax.Precision.HIGHEST)  # [k, T]
+            if full_cov:
+                knn = self.kernel.K(kp, x_new)
+                var = (knn - rk.T @ rk)[None, ...]
+            else:
+                knn = self.kernel.K_diag(kp, x_new)
+                var = (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+            return kmn @ post.alpha.T, var
         inv_kmn, _ = self._solve(
             kp, post.x_train, post.lam, kmn, post.precond_state, post.mask
         )
@@ -318,3 +353,4 @@ class IterGPRPosterior(NamedTuple):
     mask: Array  # [N_pad] 1 real / 0 pad
     alpha: Array  # [Q, N_pad] rows = ((K + sigma^2 I)^{-1} y)^T
     precond_state: Tuple  # () = identity, else SpectralPreconditioner state
+    lanczos_r: Optional[Array] = None  # [k, N_pad] LOVE quad cache (solver="lanczos")

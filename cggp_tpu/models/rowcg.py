@@ -96,6 +96,12 @@ class RowSolveCGGP(ClusterGP):
     # meaningful, gradient path unchanged (dense twin: CGGP.logdet_variant).
     logdet_variant: str = "zero"  # "zero" | "slq"
     slq_lanczos_iters: int = 25
+    # Rank of the opt-in ``posterior(solver="lanczos")`` serving cache
+    # (LOVE-style, ops/logdet.lanczos_quad_cache_rows): per-batch variance
+    # becomes two skinny matmuls instead of a blocked CG solve.  Approximate
+    # — variances are conservative over-estimates converging with the rank
+    # (exact at rank = M) — so never picked by "auto".
+    serving_lanczos_rank: int = 128
 
     # Whether posterior(solver="chol"/"auto") may materialise and factorize
     # the [M, M] system for serving (ShardedCGGP: yes, the replica is cheap
@@ -418,6 +424,33 @@ class RowSolveCGGP(ClusterGP):
                 kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
                 nu=nu, precond_state=(), chol=chol,
             )
+        if solver == "lanczos":
+            # LOVE-style serving (net-new): EXACT mean (CG-solved nu) +
+            # rank-k Lanczos quadratic-form cache for the variance — no CG
+            # at all per serving batch, no [M, M] buffer.  Conservative:
+            # variances over-estimate, converging with serving_lanczos_rank.
+            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows
+
+            precond_state = self._precond_state(kp, z, lam, mask)
+            nu, _ = self._solve(kp, z, lam, u.T, precond_state, mask)
+            # Krylov seed: the cache's own RHS (masked u) — falling back to a
+            # fixed masked Gaussian when u is all-zero (hyperparameters-only
+            # config dirs), which would otherwise yield a zero basis and
+            # silently serve prior variances.
+            u_row = jax.lax.stop_gradient((u * mask[:, None]).T)  # [1, M]
+            fallback = jax.random.normal(
+                jax.random.PRNGKey(0), u_row.shape, u_row.dtype
+            ) * mask[None, :]
+            start = jnp.where(jnp.linalg.norm(u_row) > 0.0, u_row, fallback)
+            rank = min(int(self.serving_lanczos_rank), int(z.shape[0]))
+            lanczos_r = lanczos_quad_cache_rows(
+                lambda rows: self._matvec(kp, z, lam, mask, rows), start, rank
+            )
+            return RowCGGPPosterior(
+                kernel_params=kp, inducing_points=z, lam=lam, mask=mask,
+                nu=nu, precond_state=precond_state, chol=None,
+                lanczos_r=lanczos_r,
+            )
         if solver != "cg":
             raise ValueError(f"unknown posterior solver: {solver!r}")
         precond_state = self._precond_state(kp, z, lam, mask)
@@ -439,6 +472,19 @@ class RowSolveCGGP(ClusterGP):
         kp = post.kernel_params
         z = post.inducing_points
         kmn = self.kernel.K(kp, x_new, z) * post.mask[None, :]  # [T, M]
+        if post.lanczos_r is not None:
+            # LOVE path: quad(x) ~= ||R kmn||^2 — two skinny matmuls, solve-
+            # free.  R under-estimates the quadratic form, so fvar is a
+            # conservative over-estimate (see lanczos_quad_cache_rows).
+            rk = jnp.matmul(post.lanczos_r, kmn.T,
+                            precision=jax.lax.Precision.HIGHEST)  # [k, T]
+            if full_cov:
+                knn = self.kernel.K(kp, x_new)
+                fvar = (knn - rk.T @ rk)[None, ...]
+            else:
+                knn = self.kernel.K_diag(kp, x_new)
+                fvar = (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+            return kmn @ post.nu.T, fvar
         if post.chol is not None:
             inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn.T).T
         else:
@@ -485,3 +531,4 @@ class RowCGGPPosterior(NamedTuple):
     nu: Array  # [1, M_pad] row = ((Kmm + Lambda)^{-1} u)^T
     precond_state: Tuple  # () = identity, else SpectralPreconditioner state
     chol: Optional[Array] = None  # [M_pad, M_pad] lower Cholesky (masked A)
+    lanczos_r: Optional[Array] = None  # [k, M_pad] LOVE quad cache (solver="lanczos")

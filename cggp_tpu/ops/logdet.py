@@ -413,7 +413,8 @@ def make_matfree_slq_logdet(slq_value, matvec, solve, precond_state_fn=None):
     return logdet
 
 
-def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int):
+def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int,
+                         return_basis: bool = False):
     """Batched matrix-free Lanczos with full reorthogonalisation.
 
     ``matvec_rows`` maps [P, M] row-batched vectors to ``v @ A`` rows (the
@@ -421,7 +422,9 @@ def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int):
     psum-blocked sharded matvec, whose per-call Gram-block build makes a
     one-probe-at-a-time loop wasteful.  All P probes advance together, so
     each Lanczos step is ONE matvec launch.  Returns
-    ``(alphas [k, P], betas [k-1, P])``.
+    ``(alphas [k, P], betas [k-1, P])`` — plus the orthonormal basis
+    ``[k, P, M]`` when ``return_basis`` (zero rows past an early
+    termination).
     """
     p, m = v0_rows.shape
     dtype = v0_rows.dtype
@@ -453,7 +456,50 @@ def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int):
     (basis, alphas, betas), _ = jax.lax.scan(
         body, (basis, alphas, betas), jnp.arange(num_iters)
     )
+    if return_basis:
+        return alphas, betas[:-1], basis
     return alphas, betas[:-1]
+
+
+def lanczos_quad_cache_rows(matvec_rows, start_row: Array, rank: int) -> Array:
+    """Rank-``k`` quadratic-form cache for ``A^{-1}`` (LOVE-style serving,
+    Pleiss et al. 2018, done matrix-free): from a ``k``-step Lanczos
+    decomposition ``A ~ Q^T T Q`` (``Q`` [k, M] orthonormal rows), returns
+    ``R = L_T^{-1} Q`` with ``T = L_T L_T^T``, so
+
+        x^T A^{-1} x  ~=  || R x ||^2        (two skinny matmuls per batch).
+
+    The Gauss-quadrature estimate UNDER-approximates ``x^T A^{-1} x`` for
+    SPD ``A``, so predictive variances built as ``k_diag - quad`` are
+    conservative (over-estimates), converging monotonically as ``rank``
+    grows; with full reorthogonalisation and ``rank = M`` the cache is
+    exact.  ``start_row`` [1, M] seeds the Krylov space (use the cache's own
+    RHS, e.g. pseudo-observations/targets — pre-masked if padded: the space
+    then never leaves the real coordinates).
+    """
+    alphas, betas, basis = lanczos_tridiag_rows(
+        matvec_rows, start_row, rank, return_basis=True
+    )
+    a, b = alphas[:, 0], betas[:, 0]
+    q = basis[:, 0, :]  # [k, M]
+    dtype = q.dtype
+    # Early termination: once the Krylov space is exhausted beta is not an
+    # exact zero but reorthogonalisation residue (~eps), and the "basis"
+    # rows past that point are normalised noise — carrying them corrupts T
+    # AND R (measured: rank > dim inflated quadratic forms 1.7x).  Cut at a
+    # relative tolerance, give T an identity block there, and ZERO the junk
+    # basis rows so the corresponding R rows vanish.
+    tol = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.maximum(
+        jnp.max(jnp.abs(a)), jnp.max(b)
+    )
+    bad = jnp.concatenate([jnp.zeros((1,), bool), b <= tol])
+    used = jnp.cumsum(bad) == 0
+    q = jnp.where(used[:, None], q, 0.0)
+    diag = jnp.where(used, a, 1.0)
+    off = jnp.where(used[1:], b, 0.0)
+    t = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
+    chol_t = jnp.linalg.cholesky(t)
+    return jax.scipy.linalg.solve_triangular(chol_t, q, lower=True)  # [k, M]
 
 
 def slq_value_rows(matvec_rows, probes_rows: Array, lanczos_iters: int) -> Array:

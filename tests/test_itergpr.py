@@ -285,3 +285,94 @@ def test_sharded_itergpr_requires_mesh():
 
     with pytest.raises(ValueError, match="mesh"):
         ShardedIterGPR(kernel=SquaredExponential())
+
+
+# ---------------------------------------------------------------------------
+# LOVE-style Lanczos serving cache (solver="lanczos")
+# ---------------------------------------------------------------------------
+
+
+def test_itergpr_lanczos_serving_exact_at_full_rank_conservative_below(rng):
+    """posterior(solver="lanczos"): exact at rank = N (full reorthogonalised
+    Krylov spans the space); below full rank variances are conservative
+    over-estimates whose error shrinks as the rank grows.  Means are always
+    the exact CG-solved alpha path."""
+    import dataclasses
+
+    n = 72
+    x, y = _data(rng, n)
+    _dense, model = _models(SquaredExponential(), n)
+    params = model.init_params(x.shape[-1], noise_variance=0.1,
+                               dtype=jnp.float64)
+    xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(30, x.shape[-1])))
+
+    post_cg = model.posterior(params, (x, y))
+    mu_cg, var_cg = model.posterior_predict(post_cg, xq)
+
+    full = dataclasses.replace(model, serving_lanczos_rank=n)
+    post_full = full.posterior(params, (x, y), solver="lanczos")
+    mu_f, var_f = full.posterior_predict(post_full, xq)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_cg), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_cg),
+                               rtol=1e-6, atol=1e-9)
+
+    errs = {}
+    for rank in (8, 32):
+        low = dataclasses.replace(model, serving_lanczos_rank=rank)
+        post = low.posterior(params, (x, y), solver="lanczos")
+        _mu, var = low.posterior_predict(post, xq)
+        # Conservative: the Gauss-quadrature quad under-estimate makes the
+        # variance an over-estimate (never below the exact one).
+        assert float(jnp.min(var - var_cg)) > -1e-9
+        errs[rank] = float(jnp.max(var - var_cg))
+    assert errs[32] <= errs[8] + 1e-12, errs
+
+
+def test_rowcg_lanczos_serving_matches_cg(rng):
+    """The shared row-solver family (here ImplicitCGGP) serves through the
+    same LOVE cache: full-rank parity with the CG posterior, including
+    through predict_in_batches(posterior_solver="lanczos") and padding."""
+    import dataclasses
+
+    from cggp_tpu.models import ImplicitCGGP
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    n, m = 120, 36
+    x, y = _data(rng, n)
+    model = ImplicitCGGP(
+        kernel=Matern32(), num_data=n, num_probes=2,
+        error_threshold=1e-13, max_cg_iterations=4 * m,
+        block=16,  # forces padding: M=36 -> 48
+        serving_lanczos_rank=48,
+    )
+    params = model.init_params(
+        x[:m], noise_variance=0.1,
+        pseudo_u=jnp.asarray(np.sin(np.asarray(x[:m]).sum(-1, keepdims=True))),
+        cluster_counts=jnp.full((m, 1), 3.0, jnp.float64),
+        dtype=jnp.float64,
+    )
+    xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(40, x.shape[-1])))
+
+    post_cg = model.posterior(params, solver="cg")
+    mu_cg, var_cg = model.posterior_predict(post_cg, xq)
+    post_lz = model.posterior(params, solver="lanczos")
+    mu_lz, var_lz = model.posterior_predict(post_lz, xq)
+    np.testing.assert_allclose(np.asarray(mu_lz), np.asarray(mu_cg), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_lz), np.asarray(var_cg),
+                               rtol=1e-6, atol=1e-9)
+    _mu_fc, cov_lz = model.posterior_predict(post_lz, xq[:7], full_cov=True)
+    _mu_fc, cov_cg = model.posterior_predict(post_cg, xq[:7], full_cov=True)
+    np.testing.assert_allclose(np.asarray(cov_lz), np.asarray(cov_cg),
+                               rtol=1e-6, atol=1e-7)
+
+    mu_b, var_b = predict_in_batches(model, params, xq, batch_size=16,
+                                     posterior_solver="lanczos")
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_cg), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_cg),
+                               rtol=1e-6, atol=1e-9)
+
+    # Low rank stays conservative.
+    low = dataclasses.replace(model, serving_lanczos_rank=8)
+    post8 = low.posterior(params, solver="lanczos")
+    _mu8, var8 = low.posterior_predict(post8, xq)
+    assert float(jnp.min(var8 - var_cg)) > -1e-9

@@ -702,3 +702,28 @@ def test_predict_in_batches_mesh_dp_serving_matches(mesh, rng):
     sp = sharded.init_params(x[:m], noise_variance=0.1, dtype=jnp.float32)
     with pytest.raises(ValueError, match="own mesh collectives"):
         predict_in_batches(sharded, sp, xq, batch_size=40, mesh=mesh)
+
+
+def test_sharded_lanczos_serving_matches_cg(mesh, rng):
+    """posterior(solver="lanczos") on the sharded model (LOVE-style rank-k
+    cache built through the psum-blocked matvec): exact at rank >= real M,
+    solve-free per batch."""
+    n, m = 100, 20
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)))
+    u = jnp.asarray(rng.standard_normal((m, 1)) * 0.3)
+    model = ShardedCGGP(
+        kernel=Matern32(), mesh=mesh, num_data=n, error_threshold=1e-13,
+        max_cg_iterations=4 * m, serving_lanczos_rank=24,
+    )
+    params = model.init_params(
+        x[:m], noise_variance=0.1, pseudo_u=u,
+        cluster_counts=jnp.full((m, 1), 3.0, jnp.float64), dtype=jnp.float64,
+    )
+    xq = jnp.asarray(rng.uniform(-1, 1, (30, 2)))
+    post_cg = model.posterior(params, solver="cg")
+    mu_cg, var_cg = model.posterior_predict(post_cg, xq)
+    post_lz = model.posterior(params, solver="lanczos")
+    mu_lz, var_lz = model.posterior_predict(post_lz, xq)
+    np.testing.assert_allclose(np.asarray(mu_lz), np.asarray(mu_cg), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_lz), np.asarray(var_cg),
+                               rtol=1e-6, atol=1e-7)
