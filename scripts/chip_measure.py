@@ -82,7 +82,11 @@ def bf16_variant_table(m: int, num_rhs: int, targets, repeats: int = 3) -> list:
     )
     z = jnp.asarray(rng.uniform(-2, 2, (m, 8)), jnp.float32)
     lam = jnp.asarray(rng.uniform(0.05, 0.5, (m,)), jnp.float32)
-    a = add_diagonal(kernel.K(kp, z), lam)
+    # Build the Gram UNDER jit: eager construction materializes the r2 /
+    # K / A chain as separate [M, M] buffers (~13 GB at M=32768 — observed
+    # RESOURCE_EXHAUSTED on the 16 GB chip); fused, only the output lives.
+    a = jax.jit(lambda z, lam: add_diagonal(kernel.K(kp, z), lam))(z, lam)
+    a.block_until_ready()
     rhs = jnp.asarray(rng.standard_normal((num_rhs, m)), jnp.float32)
     v0 = jnp.zeros_like(rhs)
 
@@ -234,24 +238,34 @@ def main() -> None:
         print(json.dumps(out["bench"]), flush=True)
         checkpoint()
 
+    # Each section failure-isolated: one OOM/wedge must not lose the rest.
     m = 1024 if args.tiny else 32768
     print(f"== bf16 variant table (M={m}) ==", flush=True)
-    out["bf16_variants"] = bf16_variant_table(m, 16, (1e-4, 1e-6))
+    try:
+        out["bf16_variants"] = bf16_variant_table(m, 16, (1e-4, 1e-6))
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        out["bf16_variants"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"bf16 section failed: {exc}", flush=True)
     checkpoint()
 
     n_gp = 2048 if args.tiny else 65536
     print(f"== itergpr exact GP (N={n_gp}) ==", flush=True)
-    out["itergpr"] = itergpr_section(n_gp, tiny=args.tiny)
-    print(json.dumps(out["itergpr"]), flush=True)
+    try:
+        out["itergpr"] = itergpr_section(n_gp, tiny=args.tiny)
+        print(json.dumps(out["itergpr"]), flush=True)
+    except Exception as exc:  # noqa: BLE001
+        out["itergpr"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"itergpr section failed: {exc}", flush=True)
     checkpoint()
     print(f"wrote {path}", flush=True)
 
     # Markdown for docs/PERF.md
-    print("\n| M | target | impl | steps | wall_s |")
-    print("|---|---|---|---|---|")
-    for r in out["bf16_variants"]:
-        print(f"| {r['M']} | {r['target']:g} | {r['impl']} | "
-              f"{r['steps']} | {r['wall_s']} |")
+    if isinstance(out["bf16_variants"], list):
+        print("\n| M | target | impl | steps | wall_s |")
+        print("|---|---|---|---|---|")
+        for r in out["bf16_variants"]:
+            print(f"| {r['M']} | {r['target']:g} | {r['impl']} | "
+                  f"{r['steps']} | {r['wall_s']} |")
 
 
 if __name__ == "__main__":
