@@ -249,10 +249,17 @@ class IterGPR:
         )
         if self.logdet_variant == "slq":
             # True value from the SLQ quadrature; its own gradient path stays
-            # off (stop_gradient) — the Hutchinson rule above IS the gradient
-            # (reference models.py:21-48 semantics, value upgraded).
-            logdet = logdet + jax.lax.stop_gradient(
-                self._slq_value(kp, x_pad, lam, mask, probes)
+            # off — the Hutchinson rule above IS the gradient (reference
+            # models.py:21-48 semantics, value upgraded).  Gradients must be
+            # stopped at the INPUTS, not the output: an output-side
+            # stop_gradient still lets linearization trace tangents through
+            # the whole Lanczos scan, which forces every kernel panel to be
+            # saved as a scan residual — the full [N, N] in aggregate
+            # (observed: a 16 GB AllocateBuffer at N=65536, OOM on the chip).
+            # Input-side stops keep the SLQ value strictly primal.
+            sg = jax.lax.stop_gradient
+            logdet = logdet + self._slq_value(
+                sg(kp), sg(x_pad), sg(lam), mask, sg(probes)
             )
         const = jnp.asarray(n * math.log(2.0 * math.pi), dtype=x.dtype)
         return -0.5 * (quad + logdet + const)

@@ -137,7 +137,13 @@ def blocked_kuu_matvec(
         ), None
 
     init = jnp.zeros_like(p)
-    out, _ = lax.scan(panel, init, (z_blocks, p_blocks, mask_blocks))
+    # Rematerialize each panel in the backward pass: without checkpoint,
+    # differentiating through the scan (solve_bwd's matvec-VJP, the logdet
+    # probe gradients) saves every [block, M] panel — the full [M, M] in
+    # aggregate, exactly what this function exists to avoid (observed:
+    # 16 GB HBM OOM at M=65536). Recomputing costs one extra kernel-panel
+    # eval per backward step and keeps peak memory at O(block * M).
+    out, _ = lax.scan(jax.checkpoint(panel), init, (z_blocks, p_blocks, mask_blocks))
     return out + p * lam[None, :]
 
 

@@ -376,3 +376,31 @@ def test_rowcg_lanczos_serving_matches_cg(rng):
     post8 = low.posterior(params, solver="lanczos")
     _mu8, var8 = low.posterior_predict(post8, xq)
     assert float(jnp.min(var8 - var_cg)) > -1e-9
+
+
+def test_itergpr_grad_never_materializes_stacked_panels(rng):
+    """Memory contract of the matrix-free path: the MLL gradient must not
+    save the [num_blocks, block, N] kernel-panel stack (= the full [N, N])
+    as a scan residual.  Two past regressions produced exactly that buffer
+    (16 GB at N=65536, chip OOM): differentiating the un-checkpointed panel
+    scan, and an OUTPUT-side stop_gradient around the SLQ value (tangents
+    still traced through the Lanczos scan force panel residuals; gradients
+    must be stopped at the SLQ INPUTS)."""
+    n, dim, block = 512, 3, 128
+    x = jnp.asarray(rng.uniform(-2, 2, size=(n, dim)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x).sum(-1, keepdims=True)), jnp.float32)
+    model = IterGPR(
+        kernel=Matern32(), error_threshold=1e-5, relative_threshold=True,
+        max_cg_iterations=32, num_probes=4, logdet_variant="slq",
+        slq_lanczos_iters=10, precondition="pivchol", precond_rank=16,
+        block=block,
+    )
+    params = model.init_params(dim, noise_variance=0.1, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    jaxpr = jax.make_jaxpr(jax.value_and_grad(
+        lambda p: model.training_loss(p, (x, y), key=key)
+    ))(params)
+    stacked = f"{n // block},{block},{n}"
+    assert stacked not in str(jaxpr).replace(" ", ""), (
+        f"gradient stacks the full kernel-panel buffer f32[{stacked}]"
+    )
