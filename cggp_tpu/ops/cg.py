@@ -399,7 +399,7 @@ def ir_cg_loop(
     *,
     error_threshold: float,
     max_iterations: int,
-    inner_rtol: float = 1e-4,
+    inner_rtol: float = 1e-2,
     max_outer: int = 8,
     dot: Callable[[Array, Array], Array] = _standard_dot,
     mat_for_precond: Optional[Array] = None,
@@ -415,7 +415,13 @@ def ir_cg_loop(
     computes the EXACT residual with ``matvec_hi`` (one full-precision matvec
     per cycle), then an inner CG solves the correction system with the cheap
     matvec to a loose RELATIVE tolerance (``inner_rtol`` on ``0.5||r||^2``,
-    i.e. ~1/100 residual-norm reduction per cycle at 1e-4).  Each cycle's
+    i.e. ~1/10 residual-norm reduction per cycle at the 1e-2 default).  The
+    default comes from a 12-point chip sweep at the bench shape (M=32768,
+    16 RHS, scripts/tune_bf16_ir.py, logged in docs/PERF.md): 1e-2 is the
+    optimum at target 1e-4 and statistically tied with 1e-1 at 1e-6;
+    tighter inner tolerances waste iterations chasing accuracy below the
+    bf16 perturbation level (classic IR behavior — the knee sits near
+    sqrt(eps_bf16) on this squared metric).  Each cycle's
     correction is exact-to-inner-tolerance for the TRUE matrix up to the bf16
     perturbation, so the composed iterate converges to the fp32-level
     solution while ~all matrix traffic rides the half-width copy.
