@@ -327,6 +327,15 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     from cggp_tpu.training.batching import minibatch_index_iterator
     from cggp_tpu.training.optimize import make_adam_multi_step
 
+    import os
+
+    # "xla_high" (bf16x3 MXU passes) is the validated production-training
+    # configuration for this compute-bound fused solve: 1.28-1.34x over
+    # HIGHEST with identical RMSE over a 1000-step chip soak (docs/PERF.md
+    # "xla_high" section; scripts/precision_cg_chip.py).  The knob makes the
+    # HIGHEST A/B one env var; e2e_config records whichever ran.
+    matvec_impl = os.environ.get("CGGP_BENCH_MATVEC_IMPL", "xla_high")
+
     N, DIM, BATCH, K = 435_000, 3, 2048, 25
     train, _test = synthetic(n=N, dim=DIM, seed=0)
     x = jnp.asarray(train[0], jnp.float32)
@@ -343,7 +352,8 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     model = CGGP(
         kernel=Matern32(),
         conjugate_gradient=ConjugateGradient(
-            1e-6, max_iterations=m, relative_threshold=True
+            1e-6, max_iterations=m, relative_threshold=True,
+            matvec_impl=matvec_impl,
         ),
         num_data=n_train,
         num_probes=5,
@@ -434,6 +444,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
             "n": N, "dim": DIM, "m": m, "batch": BATCH,
             "steps_per_call": K, "precondition": "pivchol-128",
             "relative_threshold": True, "dtype": "float32",
+            "matvec_impl": matvec_impl,
         },
         "e2e_final_loss": round(final_loss, 2),
         "e2e_train_wall_s": round(train_wall, 3),

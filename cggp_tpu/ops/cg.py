@@ -742,10 +742,24 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
                 preferred_element_type=jnp.float32,
             )
             return out.astype(matrix.dtype)
+    elif matvec_impl == "xla_high":
+        # bf16x3 emulation (Precision.HIGH): ~2^-21 relative matvec error vs
+        # fp32's 2^-24, at HALF of HIGHEST's six bf16 MXU passes.  On the
+        # COMPUTE-bound fused training solve ([1+2P+B, M] RHS block, R~2000)
+        # this measured 1.34x wall on the chip with +2% iterations and 2e-4
+        # solution agreement (scripts/precision_cg_chip.py, M=1024 R=2059
+        # kappa~1e6 pivchol-128, relative target 1e-6); on the HBM-bound
+        # 16-RHS bench shape it is a wash.  Not the default: the extra
+        # mantissa headroom of HIGHEST is what guarantees CG's fp32-level
+        # floor at tight (<=1e-8) absolute thresholds.
+        def matvec(p):
+            return jnp.matmul(p, matrix, precision=jax.lax.Precision.HIGH)
     else:
         # Full fp32 matmul precision: the TPU default (bf16 passes) floors
         # the reachable residual ~1e-2 and can stall/diverge CG outright.
-        # The solve is HBM-bound, so the extra MXU passes are ~free.
+        # At small RHS counts the solve is HBM-bound and the extra MXU
+        # passes are ~free; for the compute-bound fused training block see
+        # "xla_high" above.
         def matvec(p):
             return jnp.matmul(p, matrix, precision=jax.lax.Precision.HIGHEST)
 

@@ -458,6 +458,48 @@ def test_mixed_precision_solvers_reach_fp32_thresholds(rng):
         assert float(stats.error.max()) <= 1e-10, (impl, stats)
 
 
+def test_xla_high_matvec_solves_and_differentiates(rng):
+    """matvec_impl="xla_high" (bf16x3 MXU emulation — half of HIGHEST's six
+    passes) must match the fp32 path through the façade, value AND gradient.
+
+    The numeric distinction only exists on TPU MXUs (CPU executes HIGH as
+    plain fp32) — chip-measured behavior is pinned in docs/PERF.md and
+    scripts/precision_cg_chip.py (+2% iterations, 2e-4 solution agreement,
+    1.34x wall on the compute-bound fused shape); this test pins the option
+    plumbing: dispatch, convergence, stats, and the custom VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import conjugate_gradient
+
+    n, m = 256, 4
+    q = rng.standard_normal((n, n)).astype(np.float32)
+    base = jnp.asarray(q @ q.T / n)
+    lam0 = jnp.asarray(rng.uniform(0.3, 0.7, n), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    sol, stats = conjugate_gradient(
+        base + jnp.diag(lam0), rhs, jnp.zeros_like(rhs), 1e-10,
+        max_iterations=600, max_steps_cycle=601, matvec_impl="xla_high",
+    )
+    dense = jnp.linalg.solve(base + jnp.diag(lam0), rhs.T).T
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+    assert float(stats.error.max()) <= 1e-10 and bool(stats.converged)
+
+    def loss(lam_, impl):
+        sol, _ = conjugate_gradient(
+            base + jnp.diag(lam_), rhs, jnp.zeros_like(rhs), 1e-12,
+            max_iterations=400, max_steps_cycle=401, matvec_impl=impl,
+        )
+        return jnp.sum(jnp.square(sol))
+
+    g_hi = jax.grad(lambda l: loss(l, "xla"))(lam0)
+    g_high = jax.grad(lambda l: loss(l, "xla_high"))(lam0)
+    np.testing.assert_allclose(np.asarray(g_high), np.asarray(g_hi),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_mixed_precision_gradients_match_fp32_cg(rng):
     """The custom VJP's backward solve also runs mixed-precision; gradients
     must agree with the fp32 CG path (same VJP, fp32 matvec) on a system
