@@ -1,6 +1,14 @@
 """Training loops, metrics, and monitoring (reference optimize.py + monitor.py)."""
 
 from cggp_tpu.training.batching import minibatch_iterator
+from cggp_tpu.training.gang import (
+    init_gang_adam,
+    make_adam_gang_multi_step,
+    shard_gang,
+    stack_pytrees,
+    train_gang_adam,
+    unstack_pytree,
+)
 from cggp_tpu.training.monitor import Monitor
 from cggp_tpu.training.optimize import (
     create_monitor,
@@ -17,6 +25,12 @@ from cggp_tpu.training.optimize import (
 
 __all__ = [
     "minibatch_iterator",
+    "init_gang_adam",
+    "make_adam_gang_multi_step",
+    "shard_gang",
+    "stack_pytrees",
+    "train_gang_adam",
+    "unstack_pytree",
     "Monitor",
     "create_monitor",
     "make_cg_stats_callback",
