@@ -2,8 +2,10 @@
 
 from cggp_tpu.training.batching import minibatch_iterator
 from cggp_tpu.training.gang import (
+    gang_eval_rmse_nlpd,
     init_gang_adam,
     make_adam_gang_multi_step,
+    make_gang_predict,
     shard_gang,
     stack_pytrees,
     train_gang_adam,
@@ -25,6 +27,8 @@ from cggp_tpu.training.optimize import (
 
 __all__ = [
     "minibatch_iterator",
+    "gang_eval_rmse_nlpd",
+    "make_gang_predict",
     "init_gang_adam",
     "make_adam_gang_multi_step",
     "shard_gang",

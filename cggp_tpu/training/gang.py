@@ -173,6 +173,48 @@ def gang_index_chunks(
         yield jnp.stack([next(it) for it in iterators], axis=1)
 
 
+def make_gang_predict(model):
+    """Vmapped ``predict_f`` over the gang axis: one program evaluates every
+    grid cell — ``gang_predict(params_G, x [n, d]) -> (mu [G, n, 1],
+    var [G, n, 1])``.  The query block is shared (the sweep evaluates all
+    cells on the same test set); per-cell inputs belong in a vmap over the
+    caller.  Variational models only (``predict_f(params, x)``) — GPR-style
+    data-conditioned prediction needs ``bind_predict_fn`` per cell."""
+    return jax.jit(jax.vmap(
+        lambda p, xb: model.predict_f(p, xb), in_axes=(0, None)))
+
+
+def gang_eval_rmse_nlpd(model, params_stack, test_data,
+                        batch_size: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-cell test RMSE and NLPD for a trained gang, accumulated on device
+    (one host fetch per batch of queries, not per cell).  Returns
+    ``(rmse [G], nlpd [G])`` — the ranking step of a gang sweep."""
+    x_test, y_test = test_data
+    n = int(x_test.shape[0])
+    predict = make_gang_predict(model)
+
+    @jax.jit
+    def batch_stats(params, xb, yb):
+        mu, var = predict(params, xb)          # [G, b, 1]
+        lpd = jax.vmap(
+            lambda p, m, v: model.likelihood.predict_log_density(
+                p["likelihood"], m, v, yb)
+        )(params, mu, var)
+        sq = jnp.sum(jnp.square(yb[None] - mu), axis=(1, 2))
+        return sq, jnp.sum(lpd, axis=tuple(range(1, lpd.ndim)))
+
+    sq_total = lpd_total = None
+    for start in range(0, n, batch_size):
+        xb = x_test[start:start + batch_size]
+        yb = y_test[start:start + batch_size]
+        sq, lpd = batch_stats(params_stack, jnp.asarray(xb), jnp.asarray(yb))
+        sq_total = sq if sq_total is None else sq_total + sq
+        lpd_total = lpd if lpd_total is None else lpd_total + lpd
+    rmse = np.sqrt(np.asarray(sq_total) / n)
+    nlpd = -np.asarray(lpd_total) / n
+    return rmse, nlpd
+
+
 def train_gang_adam(
     params_list: Sequence[Dict],
     loss_fn: LossFn,

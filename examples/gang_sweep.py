@@ -26,8 +26,11 @@ from cggp_tpu.models import CGGP
 from cggp_tpu.ops.cg import ConjugateGradient
 from cggp_tpu.ops.kernels import Matern32
 from cggp_tpu.selection.update import covertree_update_inducing_parameters
-from cggp_tpu.training.gang import train_gang_adam
-from cggp_tpu.training.optimize import bind_predict_fn
+from cggp_tpu.training.gang import (
+    gang_eval_rmse_nlpd,
+    stack_pytrees,
+    train_gang_adam,
+)
 
 
 def main():
@@ -59,14 +62,13 @@ def main():
         key=jax.random.PRNGKey(0),
         trainable_mask=model.trainable_mask(base), steps_per_call=25)
 
-    predict = bind_predict_fn(model, train)
-    print(f"{'lr':>6} {'ls_scale':>9} {'final_loss':>11} {'test_rmse':>10}")
+    # Rank the whole grid with ONE vmapped evaluation program.
+    rmse, nlpd = gang_eval_rmse_nlpd(model, stack_pytrees(trained), test)
+    print(f"{'lr':>6} {'ls_scale':>9} {'final_loss':>11} {'test_rmse':>10} {'nlpd':>8}")
     rows = []
-    for (lr, ls), params, loss in zip(grid, trained, losses[-1]):
-        mu, _ = predict(params, test[0])
-        rmse = float(jnp.sqrt(jnp.mean(jnp.square(test[1] - mu))))
-        rows.append((rmse, lr, ls, float(loss)))
-        print(f"{lr:>6} {ls:>9} {float(loss):>11.1f} {rmse:>10.4f}")
+    for (lr, ls), loss, r, nl in zip(grid, losses[-1], rmse, nlpd):
+        rows.append((float(r), lr, ls))
+        print(f"{lr:>6} {ls:>9} {float(loss):>11.1f} {float(r):>10.4f} {float(nl):>8.4f}")
     best = min(rows)
     print(f"best cell: lr={best[1]} ls_scale={best[2]} rmse={best[0]:.4f}")
 

@@ -136,6 +136,31 @@ def test_gang_sharded_over_mesh_matches_single_device(rng):
             a, b)
 
 
+def test_gang_eval_matches_sequential(rng):
+    """Vmapped gang evaluation must reproduce the per-cell sequential
+    RMSE/NLPD (the ranking step of a sweep)."""
+    from cggp_tpu.training.gang import gang_eval_rmse_nlpd
+    from cggp_tpu.training.optimize import bind_predict_fn
+
+    model, params, data = _small_model(rng)
+    variants = _init_variants(model, params, [0.7, 1.0, 1.6])
+    x, y = data
+    test = (x[:48], y[:48])
+
+    rmse, nlpd = gang_eval_rmse_nlpd(model, stack_pytrees(variants), test,
+                                     batch_size=17)
+    assert rmse.shape == (3,) and nlpd.shape == (3,)
+
+    predict = bind_predict_fn(model, data)
+    for g, p in enumerate(variants):
+        mu, var = predict(p, test[0])
+        r = float(jnp.sqrt(jnp.mean(jnp.square(test[1] - mu))))
+        lpd = model.likelihood.predict_log_density(
+            p["likelihood"], mu, var, test[1])
+        np.testing.assert_allclose(rmse[g], r, rtol=1e-6)
+        np.testing.assert_allclose(nlpd[g], -float(jnp.mean(lpd)), rtol=1e-6)
+
+
 def test_gang_index_streams_are_independent(rng):
     idx = next(gang_index_chunks(jax.random.PRNGKey(0), n=512,
                                  batch_size=64, chunk=4, gang=3))
