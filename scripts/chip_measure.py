@@ -198,12 +198,51 @@ def itergpr_section(n: int, dim: int = 3, tiny: bool = False) -> dict:
         float(acc)
 
     serve_wall = timed(serve)
+
+    # Variance serving, both ways: exact per-batch CG solve vs the LOVE-style
+    # rank-k Lanczos cache (posterior(solver="lanczos")) — the matrix-free
+    # family's solve-free variance path (docs/PERF.md "LOVE-style Lanczos
+    # serving"; chip walls were the one pending item there).
+    def var_serve(post_v):
+        predict_batch = jax.jit(
+            lambda post, xb: tuple(
+                jnp.sum(o) for o in model.posterior_predict(post, xb)
+            )
+        )
+        mu, var = predict_batch(post_v, x[:serve_b])
+        float(mu), float(var)  # compile + warm
+
+        def run():
+            acc = 0.0
+            for i in range(serve_points // serve_b):
+                start = (i * serve_b) % (n - serve_b)
+                mu, var = predict_batch(
+                    post_v, jax.lax.dynamic_slice_in_dim(x, start, serve_b)
+                )
+            float(mu), float(var)
+
+        return timed(run)
+
+    var_cg_wall = var_serve(post)
+
+    build_love = jax.jit(lambda p, d: model.posterior(p, d, solver="lanczos"))
+    post_love = build_love(params, (x, y))
+    float(jnp.sum(post_love.lanczos_r))
+    love_build_wall = timed(
+        lambda: float(jnp.sum(build_love(params, (x, y)).lanczos_r))
+    )
+    var_love_wall = var_serve(post_love)
+
     return {
         "n": n, "dim": dim, "loss": float(loss),
         "grad_sq_norm": grad_norm,
         "mll_step_wall_s": round(step_wall, 3),
         "alpha_solve_wall_s": round(alpha_wall, 3),
         "serve_mean_points_per_sec": round(serve_points / serve_wall, 1),
+        "serve_var_cg_points_per_sec": round(serve_points / var_cg_wall, 1),
+        "serve_var_love_points_per_sec": round(serve_points / var_love_wall, 1),
+        "love_rank": int(model.serving_lanczos_rank),
+        "love_cache_build_wall_s": round(love_build_wall, 3),
     }
 
 
