@@ -335,6 +335,11 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # "xla_high" section; scripts/precision_cg_chip.py).  The knob makes the
     # HIGHEST A/B one env var; e2e_config records whichever ran.
     matvec_impl = os.environ.get("CGGP_BENCH_MATVEC_IMPL", "xla_high")
+    # "chunk" freezes the pivchol preconditioner per 25-step dispatch
+    # (training/optimize.make_adam_multi_step precond_fn): the per-step
+    # build is pure solver state, so solutions/gradients are unchanged —
+    # see docs/PERF.md "chunk-frozen preconditioning" for the measured A/B.
+    precond_refresh = os.environ.get("CGGP_BENCH_PRECOND_REFRESH", "step")
 
     N, DIM, BATCH, K = 435_000, 3, 2048, 25
     train, _test = synthetic(n=N, dim=DIM, seed=0)
@@ -365,10 +370,19 @@ def end_to_end_metrics(jax, platform: str) -> dict:
 
     optimizer = optax.adam(0.01)
     opt_state = optimizer.init(params)
-    multi_step = make_adam_multi_step(
-        lambda p, b, k: model.training_loss(p, b, k), optimizer, (x, y),
-        trainable_mask=model.trainable_mask(params),
-    )
+    if precond_refresh == "chunk":
+        multi_step = make_adam_multi_step(
+            lambda p, b, k, pc: model.training_loss(p, b, k,
+                                                    precond_override=pc),
+            optimizer, (x, y),
+            trainable_mask=model.trainable_mask(params),
+            precond_fn=model.precond_state,
+        )
+    else:
+        multi_step = make_adam_multi_step(
+            lambda p, b, k: model.training_loss(p, b, k), optimizer, (x, y),
+            trainable_mask=model.trainable_mask(params),
+        )
     chunks = minibatch_index_iterator(jax.random.PRNGKey(1), n_train, BATCH, K)
     key = jax.random.PRNGKey(2)
 
@@ -445,6 +459,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
             "steps_per_call": K, "precondition": "pivchol-128",
             "relative_threshold": True, "dtype": "float32",
             "matvec_impl": matvec_impl,
+            "precond_refresh": precond_refresh,
         },
         "e2e_final_loss": round(final_loss, 2),
         "e2e_train_wall_s": round(train_wall, 3),

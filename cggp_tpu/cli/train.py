@@ -102,6 +102,13 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
          "dispatch overhead. Inducing updates/monitor then fire every K steps.",
 )
 @click.option(
+    "--precond-refresh", type=click.Choice(["step", "chunk"]), default="step",
+    help="With --steps-per-call K > 1 and a preconditioner: 'chunk' builds "
+         "the CG preconditioner once per K-step dispatch instead of every "
+         "step (solver state only — solutions/gradients unchanged; the "
+         "per-step pivchol build is ~15% of a fused step at M~1k).",
+)
+@click.option(
     "--matrix-free/--dense", "matrix_free", default=False,
     help="Never materialise the [M, M] Gram: CG over scanned kernel panels "
          "(ImplicitCGGP). Required past M ~ 40-50k fp32 on one chip.",
@@ -122,7 +129,8 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     error_threshold, record_step, num_devices, precondition,
                     precond_rank, relative_threshold, resume_from,
                     checkpoint_every, trainable_u, steps_per_call,
-                    matrix_free, block, max_cg_iterations, tensorboard):
+                    precond_refresh, matrix_free, block, max_cg_iterations,
+                    tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -159,6 +167,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         "relative_threshold": relative_threshold,
         "trainable_u": trainable_u,
         "steps_per_call": steps_per_call,
+        "precond_refresh": precond_refresh,
         "num_devices": num_devices,
         "matrix_free": matrix_free,
         "block": block if matrix_free else None,
@@ -294,9 +303,30 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                 f"not divide the {num_devices}-device mesh (pick a multiple "
                 "to enable data-parallel batches)"
             )
+    loss_fn = lambda p, b, k: model.training_loss(p, b, k)  # noqa: E731
+    precond_fn = None
+    if precond_refresh == "chunk":
+        # Dense CGGP and matrix-free ImplicitCGGP both expose
+        # precond_state/precond_override; the sharded trainer path composes
+        # differently (dp shardings at steps_per_call=1) and keeps the
+        # per-step rebuild.
+        if steps_per_call <= 1:
+            raise click.UsageError(
+                "--precond-refresh chunk needs --steps-per-call > 1")
+        if num_devices is not None:
+            raise click.UsageError(
+                "--precond-refresh chunk applies to the single-chip models "
+                "(not --num-devices)")
+        if precondition == "none":
+            raise click.UsageError(
+                "--precond-refresh chunk needs a preconditioner "
+                "(-P pivchol or rff)")
+        loss_fn = lambda p, b, k, pc: model.training_loss(  # noqa: E731
+            p, b, k, precond_override=pc)
+        precond_fn = model.precond_state
     params = train_using_adam_and_update(
         params,
-        lambda p, b, k: model.training_loss(p, b, k),
+        loss_fn,
         train_data,
         iterations=num_iterations,
         batch_size=batch_size,
@@ -307,6 +337,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         monitor=monitor,
         steps_per_call=steps_per_call,
         mesh=train_mesh,
+        precond_fn=precond_fn,
     )
     save_config_dir(logdir, params, info)
     monitor.close()

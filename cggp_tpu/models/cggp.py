@@ -103,6 +103,30 @@ class CGGP(ClusterGP):
             )
         raise ValueError(f"unknown precondition mode: {self.precondition!r}")
 
+    def precond_state(self, params: Dict, key: Optional[jax.Array] = None):
+        """Build the solver-state pytree for ``elbo(precond_override=...)``.
+
+        Chunk-frozen preconditioning (net-new): the per-step pivchol/rff
+        build costs ~4 ms at M~1k — ~15% of a fused training step — yet
+        hyperparameters barely move within one K-step dispatch, so a
+        preconditioner built ONCE per chunk from the entry params
+        preconditions the whole chunk nearly as well.  Safe by construction:
+        the CG stop rule tests the TRUE residual (``0.5||r||^2``, reference
+        conjugate_gradient.py:59-62), so a stale preconditioner can only
+        change iteration counts, never the returned solution's accuracy.
+        Returns ``()`` (identity) when ``precondition`` is None — the
+        pytree shape stays static either way.
+        """
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        var = self.diag_variance(params)
+        kmm = self.kernel.K(jax.lax.stop_gradient(kp), jax.lax.stop_gradient(z))
+        precond = self._build_preconditioner(
+            kp, z, kmm, var,
+            key if key is not None else jax.random.PRNGKey(0),
+        )
+        return () if precond is None else precond.state
+
     def prior_kl(self, params: Dict, key: jax.Array) -> Array:
         kp = params["kernel"]
         z = params["inducing_points"]
@@ -331,7 +355,8 @@ class CGGP(ClusterGP):
         return fmu, fvar
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
-             key: Optional[jax.Array] = None) -> Array:
+             key: Optional[jax.Array] = None,
+             precond_override=None) -> Array:
         """ELBO with ALL CG right-hand sides fused into one row-block solve.
 
         The reference runs the KL solve and the predict solve as separate CG
@@ -339,10 +364,21 @@ class CGGP(ClusterGP):
         fusing ``[u | probes | Kmn]`` into a single [1+P+B, M] solve halves
         the number of CG loops per training step (forward AND backward),
         which matters because small-M CG iterations are latency-dominated.
+
+        ``precond_override`` (a state pytree from :meth:`precond_state`, or
+        ``()`` for identity) replaces the per-step preconditioner build —
+        the chunk-frozen mode the K-step trainer uses (see
+        :meth:`precond_state` for why this is safe).  ``None`` keeps the
+        per-step rebuild.
         """
         if key is None:
             raise ValueError("CGGP.elbo requires a PRNG key for the trace/logdet probes")
         if self.num_probes is None or not self.fuse_kl_solves:
+            if precond_override is not None:
+                raise ValueError(
+                    "precond_override is supported on the fused ELBO path "
+                    "only (num_probes set and fuse_kl_solves=True)"
+                )
             return self._elbo_unfused(params, data, key)
 
         x, y = data
@@ -372,7 +408,10 @@ class CGGP(ClusterGP):
             logdet_probes = rademacher(key_logdet, (m, self.num_probes), dtype)
 
         # Solver state, not part of the differentiated model.
-        precond = self._build_preconditioner(kp, z, kmm, var, key_rff)
+        if precond_override is None:
+            precond = self._build_preconditioner(kp, z, kmm, var, key_rff)
+        else:
+            precond = _precond_from_state(precond_override)
 
         p = self.num_probes
         rhs = jnp.concatenate([u, probes, logdet_probes, kmn], axis=-1)
@@ -424,8 +463,9 @@ class CGGP(ClusterGP):
         return jnp.sum(var_exp) * scale - kl
 
     def training_loss(self, params: Dict, data: Tuple[Array, Array],
-                      key: Optional[jax.Array] = None) -> Array:
-        return -self.elbo(params, data, key)
+                      key: Optional[jax.Array] = None,
+                      precond_override=None) -> Array:
+        return -self.elbo(params, data, key, precond_override=precond_override)
 
     def cg_stats(self, params: Dict, data: Tuple[Array, Array],
                  key: jax.Array) -> "CGStats":

@@ -159,6 +159,23 @@ class RowSolveCGGP(ClusterGP):
             raise ValueError(f"unknown precondition mode: {self.precondition!r}")
         return spectral_precond_state(factor, sg(lam))
 
+    def precond_state(self, params: Dict, key=None):
+        """Public solver-state builder for ``elbo(precond_override=...)`` —
+        the chunk-frozen preconditioning hook (same contract as
+        :meth:`CGGP.precond_state`: the K-step trainer builds this ONCE per
+        dispatch; the CG stop rule tests the true residual, so a stale state
+        only shifts iteration counts).  For the matrix-free family the
+        per-step build is rank×[panel] kernel evaluations — substantially
+        more than the dense pivchol — so freezing it pays even more here.
+        ``key`` is accepted for API uniformity (the rff sketch here is
+        seeded by ``precond_seed``, not a per-call key)."""
+        del key
+        kp = params["kernel"]
+        z = params["inducing_points"]
+        lam = self.diag_variance(params)[:, 0]
+        mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
+        return self._precond_state(kp, z, lam, mask)
+
     # -- parameters ----------------------------------------------------------
 
     def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
@@ -295,11 +312,16 @@ class RowSolveCGGP(ClusterGP):
         return fmu, fvar
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
-             key: Optional[jax.Array] = None) -> Array:
+             key: Optional[jax.Array] = None,
+             precond_override=None) -> Array:
         """ELBO with one fused solve per step: rows
         ``[u | trace probes | logdet probes | Kmn(batch)]`` go through a
         single CG launch (mirrors the dense CGGP's fused path), and the
-        logdet gradient reuses this launch's probe solutions."""
+        logdet gradient reuses this launch's probe solutions.
+
+        ``precond_override`` (a state pytree from :meth:`precond_state`, or
+        ``()`` for identity) replaces the per-step matrix-free factor build
+        — chunk-frozen preconditioning, see :meth:`precond_state`."""
         if key is None:
             raise ValueError(f"{type(self).__name__}.elbo requires a PRNG key")
         x, y = data
@@ -325,9 +347,9 @@ class RowSolveCGGP(ClusterGP):
         kmn = self.kernel.K(kp, x, z) * mask_row  # [B, M] rows
 
         rhs = jnp.concatenate([u.T, probes, logdet_probes, kmn], axis=0)
-        solved, _stats = self._solve(
-            kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask
-        )
+        precond = (self._precond_state(kp, z, lam, mask)
+                   if precond_override is None else precond_override)
+        solved, _stats = self._solve(kp, z, lam, rhs, precond, mask)
         nu = solved[:1]
         solved_probes = solved[1 : 1 + p]
         solved_logdet = solved[1 + p : 1 + p + n_ld]
@@ -359,8 +381,9 @@ class RowSolveCGGP(ClusterGP):
         return jnp.sum(var_exp) * scale - kl
 
     def training_loss(self, params: Dict, data: Tuple[Array, Array],
-                      key: Optional[jax.Array] = None) -> Array:
-        return -self.elbo(params, data, key)
+                      key: Optional[jax.Array] = None,
+                      precond_override=None) -> Array:
+        return -self.elbo(params, data, key, precond_override=precond_override)
 
     # -- cached serving (twin of CGGP.posterior; the reference's predict
     # path recomputes the u-solve per batch, models.py:333-345) -------------

@@ -81,6 +81,7 @@ def make_adam_multi_step(
     optimizer: optax.GradientTransformation,
     data: Tuple[Array, Array],
     trainable_mask: Optional[Dict] = None,
+    precond_fn=None,
 ):
     """Build a jitted K-step Adam driver: ``lax.scan`` over a chunk of batch
     indices, ONE dispatch per K optimizer steps (net-new vs the reference's
@@ -91,16 +92,31 @@ def make_adam_multi_step(
     inside a 72 ms wall step on a remote-tunnel chip.  The scan keeps the
     whole chunk on device: batches are gathered from the device-resident
     dataset by an [K, B] index array, keys are split inside the scan.
+
+    ``precond_fn(params) -> state pytree`` (chunk-frozen preconditioning,
+    net-new): build the CG preconditioner ONCE per dispatch from the chunk's
+    entry params and reuse it for all K steps — ``loss_fn`` must then accept
+    a fourth argument ``loss_fn(params, batch, key, precond_state)``
+    (``CGGP.precond_state`` / ``training_loss(precond_override=...)``).
+    Safe: the CG stop rule tests the true residual, so a stale
+    preconditioner only shifts iteration counts, never solution accuracy.
     """
     x, y = data
 
     @jax.jit
     def multi_step(params, opt_state, idx_chunk, key):
+        precond = precond_fn(params) if precond_fn is not None else None
+
         def body(carry, idx):
             params, opt_state, key = carry
             key, step_key = jax.random.split(key)
             batch = (jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0))
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_key)
+            if precond_fn is not None:
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, batch, step_key, precond
+                )
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, step_key)
             grads = _mask_grads(grads, trainable_mask)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -135,6 +151,7 @@ def train_using_adam_and_update(
     scalar_record_step: int = 1,
     steps_per_call: int = 1,
     mesh=None,
+    precond_fn=None,
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
@@ -158,7 +175,10 @@ def train_using_adam_and_update(
     ``lax.scan`` (see :func:`make_adam_multi_step`) — host dispatch overhead
     is what bounds small-step throughput, especially on remote-tunnel
     devices.  ``update_fn`` / monitor then run every K steps and
-    ``iterations`` rounds up to a multiple of K.
+    ``iterations`` rounds up to a multiple of K.  ``precond_fn`` (requires
+    ``steps_per_call > 1``) freezes the CG preconditioner per chunk — see
+    :func:`make_adam_multi_step`; ``loss_fn`` must then take
+    ``(params, batch, key, precond_state)``.
 
     Observability (SURVEY.md section 5 additions over the reference): per-step
     wall time goes to the monitor as ``train/step_time_ms``; with
@@ -168,6 +188,14 @@ def train_using_adam_and_update(
     key, data_key = jax.random.split(key)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+
+    if precond_fn is not None and steps_per_call <= 1:
+        raise ValueError(
+            "precond_fn (chunk-frozen preconditioning) requires "
+            "steps_per_call > 1 — at one step per dispatch it is identical "
+            "to the model's own per-step build, just with a different "
+            "loss_fn signature"
+        )
 
     if mesh is not None:
         if steps_per_call > 1:
@@ -190,7 +218,8 @@ def train_using_adam_and_update(
     if steps_per_call > 1:
         from cggp_tpu.training.batching import minibatch_index_iterator
 
-        multi_step = make_adam_multi_step(loss_fn, optimizer, data, trainable_mask)
+        multi_step = make_adam_multi_step(loss_fn, optimizer, data, trainable_mask,
+                                          precond_fn=precond_fn)
         idx_chunks = minibatch_index_iterator(
             data_key, data[0].shape[0], batch_size, steps_per_call
         )

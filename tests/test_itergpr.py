@@ -404,3 +404,50 @@ def test_itergpr_grad_never_materializes_stacked_panels(rng):
     assert stacked not in str(jaxpr).replace(" ", ""), (
         f"gradient stacks the full kernel-panel buffer f32[{stacked}]"
     )
+
+
+def test_rowcg_chunk_frozen_preconditioner(rng):
+    """precond_override on the row-solver family (ImplicitCGGP here): a
+    frozen precond_state leaves loss values and gradients unchanged — the
+    CG stop rule tests the true residual, so preconditioner state can never
+    change what the solve returns (the chunk-frozen trainer mode relies on
+    exactly this)."""
+    from cggp_tpu.models import ImplicitCGGP
+
+    n, m = 120, 36
+    x, y = _data(rng, n)
+    model = ImplicitCGGP(
+        kernel=Matern32(), num_data=n, num_probes=2,
+        error_threshold=1e-13, max_cg_iterations=4 * m,
+        block=16,  # forces padding: M=36 -> 48 (mask-threaded build)
+        precondition="pivchol", precond_rank=8,
+    )
+    params = model.init_params(
+        x[:m], noise_variance=0.1,
+        pseudo_u=jnp.asarray(np.sin(np.asarray(x[:m]).sum(-1, keepdims=True))),
+        cluster_counts=jnp.full((m, 1), 3.0, jnp.float64),
+        dtype=jnp.float64,
+    )
+    key = jax.random.PRNGKey(5)
+    batch = (x[:48], y[:48])
+
+    state = model.precond_state(params)
+    assert state != ()
+
+    loss_step = float(model.training_loss(params, batch, key))
+    loss_frozen = float(
+        model.training_loss(params, batch, key, precond_override=state))
+    loss_identity = float(
+        model.training_loss(params, batch, key, precond_override=()))
+    np.testing.assert_allclose(loss_step, loss_frozen, rtol=1e-9)
+    np.testing.assert_allclose(loss_step, loss_identity, rtol=1e-7)
+
+    g_step = jax.grad(lambda p: model.training_loss(p, batch, key))(params)
+    g_frozen = jax.grad(
+        lambda p: model.training_loss(p, batch, key, precond_override=state)
+    )(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-10),
+        g_step, g_frozen,
+    )

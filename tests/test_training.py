@@ -596,3 +596,79 @@ def test_device_lbfgs_matches_scipy_on_gpr(rng, tmp_path):
     train_using_device_lbfgs(params0, loss_fn, 10, monitor=mon, record_step=5)
     logs = np.load(tmp_path / "m" / "loss.logs.npy", allow_pickle=True)
     assert len(logs) == 2  # steps 5 and 10
+
+
+def test_chunk_frozen_preconditioner(rng):
+    """Chunk-frozen preconditioning (precond_fn + training_loss's
+    precond_override): the preconditioner is solver STATE, so a frozen state
+    must leave loss values and gradients unchanged (CG stops on the true
+    residual), and the K-step trainer must train through it.  Also pins the
+    contract errors: override on the unfused path, precond_fn without
+    chunking."""
+    import pytest
+
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.training.optimize import make_adam_multi_step
+    from cggp_tpu.training.batching import minibatch_index_iterator
+    import optax
+
+    x, y = _toy_data(rng, n=256, d=3)
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:32])
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-12, max_iterations=64),
+        num_data=256, num_probes=3,
+        precondition="pivchol", precond_rank=8,
+    )
+    params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
+    key = jax.random.PRNGKey(3)
+    batch = (x[:64], y[:64])
+
+    state = model.precond_state(params)
+    assert state != ()  # pivchol produces a real state pytree
+
+    loss_step = model.training_loss(params, batch, key)
+    loss_frozen = model.training_loss(params, batch, key,
+                                      precond_override=state)
+    loss_identity = model.training_loss(params, batch, key,
+                                        precond_override=())
+    np.testing.assert_allclose(float(loss_step), float(loss_frozen),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(loss_step), float(loss_identity),
+                               rtol=1e-5)
+
+    g_step = jax.grad(lambda p: model.training_loss(p, batch, key))(params)
+    g_frozen = jax.grad(
+        lambda p: model.training_loss(p, batch, key, precond_override=state)
+    )(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-8),
+        g_step, g_frozen,
+    )
+
+    # Trains through the chunk-frozen path.
+    optimizer = optax.adam(0.05)
+    multi_step = make_adam_multi_step(
+        lambda p, b, k, pc: model.training_loss(p, b, k, precond_override=pc),
+        optimizer, (x, y), trainable_mask=model.trainable_mask(params),
+        precond_fn=model.precond_state,
+    )
+    chunks = minibatch_index_iterator(jax.random.PRNGKey(1), 256, 64, 8)
+    out, _, losses = multi_step(params, optimizer.init(params),
+                                next(chunks), jax.random.PRNGKey(2))
+    assert float(losses[-1]) < float(losses[0])
+
+    # Contract errors.
+    unfused = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-12, max_iterations=64),
+        num_data=256, num_probes=3, fuse_kl_solves=False,
+    )
+    with pytest.raises(ValueError, match="fused"):
+        unfused.training_loss(params, batch, key, precond_override=())
+    with pytest.raises(ValueError, match="steps_per_call"):
+        train_using_adam_and_update(
+            params, lambda p, b, k, pc: 0.0, (x, y), 2, 64, 0.05,
+            jax.random.PRNGKey(0), precond_fn=model.precond_state,
+        )
