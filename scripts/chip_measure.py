@@ -202,28 +202,35 @@ def itergpr_section(n: int, dim: int = 3, tiny: bool = False) -> dict:
     # Variance serving, both ways: exact per-batch CG solve vs the LOVE-style
     # rank-k Lanczos cache (posterior(solver="lanczos")) — the matrix-free
     # family's solve-free variance path (docs/PERF.md "LOVE-style Lanczos
-    # serving"; chip walls were the one pending item there).
-    def var_serve(post_v):
+    # serving"; chip walls were the one pending item there).  Each path runs
+    # at its own largest memory-feasible batch: the CG solve carries ~6
+    # [batch, N] fp32 live buffers (state vectors + RHS + preconditioner
+    # temporaries) ON TOP of the [block, N] kernel panel, so batch 8192 at
+    # N=65536 is >13 GB and CRASHES the v5e-16GB worker (observed: the axon
+    # worker dies outright instead of raising RESOURCE_EXHAUSTED); 1024 fits
+    # with headroom.  The LOVE cache is two skinny matmuls — no CG state —
+    # and serves the full 8192 batch: that asymmetry IS the result.
+    def var_serve(post_v, batch):
         predict_batch = jax.jit(
             lambda post, xb: tuple(
                 jnp.sum(o) for o in model.posterior_predict(post, xb)
             )
         )
-        mu, var = predict_batch(post_v, x[:serve_b])
+        mu, var = predict_batch(post_v, x[:batch])
         float(mu), float(var)  # compile + warm
 
         def run():
-            acc = 0.0
-            for i in range(serve_points // serve_b):
-                start = (i * serve_b) % (n - serve_b)
+            for i in range(serve_points // batch):
+                start = (i * batch) % (n - batch)
                 mu, var = predict_batch(
-                    post_v, jax.lax.dynamic_slice_in_dim(x, start, serve_b)
+                    post_v, jax.lax.dynamic_slice_in_dim(x, start, batch)
                 )
             float(mu), float(var)
 
         return timed(run)
 
-    var_cg_wall = var_serve(post)
+    var_cg_b = min(serve_b, 1024)
+    var_cg_wall = var_serve(post, var_cg_b)
 
     build_love = jax.jit(lambda p, d: model.posterior(p, d, solver="lanczos"))
     post_love = build_love(params, (x, y))
@@ -231,7 +238,7 @@ def itergpr_section(n: int, dim: int = 3, tiny: bool = False) -> dict:
     love_build_wall = timed(
         lambda: float(jnp.sum(build_love(params, (x, y)).lanczos_r))
     )
-    var_love_wall = var_serve(post_love)
+    var_love_wall = var_serve(post_love, serve_b)
 
     return {
         "n": n, "dim": dim, "loss": float(loss),
@@ -240,7 +247,9 @@ def itergpr_section(n: int, dim: int = 3, tiny: bool = False) -> dict:
         "alpha_solve_wall_s": round(alpha_wall, 3),
         "serve_mean_points_per_sec": round(serve_points / serve_wall, 1),
         "serve_var_cg_points_per_sec": round(serve_points / var_cg_wall, 1),
+        "serve_var_cg_batch": var_cg_b,
         "serve_var_love_points_per_sec": round(serve_points / var_love_wall, 1),
+        "serve_var_love_batch": serve_b,
         "love_rank": int(model.serving_lanczos_rank),
         "love_cache_build_wall_s": round(love_build_wall, 3),
     }
