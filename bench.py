@@ -336,9 +336,11 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # HIGHEST A/B one env var; e2e_config records whichever ran.
     matvec_impl = os.environ.get("CGGP_BENCH_MATVEC_IMPL", "xla_high")
     # "chunk" freezes the pivchol preconditioner per 25-step dispatch
-    # (training/optimize.make_adam_multi_step precond_fn): the per-step
-    # build is pure solver state, so solutions/gradients are unchanged —
-    # see docs/PERF.md "chunk-frozen preconditioning" for the measured A/B.
+    # (training/optimize.make_adam_multi_step precond_fn).  Measured A/B at
+    # this workload: 36.8 vs 20.1 steps/s — chunk LOSES during from-scratch
+    # training (lengthscales drift ~44% per 25 early steps; the stale factor
+    # inflates CG iterations far beyond the saved ~4 ms build, docs/PERF.md).
+    # "step" stays the benched default; the knob keeps the A/B one env var.
     precond_refresh = os.environ.get("CGGP_BENCH_PRECOND_REFRESH", "step")
 
     N, DIM, BATCH, K = 435_000, 3, 2048, 25
