@@ -6,8 +6,12 @@ on the local accelerator and writes ``serving_results.csv``:
 * ``posterior_predict`` points/s with ``solver="chol"`` (one-time [M, M]
   factorization, two triangular solves per batch);
 * ``posterior_predict`` points/s with ``solver="cg"`` (pivchol-preconditioned
-  CG on each [M, B] Kmn block — the only choice for M beyond factorization);
-* ``posterior_mean`` points/s (solve-free, both paths identical);
+  CG on each [M, B] Kmn block);
+* ``posterior_predict`` points/s with ``solver="lanczos"`` (round 3: LOVE
+  rank-128 quad cache, two skinny matmuls per batch, variances conservative
+  over-estimates — the only mean+variance path at M where chol cannot
+  factorize and the CG block solve OOMs);
+* ``posterior_mean`` points/s (solve-free, identical across paths);
 * the one-time cache build wall for each solver.
 
 Timing: fixed-shape 8192-point batches, best of 2 sweeps, one host fetch
@@ -53,11 +57,23 @@ def main() -> None:
     kernel = Matern32()
     BATCH = 8192
     # M=16384 OOMs the CG path on one v5e chip (the [8192, M] block solve's
-    # loop state + preconditioner build); 8192 is the largest clean point.
-    m_values = [1024, 4096] if args.quick else [1024, 4096, 8192]
+    # loop state + preconditioner build); 8192 is its largest clean point.
+    # chol's factor crowds HBM past 16384.  lanczos (LOVE) carries both
+    # larger points: its per-batch state is one [128, B] block.
+    if args.quick:
+        m_solvers = [(1024, ("chol", "cg", "lanczos")),
+                     (4096, ("chol", "cg", "lanczos"))]
+    else:
+        m_solvers = [
+            (1024, ("chol", "cg", "lanczos")),
+            (4096, ("chol", "cg", "lanczos")),
+            (8192, ("chol", "cg", "lanczos")),
+            (16384, ("chol", "lanczos")),
+            (32768, ("lanczos",)),
+        ]
     rows = []
 
-    for m in m_values:
+    for m, solvers in m_solvers:
         d = 3
         z = jnp.asarray(rng.uniform(-2, 2, (m, d)), jnp.float32)
         u = jnp.asarray(rng.standard_normal((m, 1)), jnp.float32)
@@ -77,7 +93,7 @@ def main() -> None:
         params = model.init_params(z, pseudo_u=u, cluster_counts=counts,
                                    dtype=jnp.float32)
 
-        for solver in ("chol", "cg"):
+        for solver in solvers:
             build = jax.jit(lambda p: model.posterior(p, solver=solver))
             predict = jax.jit(
                 lambda post, xb: sum(map(jnp.sum,
@@ -85,9 +101,18 @@ def main() -> None:
             )
             mean = jax.jit(lambda post, xb: jnp.sum(model.posterior_mean(post, xb)))
 
-            post = build(params)
-            float(predict(post, x[:BATCH]))  # compile
-            float(mean(post, x[:BATCH]))
+            try:
+                post = build(params)
+                float(predict(post, x[:BATCH]))  # compile
+                float(mean(post, x[:BATCH]))
+            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                rows.append({"platform": platform, "M": m, "batch": BATCH,
+                             "solver": solver, "build_wall_s": None,
+                             "predict_points_per_sec": None,
+                             "mean_points_per_sec": None,
+                             "error": f"{type(exc).__name__}"[:80]})
+                print(json.dumps(rows[-1]))
+                continue
 
             t0 = time.perf_counter()
             post = build(params)
@@ -95,7 +120,7 @@ def main() -> None:
             build_wall = time.perf_counter() - t0
 
             # CG at large M is slow per batch: fewer batches there.
-            n_batches = 4 if solver == "chol" else (2 if m >= 8192 else 4)
+            n_batches = (2 if m >= 8192 else 4) if solver == "cg" else 4
             sweeps = []
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -126,7 +151,9 @@ def main() -> None:
 
     out = Path(args.out, "serving_results.csv")
     with out.open("w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        fields = ["platform", "M", "batch", "solver", "build_wall_s",
+                  "predict_points_per_sec", "mean_points_per_sec", "error"]
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
         w.writeheader()
         w.writerows(rows)
     print(f"wrote {out}")

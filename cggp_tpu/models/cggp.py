@@ -68,6 +68,10 @@ class CGGP(ClusterGP):
     logdet_variant: str = "zero"  # "zero" (reference semantics) | "slq"
     slq_lanczos_iters: int = 25
     fuse_kl_solves: bool = True
+    # Rank of the opt-in posterior(solver="lanczos") LOVE serving cache —
+    # same contract as the matrix-free family's
+    # (models/rowcg.py RowSolveCGGP.serving_lanczos_rank).
+    serving_lanczos_rank: int = 128
     # Per-step low-rank preconditioning of the fused solve (net-new):
     # rebuilt from the CURRENT hyperparameters each elbo call, it tracks
     # training instead of going stale like a fixed preconditioner.
@@ -244,6 +248,15 @@ class CGGP(ClusterGP):
         - ``"cg"``: the round-1 behavior (cache the preconditioner, CG the
           Kmn block per batch).  The only choice when M is too large to
           factorize or the matrix is streamed/matrix-free.
+        - ``"lanczos"``: LOVE-style rank-k serving (net-new; opt-in, never
+          picked by "auto"): one k-step Lanczos decomposition at cache-build
+          time (``serving_lanczos_rank``) gives ``R`` [k, M] with
+          ``x^T A^{-1} x ~= ||R x||^2`` — per-batch variance becomes two
+          skinny matmuls, no CG and no [M, M] factor.  Approximate:
+          variances are conservative OVER-estimates converging with the
+          rank (exact at rank = M).  Fills the M > 16384 dense serving gap
+          where chol cannot factorize and per-batch CG serves ~4k points/s
+          (benchmarks/serving_results.csv).  The mean stays exact (CG nu).
         - ``"auto"`` (default): ``"chol"`` when the [M, M] factor fits
           (M <= 16384) AND an estimated ``kappa(Kmm + Lambda) * eps(dtype)``
           is safely below 1 (Lanczos extremal Ritz values, ~64 matvecs) —
@@ -273,12 +286,35 @@ class CGGP(ClusterGP):
                 kernel_params=kp, inducing_points=z, kmm_lambda=None,
                 nu=nu, precond_state=(), chol=chol,
             )
-        if solver != "cg":
-            raise ValueError(f"unknown posterior solver: {solver!r}")
         precond = self._build_preconditioner(
             kp, z, kmm, var, key if key is not None else jax.random.PRNGKey(0)
         )
         nu = self.conjugate_gradient(kmm_lambda, u, preconditioner=precond)
+        if solver == "lanczos":
+            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows
+
+            # Krylov seed: the cache's own RHS (u), falling back to a fixed
+            # Gaussian when u is all-zero (hyperparameters-only config dirs)
+            # — a zero seed would yield a zero basis and silently serve
+            # PRIOR variances (same guard as the matrix-free family's).
+            hi = jax.lax.Precision.HIGHEST
+            a = jax.lax.stop_gradient(kmm_lambda)
+            u_row = jax.lax.stop_gradient(u.T)  # [1, M]
+            fallback = jax.random.normal(
+                jax.random.PRNGKey(0), u_row.shape, u_row.dtype)
+            start = jnp.where(jnp.linalg.norm(u_row) > 0.0, u_row, fallback)
+            rank = min(int(self.serving_lanczos_rank), int(z.shape[0]))
+            lanczos_r = lanczos_quad_cache_rows(
+                lambda rows: jnp.matmul(rows, a, precision=hi), start, rank)
+            # kmm_lambda=None: the LOVE path never solves against the raw
+            # system again — dropping it halves the cache's HBM at large M
+            # (the regime this solver exists for).
+            return CGGPPosterior(
+                kernel_params=kp, inducing_points=z, kmm_lambda=None,
+                nu=nu, precond_state=(), chol=None, lanczos_r=lanczos_r,
+            )
+        if solver != "cg":
+            raise ValueError(f"unknown posterior solver: {solver!r}")
         return CGGPPosterior(
             kernel_params=kp,
             inducing_points=z,
@@ -338,6 +374,19 @@ class CGGP(ClusterGP):
         kp = post.kernel_params
         z = post.inducing_points
         kmn = self.kernel.K(kp, z, x_new)  # [M, T]
+        if post.lanczos_r is not None:
+            # LOVE path: quad(x) ~= ||R kmn||^2 — two skinny matmuls, no
+            # solve (variances are conservative over-estimates; see
+            # posterior(solver="lanczos")).
+            rk = jnp.matmul(post.lanczos_r, kmn,
+                            precision=jax.lax.Precision.HIGHEST)  # [k, T]
+            if full_cov:
+                knn = self.kernel.K(kp, x_new)
+                fvar = (knn - rk.T @ rk)[None, ...]
+            else:
+                knn = self.kernel.K_diag(kp, x_new)
+                fvar = (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+            return kmn.T @ post.nu, fvar
         if post.chol is not None:
             inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn)
         else:
@@ -513,6 +562,8 @@ class CGGPPosterior(NamedTuple):
     precond_state: Tuple  # () = identity, else SpectralPreconditioner state
     chol: Optional[Array] = None  # [M, M] lower Cholesky of Kmm + Lambda
     # (solver="chol": per-batch variance = two triangular solves, no CG)
+    lanczos_r: Optional[Array] = None  # [k, M] LOVE quad cache
+    # (solver="lanczos": per-batch variance = two skinny matmuls, no solve)
 
 
 class _StatePreconditioner:

@@ -451,3 +451,69 @@ def test_rowcg_chunk_frozen_preconditioner(rng):
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-10),
         g_step, g_frozen,
     )
+
+
+def test_dense_cggp_lanczos_serving(rng):
+    """Dense CGGP's posterior(solver="lanczos"): exact at full rank, mean
+    always exact (CG nu), diag variances conservative over-estimates that
+    tighten with rank — the large-M dense serving path where chol cannot
+    factorize and per-batch CG is too slow.  Also threads through
+    predict_in_batches(posterior_solver="lanczos")."""
+    import dataclasses
+
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops import ConjugateGradient
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    n, m = 120, 32
+    x, y = _data(rng, n)
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-13, max_iterations=4 * m),
+        num_data=n, num_probes=2, serving_lanczos_rank=m,  # full rank
+    )
+    u = jnp.asarray(np.sin(np.asarray(x[:m]).sum(-1, keepdims=True)))
+    params = model.init_params(
+        x[:m], pseudo_u=u, cluster_counts=jnp.full((m, 1), 3.0, jnp.float64),
+        noise_variance=0.1, dtype=jnp.float64,
+    )
+    xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(40, x.shape[-1])))
+
+    post_cg = model.posterior(params, solver="cg")
+    mu_cg, var_cg = model.posterior_predict(post_cg, xq)
+    post_lz = model.posterior(params, solver="lanczos")
+    assert post_lz.kmm_lambda is None  # the raw system is dropped
+    mu_lz, var_lz = model.posterior_predict(post_lz, xq)
+    np.testing.assert_allclose(np.asarray(mu_lz), np.asarray(mu_cg),
+                               rtol=1e-10)
+    # rtol 1e-5: the comparison mixes the CG solve tolerance and Lanczos
+    # reorthogonalisation residue (measured max rel diff ~1e-6 at fp64).
+    np.testing.assert_allclose(np.asarray(var_lz), np.asarray(var_cg),
+                               rtol=1e-5, atol=1e-9)
+    # full_cov through the cache too
+    _, cov_lz = model.posterior_predict(post_lz, xq, full_cov=True)
+    _, cov_cg = model.posterior_predict(post_cg, xq, full_cov=True)
+    # atol-dominant: off-diagonal covariances pass through zero, where a
+    # relative rule is meaningless (measured max ABS diff ~3.5e-8 at fp64).
+    np.testing.assert_allclose(np.asarray(cov_lz), np.asarray(cov_cg),
+                               rtol=1e-5, atol=1e-6)
+
+    # Low rank: conservative over-estimate, monotone in rank.
+    errs = {}
+    for rank in (4, 16):
+        lo = dataclasses.replace(model, serving_lanczos_rank=rank)
+        post_r = lo.posterior(params, solver="lanczos")
+        _, var_r = lo.posterior_predict(post_r, xq)
+        assert float(jnp.min(var_r - var_cg)) > -1e-9
+        errs[rank] = float(jnp.max(var_r - var_cg))
+    assert errs[16] <= errs[4] + 1e-12, errs
+
+    # Production path threading.
+    mu_b, var_b = predict_in_batches(model, params, xq, batch_size=16,
+                                     posterior_solver="lanczos")
+    # rtol 1e-6: the jitted cache build fuses differently from the eager
+    # one through the CG nu solve (measured rel diff ~9e-8 at fp64).
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_lz),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_lz),
+                               rtol=1e-5, atol=1e-9)
