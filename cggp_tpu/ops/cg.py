@@ -354,14 +354,27 @@ def cg_loop(
     def cg_step(state: CGState) -> CGState:
         pA = matvec(state.p)
         denom = dot(state.p, pA)
-        gamma = jnp.where(denom <= min_float, zero, state.rz / denom)
+        # Curvature guard, per row.  denom <= 0 means the (inexact) matvec
+        # looks indefinite along p — possible when roundoff exceeds the
+        # system's diagonal shift (e.g. a bf16 matrix copy at tiny Lambda)
+        # or at the fp32 floor.  gamma = 0 skips the update, but the old
+        # rule then grew p additively every iteration (r unchanged =>
+        # new_rz = rz => p <- z + p), overflowing fp32 after enough stuck
+        # steps (observed: NaN params at the e2e shape under bf16_ir).
+        # Restarting the DIRECTION from the preconditioned residual
+        # (p <- z, the standard stagnation remedy) keeps p bounded and lets
+        # the row re-converge in a fresh subspace.
+        bad = denom <= min_float  # [m, 1]
+        gamma = jnp.where(bad, zero, state.rz / denom)
         v = state.v + gamma * state.p
         i = state.i + 1
         if never_restart:
             r = state.r - gamma * pA
             z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-            z_update = jnp.where(state.rz <= min_float, zero, state.p * new_rz / state.rz)
-            p = z + z_update
+            momentum = jnp.where(
+                jnp.logical_or(bad, state.rz <= min_float),
+                zero, new_rz / state.rz)
+            p = z + state.p * momentum
         else:
             reset = state.i % max_steps_cycle == max_steps_cycle - 1
             r = jax.lax.cond(
@@ -370,11 +383,13 @@ def cg_loop(
                 lambda: state.r - gamma * pA,
             )
             z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-            z_update = jnp.where(state.rz <= min_float, zero, state.p * new_rz / state.rz)
+            momentum = jnp.where(
+                jnp.logical_or(bad, state.rz <= min_float),
+                zero, new_rz / state.rz)
             p = jax.lax.cond(
                 reset,
                 lambda: z,
-                lambda: z + z_update,
+                lambda: z + state.p * momentum,
             )
         return CGState(i, v, r, p, new_rz)
 
@@ -643,6 +658,40 @@ def _cg_dense(precond_apply, error_threshold, max_iterations, max_steps_cycle, d
     return solution, stats
 
 
+def _bf16_diagsplit_matvec(matrix: Array):
+    """Half-width matvec that keeps the DIAGONAL of ``A`` in full precision.
+
+    A plain ``matrix.astype(bfloat16)`` rounds the diagonal too — and bf16's
+    ~3 significant digits erase a small SPD shift outright: at the covertree
+    e2e workload ``Lambda ~ 2e-4`` on diagonal entries ~1.0 rounds to
+    EXACTLY 1.0, so the streamed system lost its positive shift, CG hit
+    negative curvature, and (before the per-row direction restart in
+    cg_loop) stuck directions overflowed to NaN.  Splitting
+    ``A = offdiag(A)_bf16 + diag(A)_fp32`` preserves the entire diagonal —
+    kernel variance AND Lambda — bit-exactly; the [M] fused multiply-add per
+    iteration is free next to the [M, M] stream, and HBM traffic is
+    unchanged (the bf16 copy still carries all M^2 entries, diagonal as
+    zeros).
+    """
+    diag = jnp.diagonal(matrix)  # fp32 [M]
+    m = matrix.shape[-1]
+    idx = jnp.arange(m)
+    # Indexed update, not `matrix - jnp.diag(diag)`: the subtraction builds
+    # TWO [M, M] fp32 temporaries (diag matrix + difference) — ~9 GB extra
+    # at M=32768, enough to OOM the copy construction on a 16 GB chip.
+    matrix_bf16 = matrix.at[idx, idx].set(0.0).astype(jnp.bfloat16)
+
+    def matvec(p):
+        out = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), matrix_bf16,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(matrix.dtype) + p * diag[None, :]
+
+    return matvec
+
+
 def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cycle,
                    dot_name, matvec_impl, relative, matrix, rhs, v0, precond_state):
     dot = _DOT_FNS[dot_name]
@@ -691,15 +740,16 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
         # updates) preserves Krylov momentum and wins at loose targets
         # (>= ~1e-4 relative); "bf16_ir" (restarted iterative refinement,
         # ir_cg_loop) re-anchors harder and wins at tight (~1e-6) targets.
-        matrix_bf16 = matrix.astype(jnp.bfloat16)
-
-        def matvec_lo(p):
-            out = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), matrix_bf16,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return out.astype(matrix.dtype)
+        # Convergence envelope: the bf16 OFF-DIAGONAL rounding perturbs A by
+        # ~eps_bf16 * ||K||; once that exceeds lambda_min the refinement
+        # stalls (validated healthy at the bench shape, lambda >= 0.05;
+        # measured stalling at the covertree-training shape, lambda ~ 2e-4).
+        # Out-of-envelope solves are SAFE — finite iterates, converged=False
+        # (cg_loop's per-row direction restart bounds stuck directions) —
+        # but slow and inaccurate: use "xla"/"xla_high" there.  The
+        # diagonal (incl. Lambda) always rides in fp32 via the diag-split
+        # matvec, so a small SPD shift is never lost to rounding.
+        matvec_lo = _bf16_diagsplit_matvec(matrix)
 
         def matvec_hi(p):
             return jnp.matmul(p, matrix, precision=jax.lax.Precision.HIGHEST)
@@ -733,15 +783,7 @@ def _cg_dense_impl(precond_apply, error_threshold, max_iterations, max_steps_cyc
         # digits floor the reachable residual around 1e-2..1e-3 relative —
         # acceptable for covertree-conditioned systems with loose thresholds;
         # use fp32 for tight-threshold parity runs.
-        matrix_bf16 = matrix.astype(jnp.bfloat16)
-
-        def matvec(p):
-            out = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), matrix_bf16,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return out.astype(matrix.dtype)
+        matvec = _bf16_diagsplit_matvec(matrix)
     elif matvec_impl == "xla_high":
         # bf16x3 emulation (Precision.HIGH): ~2^-21 relative matvec error vs
         # fp32's 2^-24, at HALF of HIGHEST's six bf16 MXU passes.  On the

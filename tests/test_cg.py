@@ -637,3 +637,43 @@ def test_bf16_ru_drift_adaptive_no_stagnation(rng):
         steps_by_cap.append(int(stats.steps))
     # Identical on the systems measured; allow slack for boundary wiggle.
     assert abs(steps_by_cap[0] - steps_by_cap[1]) <= 8, steps_by_cap
+
+
+def test_bf16_variants_stay_finite_below_their_envelope(rng):
+    """Regression: with Lambda ~2e-4 on diag entries ~1.0 (the covertree e2e
+    regime) a plain bf16 copy of A loses the SPD shift to rounding; the
+    inner CG then sees negative curvature, and before the per-row direction
+    restart in cg_loop the stuck direction grew unboundedly — fp32 overflow
+    to NaN that poisoned whole training runs.  The contract now: out-of-
+    envelope bf16 solves return FINITE iterates and report converged=False
+    (the monitor warns); fp32 "xla" still converges on the same system.
+    Also pins the diagonal split: diag(A) including Lambda rides in fp32
+    (exact), never in the bf16 copy."""
+    from cggp_tpu.ops.cg import _bf16_diagsplit_matvec
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    m = 256
+    kernel = Matern32()
+    kp = kernel.init_params(1.0, np.full(3, 0.8), dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(-2, 2, (m, 3)), jnp.float32)
+    lam = jnp.asarray(rng.uniform(1.8e-4, 1.9e-3, (m,)), jnp.float32)
+    a = add_diagonal(kernel.K(kp, z), lam)
+    rhs = jnp.asarray(rng.standard_normal((m, 4)), jnp.float32)
+
+    # The diagonal (kernel variance + Lambda) survives the half-width copy
+    # bit-exactly: a basis-vector matvec reads back the fp32 diagonal.
+    e0 = jnp.zeros((1, m), jnp.float32).at[0, 0].set(1.0)
+    got = _bf16_diagsplit_matvec(a)(e0)[0, 0]
+    np.testing.assert_allclose(float(got), float(a[0, 0]), rtol=1e-7)
+
+    sol_ref = None
+    for impl in ("xla", "bf16_ir", "bf16_ru", "xla_bf16"):
+        cg = ConjugateGradient(1e-6, max_iterations=4 * m,
+                               relative_threshold=True, matvec_impl=impl)
+        sol, stats = cg.solve_with_stats(a, rhs)
+        assert bool(jnp.all(jnp.isfinite(sol))), impl
+        if impl == "xla":
+            assert bool(stats.converged)
+            sol_ref = sol
+    assert sol_ref is not None

@@ -511,9 +511,10 @@ def test_dense_cggp_lanczos_serving(rng):
     # Production path threading.
     mu_b, var_b = predict_in_batches(model, params, xq, batch_size=16,
                                      posterior_solver="lanczos")
-    # rtol 1e-6: the jitted cache build fuses differently from the eager
-    # one through the CG nu solve (measured rel diff ~9e-8 at fp64).
+    # atol-dominant: the jitted cache build fuses differently from the
+    # eager one through the CG nu solve (abs diffs ~5e-8 at fp64), and means
+    # pass through zero where a relative rule is meaningless.
     np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_lz),
-                               rtol=1e-6)
+                               rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_lz),
-                               rtol=1e-5, atol=1e-9)
+                               rtol=1e-5, atol=1e-6)
