@@ -931,6 +931,32 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
             build, post_predict, post_mean = _cached_posterior_jits(model, "cg", mesh)
             post = build(params, train_data) if _posterior_takes_data(model) \
                 else build(params)
+        if requested_solver == "auto" and getattr(post, "chol", None) is not None:
+            # Second auto/chol guard: the per-batch triangular-solve PROGRAM
+            # itself can fail to build at large M (observed in this
+            # environment: the remote compiler dies on the
+            # [16384, 16384] x [16384, 8192] cho_solve — the chol CACHE
+            # builds fine, so the factor check above passes).  Force-compile
+            # one batch now; on any failure fall back to CG serving.  Happy
+            # path cost: none — this warms the exact program the loop below
+            # runs first anyway (tiny [1]-slice fetch as the sync point; a
+            # plain block_until_ready is unreliable over the device tunnel).
+            try:
+                probe = x_pad[:batch_size]
+                out = post_mean(post, probe) if mean_only \
+                    else post_predict(post, probe)
+                jax.tree_util.tree_map(lambda a: np.asarray(a)[:1], out)
+            except Exception as exc:  # noqa: BLE001 — compile/runtime failure
+                warnings.warn(
+                    "posterior(solver='auto'): chol serving program failed "
+                    f"to build/run ({type(exc).__name__}); falling back to "
+                    "CG serving",
+                    RuntimeWarning,
+                )
+                build, post_predict, post_mean = _cached_posterior_jits(
+                    model, "cg", mesh)
+                post = build(params, train_data) \
+                    if _posterior_takes_data(model) else build(params)
         if mean_only:
             means = [
                 post_mean(post, x_pad[i * batch_size : (i + 1) * batch_size])

@@ -672,3 +672,48 @@ def test_chunk_frozen_preconditioner(rng):
             params, lambda p, b, k, pc: 0.0, (x, y), 2, 64, 0.05,
             jax.random.PRNGKey(0), precond_fn=model.precond_state,
         )
+
+
+def test_auto_chol_serving_falls_back_on_program_failure(rng):
+    """predict_in_batches(solver="auto"): if the chol serving PROGRAM fails
+    (observed in production: the remote compiler dies on the large-M
+    triangular solve even though the factor built fine), auto falls back to
+    CG serving with a warning instead of crashing.  An explicit
+    solver="chol" request still fails loudly."""
+    import dataclasses
+    import warnings as _warnings
+
+    import pytest
+
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    x, y = _toy_data(rng, n=96, d=2)
+    model, params = _make_cggp((x, y), m=12)
+
+    @dataclasses.dataclass(frozen=True)
+    class BoomServingCGGP(type(model)):
+        def posterior_predict(self, post, x_new, full_cov=False):
+            if post.chol is not None:
+                raise RuntimeError("synthetic chol-program failure")
+            return super().posterior_predict(post, x_new, full_cov=full_cov)
+
+    boom = BoomServingCGGP(**{f.name: getattr(model, f.name)
+                              for f in dataclasses.fields(model)})
+    assert boom.resolve_serving_solver(params) == "chol"  # well-conditioned
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        mu, var = predict_in_batches(boom, params, x, batch_size=32,
+                                     posterior_solver="auto")
+    assert any("falling back to CG" in str(w.message) for w in caught), \
+        [str(w.message) for w in caught]
+    assert np.all(np.isfinite(np.asarray(mu)))
+    # Reference output: the plain model's CG serving path.
+    mu_ref, var_ref = predict_in_batches(model, params, x, batch_size=32,
+                                         posterior_solver="cg")
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-8, atol=1e-10)
+
+    with pytest.raises(RuntimeError, match="synthetic chol-program"):
+        predict_in_batches(boom, params, x, batch_size=32,
+                           posterior_solver="chol")
