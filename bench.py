@@ -310,7 +310,7 @@ def run_e2e_subprocess(timeout_s: int = 480) -> dict:
 def end_to_end_metrics(jax, platform: str) -> dict:
     """Harness-reproducible end-to-end throughput (VERDICT round 1 item 6):
     the docs/PERF.md production workload — N=435k synthetic 3-D, covertree
-    res 0.35 (M~650), fp32, batch 2048, pivchol-128 + relative threshold,
+    res 0.35 (M~650), fp32, batch 2048, pivchol + relative threshold,
     steps_per_call=25 — measured as steady-state training steps/s plus the
     serving path (full posterior mean+var, 8192-point batches) in points/s.
     Reported inside the same JSON line so BENCH_r{N}.json regresses the
@@ -343,6 +343,15 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # "step" stays the benched default; the knob keeps the A/B one env var.
     precond_refresh = os.environ.get("CGGP_BENCH_PRECOND_REFRESH", "step")
 
+    # Threshold/rank come from the measured accuracy-vs-speed frontier
+    # (docs/PERF.md "round 3: the training frontier"): relative 1e-5 +
+    # pivchol-256 runs 52.6 vs 38.3 steps/s for the old 1e-6/128 at
+    # statistically identical accuracy (RMSE 0.12161 vs 0.12158, NLPD
+    # -0.6878 vs -0.6881, repeats +-0.2 steps/s).  Env knobs keep the A/B
+    # one variable each.
+    threshold = float(os.environ.get("CGGP_BENCH_CG_THRESHOLD", "1e-5"))
+    precond_rank = int(os.environ.get("CGGP_BENCH_PRECOND_RANK", "256"))
+
     N, DIM, BATCH, K = 435_000, 3, 2048, 25
     train, _test = synthetic(n=N, dim=DIM, seed=0)
     x = jnp.asarray(train[0], jnp.float32)
@@ -359,13 +368,13 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     model = CGGP(
         kernel=Matern32(),
         conjugate_gradient=ConjugateGradient(
-            1e-6, max_iterations=m, relative_threshold=True,
+            threshold, max_iterations=m, relative_threshold=True,
             matvec_impl=matvec_impl,
         ),
         num_data=n_train,
         num_probes=5,
         precondition="pivchol",
-        precond_rank=128,
+        precond_rank=precond_rank,
     )
     params = model.init_params(iv, pseudo_u=u, cluster_counts=counts,
                                dtype=jnp.float32)
@@ -458,7 +467,8 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         "serving_mean_only_points_per_sec": round(mean_only_points_per_sec, 1),
         "e2e_config": {
             "n": N, "dim": DIM, "m": m, "batch": BATCH,
-            "steps_per_call": K, "precondition": "pivchol-128",
+            "steps_per_call": K, "precondition": f"pivchol-{precond_rank}",
+            "cg_threshold": threshold,
             "relative_threshold": True, "dtype": "float32",
             "matvec_impl": matvec_impl,
             "precond_refresh": precond_refresh,

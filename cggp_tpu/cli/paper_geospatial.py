@@ -50,7 +50,10 @@ from cggp_tpu.utils import save_config_dir
     help="Per-step CG preconditioning for the cdgp model (see the uci/train "
          "groups).",
 )
-@click.option("--precond-rank", type=int, default=128)
+@click.option("--precond-rank", type=int, default=128,
+              help="Low-rank preconditioner factor rank. Measured at M~1k: 256 is "
+                   "+14% steps/s over 128 at identical accuracy; 64 HALVES "
+                   "throughput (docs/PERF.md frontier table).")
 @click.option(
     "--relative-threshold/--absolute-threshold", default=False,
     help="Scale each CG row's stopping target by its own RHS norm "

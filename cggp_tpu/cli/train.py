@@ -75,7 +75,10 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     help="Per-step low-rank CG preconditioning rebuilt from current "
          "hyperparameters ('rff' is single-chip only).",
 )
-@click.option("--precond-rank", type=int, default=128)
+@click.option("--precond-rank", type=int, default=128,
+              help="Low-rank preconditioner factor rank. Measured at M~1k: 256 is "
+                   "+14% steps/s over 128 at identical accuracy; 64 HALVES "
+                   "throughput (docs/PERF.md frontier table).")
 @click.option(
     "--relative-threshold/--absolute-threshold", default=False,
     help="Scale each CG row's stopping target by its own RHS norm "
