@@ -589,12 +589,19 @@ def mixed_cg_loop(
     def cg_step(state: CGState) -> CGState:
         pA = matvec_lo(state.p)
         denom = dot(state.p, pA)
-        gamma = jnp.where(denom <= min_float, zero, state.rz / denom)
+        # Same per-row curvature guard as cg_loop: on vanishing/negative
+        # curvature (bf16 rounding can make the streamed system look
+        # indefinite) restart the direction from the preconditioned residual
+        # instead of accumulating into a stuck p (which grew unboundedly).
+        bad = denom <= min_float
+        gamma = jnp.where(bad, zero, state.rz / denom)
         v = state.v + gamma * state.p
         r = state.r - gamma * pA
         z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-        z_update = jnp.where(state.rz <= min_float, zero, state.p * new_rz / state.rz)
-        p = z + z_update
+        momentum = jnp.where(
+            jnp.logical_or(bad, state.rz <= min_float),
+            zero, new_rz / state.rz)
+        p = z + state.p * momentum
         return CGState(state.i + 1, v, r, p, new_rz)
 
     def outer_cond(carry) -> Array:
