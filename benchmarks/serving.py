@@ -101,51 +101,54 @@ def main() -> None:
             )
             mean = jax.jit(lambda post, xb: jnp.sum(model.posterior_mean(post, xb)))
 
+            # The WHOLE cell is failure-isolated — the timed phase can hit
+            # RESOURCE_EXHAUSTED just as easily as the warm-up compile
+            # (these failures are exactly what the sweep exists to record),
+            # and one dead cell must not lose the rows already measured.
             try:
                 post = build(params)
                 float(predict(post, x[:BATCH]))  # compile
                 float(mean(post, x[:BATCH]))
+
+                t0 = time.perf_counter()
+                post = build(params)
+                float(jnp.sum(post.nu))
+                build_wall = time.perf_counter() - t0
+
+                # CG at large M is slow per batch: fewer batches there.
+                n_batches = (2 if m >= 8192 else 4) if solver == "cg" else 4
+                sweeps = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    acc = 0.0
+                    for i in range(n_batches):
+                        acc = predict(post, x[i * BATCH : (i + 1) * BATCH])
+                    float(acc)
+                    sweeps.append(time.perf_counter() - t0)
+                predict_pps = n_batches * BATCH / min(sweeps)
+
+                sweeps = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    for i in range(4):
+                        acc = mean(post, x[i * BATCH : (i + 1) * BATCH])
+                    float(acc)
+                    sweeps.append(time.perf_counter() - t0)
+                mean_pps = 4 * BATCH / min(sweeps)
+
+                row = {
+                    "platform": platform, "M": m, "batch": BATCH,
+                    "solver": solver,
+                    "build_wall_s": round(build_wall, 4),
+                    "predict_points_per_sec": round(predict_pps, 1),
+                    "mean_points_per_sec": round(mean_pps, 1),
+                }
             except Exception as exc:  # noqa: BLE001 — record, keep sweeping
-                rows.append({"platform": platform, "M": m, "batch": BATCH,
-                             "solver": solver, "build_wall_s": None,
-                             "predict_points_per_sec": None,
-                             "mean_points_per_sec": None,
-                             "error": f"{type(exc).__name__}"[:80]})
-                print(json.dumps(rows[-1]))
-                continue
-
-            t0 = time.perf_counter()
-            post = build(params)
-            float(jnp.sum(post.nu))
-            build_wall = time.perf_counter() - t0
-
-            # CG at large M is slow per batch: fewer batches there.
-            n_batches = (2 if m >= 8192 else 4) if solver == "cg" else 4
-            sweeps = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                acc = 0.0
-                for i in range(n_batches):
-                    acc = predict(post, x[i * BATCH : (i + 1) * BATCH])
-                float(acc)
-                sweeps.append(time.perf_counter() - t0)
-            predict_pps = n_batches * BATCH / min(sweeps)
-
-            sweeps = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                for i in range(4):
-                    acc = mean(post, x[i * BATCH : (i + 1) * BATCH])
-                float(acc)
-                sweeps.append(time.perf_counter() - t0)
-            mean_pps = 4 * BATCH / min(sweeps)
-
-            row = {
-                "platform": platform, "M": m, "batch": BATCH, "solver": solver,
-                "build_wall_s": round(build_wall, 4),
-                "predict_points_per_sec": round(predict_pps, 1),
-                "mean_points_per_sec": round(mean_pps, 1),
-            }
+                row = {"platform": platform, "M": m, "batch": BATCH,
+                       "solver": solver, "build_wall_s": None,
+                       "predict_points_per_sec": None,
+                       "mean_points_per_sec": None,
+                       "error": f"{type(exc).__name__}"[:80]}
             rows.append(row)
             print(json.dumps(row))
 

@@ -108,11 +108,12 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     "--precond-refresh", type=click.Choice(["step", "chunk"]), default="step",
     help="With --steps-per-call K > 1 and a preconditioner: 'chunk' builds "
          "the CG preconditioner once per K-step dispatch instead of every "
-         "step. Solver state only — solutions/gradients unchanged — but "
-         "measured SLOWER during from-scratch training (hyperparameters "
-         "drift ~40%/25 steps early on; the stale factor inflates CG "
-         "iterations more than the saved build, docs/PERF.md). For "
-         "low-drift regimes (fine-tuning, late training) only.",
+         "step. Converged solves are unchanged, but the stale factor's "
+         "extra iterations can hit --max-cg-iterations (degraded solves, "
+         "converged=False warnings), and it measured SLOWER during "
+         "from-scratch training (hyperparameters drift ~40%/25 steps early "
+         "on, docs/PERF.md). For low-drift regimes (fine-tuning, late "
+         "training) only.",
 )
 @click.option(
     "--matrix-free/--dense", "matrix_free", default=False,

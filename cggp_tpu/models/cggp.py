@@ -111,13 +111,17 @@ class CGGP(ClusterGP):
         """Build the solver-state pytree for ``elbo(precond_override=...)``.
 
         Chunk-frozen preconditioning (net-new): the per-step pivchol/rff
-        build costs ~4 ms at M~1k — ~15% of a fused training step — yet
-        hyperparameters barely move within one K-step dispatch, so a
-        preconditioner built ONCE per chunk from the entry params
-        preconditions the whole chunk nearly as well.  Safe by construction:
-        the CG stop rule tests the TRUE residual (``0.5||r||^2``, reference
-        conjugate_gradient.py:59-62), so a stale preconditioner can only
-        change iteration counts, never the returned solution's accuracy.
+        build (~4 ms at M~1k, ~15% of a fused training step) moves to once
+        per K-step dispatch, built from the chunk's entry params.  Safety
+        caveat: the CG stop rule tests the TRUE residual (``0.5||r||^2``,
+        reference conjugate_gradient.py:59-62), so CONVERGED solves are
+        identical either way — but the stale factor's extra iterations can
+        push solves into ``max_iterations`` where returned solutions DO
+        degrade (``converged=False``, monitor warns).  Measured on-chip:
+        early-training hyperparameter drift (~40% per 25 steps) inflates
+        iterations enough to make chunk mode a net LOSS from scratch
+        (docs/PERF.md "chunk-frozen preconditioning") — reserve it for
+        low-drift regimes and keep iteration-budget headroom.
         Returns ``()`` (identity) when ``precondition`` is None — the
         pytree shape stays static either way.
         """
@@ -268,6 +272,11 @@ class CGGP(ClusterGP):
           eagerly first via :meth:`resolve_serving_solver`, so the
           conditioning estimate DOES run on the real serving path.
         """
+        if solver not in ("auto", "chol", "cg", "lanczos"):
+            # Validate BEFORE any compute: past this point the cg/lanczos
+            # branch runs a preconditioner build + full nu solve (seconds of
+            # chip time at large M) that a typo'd solver must not pay for.
+            raise ValueError(f"unknown posterior solver: {solver!r}")
         kp = params["kernel"]
         z = params["inducing_points"]
         u = params["pseudo_u"]
@@ -291,18 +300,14 @@ class CGGP(ClusterGP):
         )
         nu = self.conjugate_gradient(kmm_lambda, u, preconditioner=precond)
         if solver == "lanczos":
-            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows
+            from cggp_tpu.ops.logdet import (
+                lanczos_quad_cache_rows,
+                love_seed_row,
+            )
 
-            # Krylov seed: the cache's own RHS (u), falling back to a fixed
-            # Gaussian when u is all-zero (hyperparameters-only config dirs)
-            # — a zero seed would yield a zero basis and silently serve
-            # PRIOR variances (same guard as the matrix-free family's).
             hi = jax.lax.Precision.HIGHEST
             a = jax.lax.stop_gradient(kmm_lambda)
-            u_row = jax.lax.stop_gradient(u.T)  # [1, M]
-            fallback = jax.random.normal(
-                jax.random.PRNGKey(0), u_row.shape, u_row.dtype)
-            start = jnp.where(jnp.linalg.norm(u_row) > 0.0, u_row, fallback)
+            start = love_seed_row(u.T)  # [1, M]; zero-u guard in the helper
             rank = min(int(self.serving_lanczos_rank), int(z.shape[0]))
             lanczos_r = lanczos_quad_cache_rows(
                 lambda rows: jnp.matmul(rows, a, precision=hi), start, rank)
@@ -313,8 +318,6 @@ class CGGP(ClusterGP):
                 kernel_params=kp, inducing_points=z, kmm_lambda=None,
                 nu=nu, precond_state=(), chol=None, lanczos_r=lanczos_r,
             )
-        if solver != "cg":
-            raise ValueError(f"unknown posterior solver: {solver!r}")
         return CGGPPosterior(
             kernel_params=kp,
             inducing_points=z,
@@ -375,17 +378,13 @@ class CGGP(ClusterGP):
         z = post.inducing_points
         kmn = self.kernel.K(kp, z, x_new)  # [M, T]
         if post.lanczos_r is not None:
-            # LOVE path: quad(x) ~= ||R kmn||^2 — two skinny matmuls, no
-            # solve (variances are conservative over-estimates; see
-            # posterior(solver="lanczos")).
-            rk = jnp.matmul(post.lanczos_r, kmn,
-                            precision=jax.lax.Precision.HIGHEST)  # [k, T]
-            if full_cov:
-                knn = self.kernel.K(kp, x_new)
-                fvar = (knn - rk.T @ rk)[None, ...]
-            else:
-                knn = self.kernel.K_diag(kp, x_new)
-                fvar = (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+            # LOVE path: two skinny matmuls, no solve (conservative
+            # over-estimates; math in ops/logdet.love_variance).
+            from cggp_tpu.ops.logdet import love_variance
+
+            knn = self.kernel.K(kp, x_new) if full_cov \
+                else self.kernel.K_diag(kp, x_new)
+            fvar = love_variance(post.lanczos_r, kmn.T, knn, full_cov)
             return kmn.T @ post.nu, fvar
         if post.chol is not None:
             inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn)

@@ -297,9 +297,10 @@ class IterGPR:
         alpha, _ = self._solve(kp, x_pad, lam, y_rows, state, mask)
         lanczos_r = None
         if solver == "lanczos":
-            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows
+            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows, love_seed_row
 
-            start = jax.lax.stop_gradient(y_rows[:1])  # [1, N] masked seed
+            # [1, N] masked seed; zero-target guard in the helper.
+            start = love_seed_row(y_rows[:1], mask[None, :])
             rank = min(int(self.serving_lanczos_rank), int(x_pad.shape[0]))
             lanczos_r = lanczos_quad_cache_rows(
                 lambda rows: self._matvec(kp, x_pad, lam, mask, rows),
@@ -319,16 +320,13 @@ class IterGPR:
         kp = post.kernel_params
         kmn = self.kernel.K(kp, x_new, post.x_train) * post.mask[None, :]  # [T, N]
         if post.lanczos_r is not None:
-            # LOVE path: solve-free variance via the rank-k cache (see
-            # posterior(solver="lanczos") — conservative over-estimates).
-            rk = jnp.matmul(post.lanczos_r, kmn.T,
-                            precision=jax.lax.Precision.HIGHEST)  # [k, T]
-            if full_cov:
-                knn = self.kernel.K(kp, x_new)
-                var = (knn - rk.T @ rk)[None, ...]
-            else:
-                knn = self.kernel.K_diag(kp, x_new)
-                var = (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+            # LOVE path: solve-free variance via the rank-k cache
+            # (conservative over-estimates; math in ops/logdet.love_variance).
+            from cggp_tpu.ops.logdet import love_variance
+
+            knn = self.kernel.K(kp, x_new) if full_cov \
+                else self.kernel.K_diag(kp, x_new)
+            var = love_variance(post.lanczos_r, kmn, knn, full_cov)
             return kmn @ post.alpha.T, var
         inv_kmn, _ = self._solve(
             kp, post.x_train, post.lam, kmn, post.precond_state, post.mask

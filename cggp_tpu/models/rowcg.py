@@ -161,14 +161,16 @@ class RowSolveCGGP(ClusterGP):
 
     def precond_state(self, params: Dict, key=None):
         """Public solver-state builder for ``elbo(precond_override=...)`` —
-        the chunk-frozen preconditioning hook (same contract as
-        :meth:`CGGP.precond_state`: the K-step trainer builds this ONCE per
-        dispatch; the CG stop rule tests the true residual, so a stale state
-        only shifts iteration counts).  For the matrix-free family the
-        per-step build is rank×[panel] kernel evaluations — substantially
-        more than the dense pivchol — so freezing it pays even more here.
-        ``key`` is accepted for API uniformity (the rff sketch here is
-        seeded by ``precond_seed``, not a per-call key)."""
+        the chunk-frozen preconditioning hook (same contract AND the same
+        safety caveat as :meth:`CGGP.precond_state`: converged solves are
+        identical, but the stale factor's extra iterations can hit
+        ``max_cg_iterations`` — the default here is only 100 — where
+        solutions degrade with ``converged=False``).  For the matrix-free
+        family the per-step build is rank×[panel] kernel evaluations —
+        substantially more than the dense pivchol — so freezing saves more,
+        at the same drift risk.  ``key`` is accepted for API uniformity
+        (the rff sketch here is seeded by ``precond_seed``, not a per-call
+        key)."""
         del key
         kp = params["kernel"]
         z = params["inducing_points"]
@@ -452,19 +454,12 @@ class RowSolveCGGP(ClusterGP):
             # rank-k Lanczos quadratic-form cache for the variance — no CG
             # at all per serving batch, no [M, M] buffer.  Conservative:
             # variances over-estimate, converging with serving_lanczos_rank.
-            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows
+            from cggp_tpu.ops.logdet import lanczos_quad_cache_rows, love_seed_row
 
             precond_state = self._precond_state(kp, z, lam, mask)
             nu, _ = self._solve(kp, z, lam, u.T, precond_state, mask)
-            # Krylov seed: the cache's own RHS (masked u) — falling back to a
-            # fixed masked Gaussian when u is all-zero (hyperparameters-only
-            # config dirs), which would otherwise yield a zero basis and
-            # silently serve prior variances.
-            u_row = jax.lax.stop_gradient((u * mask[:, None]).T)  # [1, M]
-            fallback = jax.random.normal(
-                jax.random.PRNGKey(0), u_row.shape, u_row.dtype
-            ) * mask[None, :]
-            start = jnp.where(jnp.linalg.norm(u_row) > 0.0, u_row, fallback)
+            # Krylov seed + zero-u guard: ops/logdet.love_seed_row.
+            start = love_seed_row((u * mask[:, None]).T, mask[None, :])
             rank = min(int(self.serving_lanczos_rank), int(z.shape[0]))
             lanczos_r = lanczos_quad_cache_rows(
                 lambda rows: self._matvec(kp, z, lam, mask, rows), start, rank
@@ -496,17 +491,13 @@ class RowSolveCGGP(ClusterGP):
         z = post.inducing_points
         kmn = self.kernel.K(kp, x_new, z) * post.mask[None, :]  # [T, M]
         if post.lanczos_r is not None:
-            # LOVE path: quad(x) ~= ||R kmn||^2 — two skinny matmuls, solve-
-            # free.  R under-estimates the quadratic form, so fvar is a
-            # conservative over-estimate (see lanczos_quad_cache_rows).
-            rk = jnp.matmul(post.lanczos_r, kmn.T,
-                            precision=jax.lax.Precision.HIGHEST)  # [k, T]
-            if full_cov:
-                knn = self.kernel.K(kp, x_new)
-                fvar = (knn - rk.T @ rk)[None, ...]
-            else:
-                knn = self.kernel.K_diag(kp, x_new)
-                fvar = (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+            # LOVE path: two skinny matmuls, solve-free (conservative
+            # over-estimates; math in ops/logdet.love_variance).
+            from cggp_tpu.ops.logdet import love_variance
+
+            knn = self.kernel.K(kp, x_new) if full_cov \
+                else self.kernel.K_diag(kp, x_new)
+            fvar = love_variance(post.lanczos_r, kmn, knn, full_cov)
             return kmn @ post.nu.T, fvar
         if post.chol is not None:
             inv_kmn = jax.scipy.linalg.cho_solve((post.chol, True), kmn.T).T

@@ -461,6 +461,43 @@ def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int,
     return alphas, betas[:-1]
 
 
+def love_seed_row(u_row: Array, mask_row: Optional[Array] = None) -> Array:
+    """Krylov seed for the LOVE serving cache (single source of truth for
+    the zero-seed guard — previously hand-copied across the dense,
+    matrix-free, and exact-GP posterior builders).
+
+    The natural seed is the cache's own RHS (pseudo-observations/targets);
+    when that row is ALL-ZERO (hyperparameters-only config dirs) it would
+    yield a zero Lanczos basis and the cache would silently serve PRIOR
+    variances — fall back to a fixed (masked) Gaussian instead.
+    ``u_row`` is [1, M], pre-masked if padded; ``mask_row`` [1, M] masks the
+    fallback so the Krylov space never leaves the real coordinates.
+    """
+    u_row = jax.lax.stop_gradient(u_row)
+    fallback = jax.random.normal(jax.random.PRNGKey(0), u_row.shape,
+                                 u_row.dtype)
+    if mask_row is not None:
+        fallback = fallback * jax.lax.stop_gradient(mask_row)
+    return jnp.where(jnp.linalg.norm(u_row) > 0.0, u_row, fallback)
+
+
+def love_variance(lanczos_r: Array, kmn_rows: Array, knn: Array,
+                  full_cov: bool):
+    """Predictive (co)variance from a LOVE cache (single source of truth
+    for the quad math): ``quad(x) ~= ||R k(x)||^2`` with ``R`` [k, M] from
+    :func:`lanczos_quad_cache_rows` — an UNDER-estimate of the true
+    quadratic form, so the returned variance is a conservative
+    OVER-estimate.  ``kmn_rows`` is [T, M] (dense callers pass ``kmn.T``);
+    ``knn`` is the [T] kernel diagonal, or the [T, T] full kernel block
+    when ``full_cov``.  Returns [T, 1] diag variance or [1, T, T] cov.
+    """
+    rk = jnp.matmul(lanczos_r, kmn_rows.T,
+                    precision=jax.lax.Precision.HIGHEST)  # [k, T]
+    if full_cov:
+        return (knn - rk.T @ rk)[None, ...]
+    return (knn - jnp.sum(jnp.square(rk), axis=0))[:, None]
+
+
 def lanczos_quad_cache_rows(matvec_rows, start_row: Array, rank: int) -> Array:
     """Rank-``k`` quadratic-form cache for ``A^{-1}`` (LOVE-style serving,
     Pleiss et al. 2018, done matrix-free): from a ``k``-step Lanczos

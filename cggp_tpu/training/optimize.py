@@ -98,8 +98,10 @@ def make_adam_multi_step(
     entry params and reuse it for all K steps — ``loss_fn`` must then accept
     a fourth argument ``loss_fn(params, batch, key, precond_state)``
     (``CGGP.precond_state`` / ``training_loss(precond_override=...)``).
-    Safe: the CG stop rule tests the true residual, so a stale
-    preconditioner only shifts iteration counts, never solution accuracy.
+    Caveat: the CG stop rule tests the true residual, so converged solves
+    are unaffected — but the stale factor's extra iterations can hit the
+    solver's cap, where solutions DO degrade (converged=False; see
+    CGGP.precond_state and the measured A/B in docs/PERF.md).
     """
     x, y = data
 
@@ -938,14 +940,17 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
             # [16384, 16384] x [16384, 8192] cho_solve — the chol CACHE
             # builds fine, so the factor check above passes).  Force-compile
             # one batch now; on any failure fall back to CG serving.  Happy
-            # path cost: none — this warms the exact program the loop below
-            # runs first anyway (tiny [1]-slice fetch as the sync point; a
-            # plain block_until_ready is unreliable over the device tunnel).
+            # path cost: the compile is free (this warms the exact program
+            # the loop below runs first) but the batch's COMPUTE runs twice
+            # — one redundant serving batch per cache build, accepted for
+            # the crash-proofing.  Fetch only a device-sliced [1] element as
+            # the sync point (a full-array fetch would ship the whole batch
+            # over the tunnel; plain block_until_ready is unreliable there).
             try:
                 probe = x_pad[:batch_size]
                 out = post_mean(post, probe) if mean_only \
                     else post_predict(post, probe)
-                jax.tree_util.tree_map(lambda a: np.asarray(a)[:1], out)
+                jax.tree_util.tree_map(lambda a: np.asarray(a[:1]), out)
             except Exception as exc:  # noqa: BLE001 — compile/runtime failure
                 warnings.warn(
                     "posterior(solver='auto'): chol serving program failed "
