@@ -354,27 +354,33 @@ def cg_loop(
     def cg_step(state: CGState) -> CGState:
         pA = matvec(state.p)
         denom = dot(state.p, pA)
-        # Curvature guard, per row.  denom <= 0 means the (inexact) matvec
-        # looks indefinite along p — possible when roundoff exceeds the
-        # system's diagonal shift (e.g. a bf16 matrix copy at tiny Lambda)
-        # or at the fp32 floor.  gamma = 0 skips the update, but the old
-        # rule then grew p additively every iteration (r unchanged =>
-        # new_rz = rz => p <- z + p), overflowing fp32 after enough stuck
-        # steps (observed: NaN params at the e2e shape under bf16_ir).
-        # Restarting the DIRECTION from the preconditioned residual
-        # (p <- z, the standard stagnation remedy) keeps p bounded and lets
-        # the row re-converge in a fresh subspace.
-        bad = denom <= min_float  # [m, 1]
-        gamma = jnp.where(bad, zero, state.rz / denom)
+        # Curvature guards, per row, two tiers:
+        # * 0 <= denom <= 1e-16 (a converged row's direction shrank to
+        #   noise): gamma = 0 and KEEP the beta-momentum — the reference's
+        #   exact rule (conjugate_gradient.py:66-68), preserved bit-for-bit
+        #   so the reference golden tests stay tight.
+        # * denom < 0 (the matvec looks INDEFINITE along p): impossible for
+        #   an SPD system in exact arithmetic — it appears only when matvec
+        #   error exceeds the diagonal shift (e.g. a bf16 matrix copy at
+        #   tiny Lambda).  gamma = 0 alone then grew p additively every
+        #   iteration (r unchanged => new_rz = rz => p <- z + p) until fp32
+        #   OVERFLOW (observed: NaN params at the e2e shape under bf16_ir);
+        #   restarting the direction from the preconditioned residual
+        #   (p <- z, the standard stagnation remedy) keeps p bounded.
+        indefinite = denom < -min_float  # [m, 1] (sub-1e-16 negatives are roundoff)
+        gamma = jnp.where(denom <= min_float, zero, state.rz / denom)
         v = state.v + gamma * state.p
         i = state.i + 1
         if never_restart:
             r = state.r - gamma * pA
             z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-            momentum = jnp.where(
-                jnp.logical_or(bad, state.rz <= min_float),
-                zero, new_rz / state.rz)
-            p = z + state.p * momentum
+            # Keep the reference's exact association ((p * new_rz) / rz,
+            # conjugate_gradient.py:66-68) — p * (new_rz/rz) drifts the
+            # last bits and broke the golden parity tests.
+            z_update = jnp.where(
+                jnp.logical_or(indefinite, state.rz <= min_float),
+                zero, state.p * new_rz / state.rz)
+            p = z + z_update
         else:
             reset = state.i % max_steps_cycle == max_steps_cycle - 1
             r = jax.lax.cond(
@@ -383,13 +389,13 @@ def cg_loop(
                 lambda: state.r - gamma * pA,
             )
             z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-            momentum = jnp.where(
-                jnp.logical_or(bad, state.rz <= min_float),
-                zero, new_rz / state.rz)
+            z_update = jnp.where(
+                jnp.logical_or(indefinite, state.rz <= min_float),
+                zero, state.p * new_rz / state.rz)
             p = jax.lax.cond(
                 reset,
                 lambda: z,
-                lambda: z + state.p * momentum,
+                lambda: z + z_update,
             )
         return CGState(i, v, r, p, new_rz)
 
@@ -593,15 +599,17 @@ def mixed_cg_loop(
         # curvature (bf16 rounding can make the streamed system look
         # indefinite) restart the direction from the preconditioned residual
         # instead of accumulating into a stuck p (which grew unboundedly).
-        bad = denom <= min_float
-        gamma = jnp.where(bad, zero, state.rz / denom)
+        # Restart on strictly NEGATIVE curvature only — the tiny-positive
+        # guard band keeps the reference's momentum rule (see cg_loop).
+        indefinite = denom < -min_float
+        gamma = jnp.where(denom <= min_float, zero, state.rz / denom)
         v = state.v + gamma * state.p
         r = state.r - gamma * pA
         z, new_rz = precond_apply(precond_state, r, mat_for_precond)
-        momentum = jnp.where(
-            jnp.logical_or(bad, state.rz <= min_float),
-            zero, new_rz / state.rz)
-        p = z + state.p * momentum
+        z_update = jnp.where(
+            jnp.logical_or(indefinite, state.rz <= min_float),
+            zero, state.p * new_rz / state.rz)
+        p = z + z_update
         return CGState(state.i + 1, v, r, p, new_rz)
 
     def outer_cond(carry) -> Array:

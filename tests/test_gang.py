@@ -79,7 +79,7 @@ def test_gang_matches_solo_trajectories(rng):
     for g, (p0, key) in enumerate(zip(variants, keys)):
         sp, _, slosses = solo_step(p0, solo_opt.init(p0), idx[:, g], key)
         np.testing.assert_allclose(np.asarray(slosses),
-                                   np.asarray(glosses[:, g]), rtol=1e-8)  # vmap-vs-solo fusion differs in the last bits
+                                   np.asarray(glosses[:, g]), rtol=1e-9)
         jax.tree_util.tree_map(
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9),
