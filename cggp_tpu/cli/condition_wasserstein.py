@@ -177,7 +177,8 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
 )
 @click.option("--plot/--no-plot", default=False)
 @click.option(
-    "--precondition", type=click.Choice(["none", "pivchol", "rff"]), default="none",
+    "--precondition", type=click.Choice(["none", "pivchol", "rff", "chol"]),
+    default="none",
     help="Per-solve preconditioner for the CDGP side (net-new, round-3).",
 )
 def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot,

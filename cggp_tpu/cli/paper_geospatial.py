@@ -45,7 +45,8 @@ from cggp_tpu.utils import save_config_dir
 @click.option("--jit/--no-jit", type=bool, default=True)
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
 @click.option(
-    "-P", "--preconditioner", type=click.Choice(["eye", "rff", "pivchol"]),
+    "-P", "--preconditioner",
+    type=click.Choice(["eye", "rff", "pivchol", "chol"]),
     default="eye",
     help="Per-step CG preconditioning for the cdgp model (see the uci/train "
          "groups).",

@@ -41,12 +41,14 @@ from cggp_tpu.utils.store import store_as_json
 @click.option("-c", "--config-dir", type=LogdirPath(mkdir=False))
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
 @click.option(
-    "-P", "--preconditioner", type=click.Choice(["eye", "rff", "pivchol"]),
+    "-P", "--preconditioner",
+    type=click.Choice(["eye", "rff", "pivchol", "chol"]),
     default="eye",
     help="CG preconditioner; 'rff' applies the Woodbury inverse of a "
          "random-Fourier low-rank + diagonal approximation; 'pivchol' a "
          "pivoted-Cholesky factor of Kuu (the preferred fp32 choice for "
-         "ill-conditioned systems).",
+         "ill-conditioned systems); 'chol' the exact blocked factor "
+         "(CG = iterative refinement, fastest at M <~ 4k).",
 )
 @click.option("--num-rff-bases", type=int, default=256)
 @click.option("--precond-rank", type=int, default=128,
@@ -175,7 +177,7 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
 
     params = update_fn(params)
 
-    if (common_ctx.get("preconditioner") in ("rff", "pivchol")
+    if (common_ctx.get("preconditioner") in ("rff", "pivchol", "chol")
             and hasattr(model, "conjugate_gradient")):
         # Preconditioner is solver state built from the post-update (Z, lam):
         # rebuild the model's CG with it (BASELINE.md config 4 path).
@@ -191,6 +193,11 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
             precond = pivoted_cholesky_preconditioner(
                 kmm, lam, common_ctx["precond_rank"]
             )
+        elif common_ctx["preconditioner"] == "chol":
+            from cggp_tpu.ops.cg import CholPreconditioner
+
+            kmm = model.kernel.K(params["kernel"], params["inducing_points"])
+            precond = CholPreconditioner(kmm, lam)
         else:
             from cggp_tpu.ops.rff import rff_preconditioner
 

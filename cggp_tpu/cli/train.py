@@ -70,10 +70,12 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
          "(ShardedCGGP: psum-blocked CG over a mesh). Default: single chip.",
 )
 @click.option(
-    "-P", "--precondition", type=click.Choice(["none", "pivchol", "rff"]),
+    "-P", "--precondition", type=click.Choice(["none", "pivchol", "rff", "chol"]),
     default="none",
-    help="Per-step low-rank CG preconditioning rebuilt from current "
-         "hyperparameters ('rff' is single-chip only).",
+    help="Per-step CG preconditioning rebuilt from current hyperparameters. "
+         "'pivchol'/'rff' are low-rank; 'chol' is the exact blocked factor "
+         "(CG becomes iterative refinement — fastest at M <~ 4k, dense "
+         "single-chip model only).",
 )
 @click.option("--precond-rank", type=int, default=128,
               help="Low-rank preconditioner factor rank. Measured at M~1k: 256 is "
@@ -198,9 +200,10 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         n, dim = x.shape
         m0 = num_inducing_points or int(n * 0.1)
         kernel, kernel_init = obj["kernel_fn"](dim)
-        if precondition == "rff":
-            raise click.UsageError("--precondition rff is single-chip only; "
-                                   "use pivchol with --num-devices")
+        if precondition in ("rff", "chol"):
+            raise click.UsageError(f"--precondition {precondition} is "
+                                   "single-chip only; use pivchol with "
+                                   "--num-devices")
         model = ShardedCGGP(
             kernel=kernel, mesh=mesh, num_data=n,
             error_threshold=error_threshold,
@@ -215,6 +218,11 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         click.echo(f"sharded over {num_devices} devices; "
                    f"M={m0} padded to {params['inducing_points'].shape[0]}")
     else:
+        if matrix_free and precondition == "chol":
+            raise click.UsageError(
+                "--precondition chol needs the dense [M, M] system "
+                "(matrix-free models build factors matrix-free: use pivchol)"
+            )
         extra = {"block": block} if matrix_free else {}
         model, params = create_model(
             model_class, obj["kernel_fn"], train_data,

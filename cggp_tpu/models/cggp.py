@@ -79,7 +79,7 @@ class CGGP(ClusterGP):
     #   "pivchol" — greedy pivoted Cholesky of Kuu (targets the actual top
     #               eigenspace; the preferred fp32 choice — both now apply
     #               through the cancellation-free SPD SpectralPreconditioner)
-    precondition: Optional[str] = None  # None | "rff" | "pivchol"
+    precondition: Optional[str] = None  # None | "rff" | "pivchol" | "chol"
     precond_rank: int = 128  # factor rank (for "rff": Fourier bases L, rank = 2L)
 
     def __post_init__(self):
@@ -105,6 +105,15 @@ class CGGP(ClusterGP):
             return pivoted_cholesky_preconditioner(
                 sg(kmm), sg(var[:, 0]), self.precond_rank
             )
+        if self.precondition == "chol":
+            from cggp_tpu.ops.cg import CholPreconditioner
+
+            # Exact-factor iterative refinement: the blocked Cholesky build
+            # is CHEAPER than the pivchol rank loop at M <~ 2k on TPU
+            # (1.55 vs 2.53 ms at M=989 — scripts/chol_precond_probe.py)
+            # and collapses the solve to 1-3 refinement iterations; a
+            # non-finite factor falls back to plain CG inside the state.
+            return CholPreconditioner(sg(kmm), sg(var[:, 0]))
         raise ValueError(f"unknown precondition mode: {self.precondition!r}")
 
     def precond_state(self, params: Dict, key: Optional[jax.Array] = None):
@@ -558,7 +567,8 @@ class CGGPPosterior(NamedTuple):
     kmm_lambda: Optional[Array]  # [M, M] = Kmm + diag(Lambda); None on the
     # chol path (the factor alone serves — saves an [M, M] HBM buffer)
     nu: Array  # [M, 1] = (Kmm + Lambda)^{-1} pseudo_u
-    precond_state: Tuple  # () = identity, else SpectralPreconditioner state
+    precond_state: Tuple  # () = identity, 3-tuple = SpectralPreconditioner
+    # state, dict = CholPreconditioner state (see _precond_from_state)
     chol: Optional[Array] = None  # [M, M] lower Cholesky of Kmm + Lambda
     # (solver="chol": per-batch variance = two triangular solves, no CG)
     lanczos_r: Optional[Array] = None  # [k, M] LOVE quad cache
@@ -579,4 +589,21 @@ class _StatePreconditioner:
 
 
 def _precond_from_state(state):
-    return None if state == () else _StatePreconditioner(state)
+    if state == ():
+        return None
+    if isinstance(state, dict):  # CholPreconditioner state ({"chol_w": W})
+        return _CholStatePreconditioner(state)
+    return _StatePreconditioner(state)
+
+
+class _CholStatePreconditioner:
+    """Rewraps a cached CholPreconditioner state for the CG facade."""
+
+    def __init__(self, state):
+        self.state = state
+
+    from cggp_tpu.ops.cg import CholPreconditioner as _CP
+    apply = staticmethod(_CP.apply)
+
+    def __call__(self, vec, mat):
+        return self.apply(self.state, vec, mat)

@@ -20,6 +20,7 @@ from cggp_tpu.ops.cg import (
     BlockPreconditioner,
     NystromPreconditioner,
     SpectralPreconditioner,
+    CholPreconditioner,
     pivoted_cholesky_preconditioner,
 )
 from cggp_tpu.ops.logdet import eval_logdet, slq_logdet
@@ -54,6 +55,7 @@ __all__ = [
     "BlockPreconditioner",
     "NystromPreconditioner",
     "SpectralPreconditioner",
+    "CholPreconditioner",
     "pivoted_cholesky_preconditioner",
     "eval_logdet",
     "slq_logdet",

@@ -251,6 +251,65 @@ class SpectralPreconditioner:
         return self.apply(self.state, vec, mat)
 
 
+class CholPreconditioner:
+    """Exact-factor preconditioner: PCG becomes iterative refinement
+    (net-new; no reference twin).
+
+    Factorizes ``A = matrix + diag(lam)`` ONCE with XLA's blocked Cholesky
+    and stores the triangular inverse ``W = L^{-1}``; the apply is
+
+        z = r W^T W          rz = ||r W^T||^2
+
+    — two [R, M] x [M, M] MXU matmuls per iteration (same order as the CG
+    matvec itself).  Because the preconditioner operator is literally
+    ``W^T W``, it is SPD **by construction** and ``rz`` is a sum of squares,
+    so CG never sees an indefinite operator no matter how badly fp32
+    rounding degraded the factor.  Three regimes:
+
+    - accurate factor: converges in 1-3 iterations (Cholesky solve with a
+      Krylov-corrected residual — the mixed-precision iterative-refinement
+      pattern, done through the existing CG custom VJP so gradient
+      semantics are untouched);
+    - degraded factor (large kappa * eps): more refinement iterations,
+      still converging on the TRUE residual;
+    - failed factor (non-finite after cholesky): the state silently falls
+      back to ``W = I`` = plain CG, so a training step can never be
+      poisoned by a bad factorization — the failure mode that rules out
+      raw Cholesky *solves* at fp32 (see ``CGGP.posterior`` solver="auto").
+
+    Build cost is one Cholesky + one triangular solve against I (both
+    O(M^3) blocked ops); see docs/PERF.md round-3 chol-preconditioning
+    A/B for when the iteration cut repays it.  The state is a dict
+    (``{"chol_w": W}``) so the state-based plumbing (chunk-frozen
+    preconditioning, posterior caches) can distinguish it from the 3-tuple
+    ``SpectralPreconditioner`` state by pytree structure alone.
+    """
+
+    def __init__(self, matrix: Array, lam: Array):
+        a = jnp.asarray(matrix)
+        lam = jnp.asarray(lam).reshape(-1)
+        a = a + jnp.diag(lam.astype(a.dtype))
+        m = a.shape[-1]
+        eye = jnp.eye(m, dtype=a.dtype)
+        chol = jnp.linalg.cholesky(a)
+        w = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+        ok = jnp.all(jnp.isfinite(w))
+        self.state = {"chol_w": jnp.where(ok, w, eye)}
+
+    @staticmethod
+    def apply(state, vec: Array, mat: Array) -> Tuple[Array, Array]:
+        del mat
+        w = state["chol_w"]
+        hi = jax.lax.Precision.HIGHEST
+        y = jnp.matmul(vec, w.T, precision=hi)  # [R, M] = (L^{-1} r^T)^T
+        z = jnp.matmul(y, w, precision=hi)
+        rz = jnp.sum(jnp.square(y), axis=-1, keepdims=True)
+        return z, rz
+
+    def __call__(self, vec: Array, mat: Array) -> Tuple[Array, Array]:
+        return self.apply(self.state, vec, mat)
+
+
 def spectral_precond_state(factor: Array, lam: Array):
     """Build :class:`SpectralPreconditioner` state (pure jnp ops; jit-safe).
 
@@ -288,7 +347,8 @@ def precond_apply_or_identity(state, vec: Array, mat) -> Tuple[Array, Array]:
 
 
 CGPreconditioner = Union[
-    EyePreconditioner, BlockPreconditioner, NystromPreconditioner, SpectralPreconditioner
+    EyePreconditioner, BlockPreconditioner, NystromPreconditioner,
+    SpectralPreconditioner, CholPreconditioner
 ]
 
 

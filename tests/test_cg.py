@@ -393,6 +393,141 @@ def test_pivoted_cholesky_preconditioner_cuts_iterations_fp64(rng):
         int(stats_pre.steps), int(stats_plain.steps))
 
 
+def test_chol_preconditioner_converges_in_refinement_iterations(rng):
+    """The exact-factor preconditioner turns PCG into iterative refinement:
+    on an ill-conditioned system it must converge in a handful of
+    iterations (vs hundreds unpreconditioned) to the dense solution."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import CholPreconditioner, ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 300
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=[1.5, 1.5])
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    kmat = kernel.K(kp, x)
+    lam = jnp.asarray(1e-6 * np.ones(n))
+    a = add_diagonal(kmat, lam)
+    rhs = jnp.asarray(rng.standard_normal((n, 4)))
+
+    _, stats_plain = ConjugateGradient(
+        1e-14, max_iterations=5000).solve_with_stats(a, rhs)
+    precond = CholPreconditioner(kmat, lam)
+    sol, stats_pre = ConjugateGradient(
+        1e-14, preconditioner=precond, max_iterations=5000
+    ).solve_with_stats(a, rhs)
+
+    expected = np.asarray(jnp.linalg.solve(a, rhs))
+    rel = np.abs(np.asarray(sol) - expected).max() / np.abs(expected).max()
+    assert rel < 1e-6, rel
+    # Exact factor in fp64: refinement converges almost immediately.
+    assert int(stats_pre.steps) <= 4, int(stats_pre.steps)
+    assert int(stats_pre.steps) * 20 < int(stats_plain.steps), (
+        int(stats_pre.steps), int(stats_plain.steps))
+
+
+def test_chol_preconditioner_spd_and_fallback(rng):
+    """The chol-preconditioner operator is W^T W (SPD by construction) with
+    rz = ||r W^T||^2 >= 0 always; a matrix whose Cholesky fails (non-finite
+    factor) must fall back to the identity state = plain CG, never
+    propagate NaNs into the solve."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import CholPreconditioner, ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 64
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=[1.0, 1.0])
+    x = jnp.asarray(rng.normal(size=(n, 2)))
+    kmat = kernel.K(kp, x)
+    a = add_diagonal(kmat, 1e-2 * jnp.ones(n))
+    vec = jnp.asarray(rng.standard_normal((5, n)))
+
+    precond = CholPreconditioner(kmat, 1e-2 * jnp.ones(n))
+    z, rz = precond(vec, a)
+    assert np.all(np.asarray(rz) > 0)
+    # z = vec @ W^T W with W = L^{-1}: multiplying back by A recovers vec.
+    np.testing.assert_allclose(np.asarray(z @ a), np.asarray(vec),
+                               rtol=1e-8, atol=1e-10)
+
+    # Indefinite input: cholesky produces NaNs -> identity fallback.
+    broken = CholPreconditioner(-a, jnp.zeros(n))
+    np.testing.assert_array_equal(
+        np.asarray(broken.state["chol_w"]), np.eye(n))
+    z_b, rz_b = broken(vec, a)
+    np.testing.assert_array_equal(np.asarray(z_b), np.asarray(vec))
+    np.testing.assert_allclose(
+        np.asarray(rz_b),
+        np.sum(np.asarray(vec) ** 2, axis=-1, keepdims=True), rtol=1e-12)
+
+    # And a solve with the broken preconditioner behaves exactly like
+    # plain CG (converges, matches dense).
+    rhs = jnp.asarray(rng.standard_normal((n, 3)))
+    sol, stats = ConjugateGradient(
+        1e-14, preconditioner=broken, max_iterations=500
+    ).solve_with_stats(a, rhs)
+    _, stats_plain = ConjugateGradient(
+        1e-14, max_iterations=500).solve_with_stats(a, rhs)
+    np.testing.assert_allclose(np.asarray(sol),
+                               np.asarray(jnp.linalg.solve(a, rhs)),
+                               rtol=1e-6, atol=1e-9)
+    assert int(stats.steps) == int(stats_plain.steps)
+
+
+def test_chol_preconditioner_fp32_ill_conditioned(rng):
+    """fp32, kappa ~ 1e6: the fp32 residual FLOOR is ~eps*kappa relative
+    (no solver beats it), so the meaningful claims are comparative — at an
+    equal iteration budget the fp32-degraded exact factor drives the true
+    residual orders of magnitude closer to that floor than plain CG, stays
+    finite, and never produces a negative rz (the SPD-by-construction
+    apply) — the regime raw Cholesky SOLVES are unsafe in."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import CholPreconditioner, ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+    from cggp_tpu.ops.linalg import add_diagonal
+
+    n = 256
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=2.0, lengthscales=[1.5, 1.5],
+                            dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    kmat = kernel.K(kp, x)
+    lam = jnp.asarray(rng.uniform(1e-4, 5e-4, (n,)), jnp.float32)
+    a = add_diagonal(kmat, lam)
+    rhs = jnp.asarray(rng.standard_normal((n, 4)), jnp.float32)
+
+    def rel_res(sol):
+        res = np.asarray(a, np.float64) @ np.asarray(sol, np.float64) - \
+            np.asarray(rhs, np.float64)
+        return (np.linalg.norm(res, axis=0) /
+                np.linalg.norm(np.asarray(rhs, np.float64), axis=0)).max()
+
+    budget = 32
+    precond = CholPreconditioner(kmat, lam)
+    sol_pre, _ = ConjugateGradient(
+        1e-12, preconditioner=precond, max_iterations=budget,
+        relative_threshold=True,
+    ).solve_with_stats(a, rhs)
+    sol_plain, _ = ConjugateGradient(
+        1e-12, max_iterations=budget, relative_threshold=True,
+    ).solve_with_stats(a, rhs)
+
+    assert np.isfinite(np.asarray(sol_pre)).all()
+    r_pre, r_plain = rel_res(sol_pre), rel_res(sol_plain)
+    assert r_pre < 0.05, r_pre  # at/near the eps*kappa fp32 floor
+    assert r_pre * 20 < r_plain, (r_pre, r_plain)
+
+    # rz stays a sum of squares even with the degraded factor.
+    z, rz = precond(jnp.asarray(rng.standard_normal((8, n)), jnp.float32), a)
+    assert np.isfinite(np.asarray(z)).all()
+    assert np.all(np.asarray(rz) >= 0)
+
+
 def test_relative_threshold_scale_invariance(rng):
     """Net-new stopping rule: with relative_threshold the iteration count is
     invariant to RHS scaling, where the reference's absolute rule is not."""

@@ -223,11 +223,11 @@ def test_cggp_fused_elbo_matches_unfused(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["rff", "pivchol"])
+@pytest.mark.parametrize("mode", ["rff", "pivchol", "chol"])
 def test_cggp_preconditioned_elbo_matches(rng, mode):
-    """Per-step low-rank preconditioning (RFF sketch or pivoted Cholesky)
-    must not change the ELBO (same solves, converged) while cutting CG
-    iterations."""
+    """Per-step preconditioning (RFF sketch, pivoted Cholesky, or the
+    exact blocked factor) must not change the ELBO (same solves,
+    converged) while cutting CG iterations."""
     import jax
 
     from cggp_tpu.ops.linalg import add_diagonal
@@ -302,7 +302,9 @@ def test_cggp_posterior_cache_matches_predict_f(rng):
     n, m = 160, 20
     x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
     y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])), jnp.float32)
-    for precondition in (None, "pivchol"):
+    # "chol" exercises the dict-shaped CholPreconditioner state through the
+    # posterior cache pytree + CG serving rewrap (_precond_from_state).
+    for precondition in (None, "pivchol", "chol"):
         model = CGGP(
             kernel=Matern32(),
             conjugate_gradient=ConjugateGradient(1e-12, relative_threshold=True),

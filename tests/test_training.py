@@ -7,6 +7,7 @@ the experiment pipeline, SURVEY.md section 4) with explicit assertions.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cggp_tpu.models import CGGP, GPR, ClusterGP
 from cggp_tpu.ops.cg import ConjugateGradient
@@ -598,13 +599,16 @@ def test_device_lbfgs_matches_scipy_on_gpr(rng, tmp_path):
     assert len(logs) == 2  # steps 5 and 10
 
 
-def test_chunk_frozen_preconditioner(rng):
+@pytest.mark.parametrize("mode", ["pivchol", "chol"])
+def test_chunk_frozen_preconditioner(rng, mode):
     """Chunk-frozen preconditioning (precond_fn + training_loss's
     precond_override): the preconditioner is solver STATE, so a frozen state
     must leave loss values and gradients unchanged (CG stops on the true
     residual), and the K-step trainer must train through it.  Also pins the
     contract errors: override on the unfused path, precond_fn without
-    chunking."""
+    chunking.  Parametrized over both state STRUCTURES the override
+    plumbing must carry: the SpectralPreconditioner 3-tuple and the
+    CholPreconditioner dict."""
     import pytest
 
     from cggp_tpu.ops.kernels import Matern32
@@ -618,7 +622,7 @@ def test_chunk_frozen_preconditioner(rng):
         kernel=Matern32(),
         conjugate_gradient=ConjugateGradient(1e-12, max_iterations=64),
         num_data=256, num_probes=3,
-        precondition="pivchol", precond_rank=8,
+        precondition=mode, precond_rank=8,
     )
     params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
     key = jax.random.PRNGKey(3)
