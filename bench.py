@@ -310,11 +310,12 @@ def run_e2e_subprocess(timeout_s: int = 480) -> dict:
 def end_to_end_metrics(jax, platform: str) -> dict:
     """Harness-reproducible end-to-end throughput (VERDICT round 1 item 6):
     the docs/PERF.md production workload — N=435k synthetic 3-D, covertree
-    res 0.35 (M~650), fp32, batch 2048, pivchol + relative threshold,
-    steps_per_call=25 — measured as steady-state training steps/s plus the
-    serving path (full posterior mean+var, 8192-point batches) in points/s.
-    Reported inside the same JSON line so BENCH_r{N}.json regresses the
-    59.3 steps/s / 305k points/s claims automatically.
+    res 0.35 (M=989), fp32, batch 2048, chol-preconditioned (iterative
+    refinement) + relative threshold, steps_per_call=25 — measured as
+    steady-state training steps/s plus the serving path (full posterior
+    mean+var, 8192-point batches) in points/s.  Reported inside the same
+    JSON line so BENCH_r{N}.json regresses the round-3 361.6 steps/s /
+    multi-M-points/s claims automatically.
     """
     import jax.numpy as jnp
     import optax
@@ -351,10 +352,12 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # one variable each.
     threshold = float(os.environ.get("CGGP_BENCH_CG_THRESHOLD", "1e-5"))
     precond_rank = int(os.environ.get("CGGP_BENCH_PRECOND_RANK", "256"))
-    # "pivchol" (rank above) or "chol" (exact blocked factor; CG becomes
-    # iterative refinement — build measured CHEAPER than pivchol-256 at
-    # M~1k, scripts/chol_precond_probe.py).
-    precondition = os.environ.get("CGGP_BENCH_PRECONDITION", "pivchol")
+    # "chol" (exact blocked factor; PCG = iterative refinement) is the
+    # benched default: 361.6 vs 52.6 steps/s for pivchol-256 at IDENTICAL
+    # held-out accuracy over 1000 steps (scripts/chol_frontier.py,
+    # docs/PERF.md round-3 chol section).  The env knob keeps the A/B one
+    # variable.
+    precondition = os.environ.get("CGGP_BENCH_PRECONDITION", "chol")
 
     N, DIM, BATCH, K = 435_000, 3, 2048, 25
     train, _test = synthetic(n=N, dim=DIM, seed=0)

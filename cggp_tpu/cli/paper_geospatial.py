@@ -46,7 +46,7 @@ from cggp_tpu.utils import save_config_dir
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
 @click.option(
     "-P", "--preconditioner",
-    type=click.Choice(["eye", "rff", "pivchol", "chol"]),
+    type=click.Choice(["eye", "rff", "pivchol", "chol", "auto"]),
     default="eye",
     help="Per-step CG preconditioning for the cdgp model (see the uci/train "
          "groups).",

@@ -42,7 +42,7 @@ from cggp_tpu.utils.store import store_as_json
 @click.option("-e", "--error-threshold", type=float, default=1e-6)
 @click.option(
     "-P", "--preconditioner",
-    type=click.Choice(["eye", "rff", "pivchol", "chol"]),
+    type=click.Choice(["eye", "rff", "pivchol", "chol", "auto"]),
     default="eye",
     help="CG preconditioner; 'rff' applies the Woodbury inverse of a "
          "random-Fourier low-rank + diagonal approximation; 'pivchol' a "
@@ -86,6 +86,11 @@ def main(
 ):
     """Core command shared by all UCI evaluation runs
     (reference paper_cli_uci.py:39-105)."""
+    if model_class == "cdgp-implicit" and preconditioner in ("chol", "auto"):
+        raise click.UsageError(
+            f"-P {preconditioner} needs the dense [M, M] system; the "
+            "matrix-free model builds its factors matrix-free — use pivchol"
+        )
     if precision == np.float64:
         jax.config.update("jax_enable_x64", True)
 
@@ -177,7 +182,7 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
 
     params = update_fn(params)
 
-    if (common_ctx.get("preconditioner") in ("rff", "pivchol", "chol")
+    if (common_ctx.get("preconditioner") in ("rff", "pivchol", "chol", "auto")
             and hasattr(model, "conjugate_gradient")):
         # Preconditioner is solver state built from the post-update (Z, lam):
         # rebuild the model's CG with it (BASELINE.md config 4 path).
@@ -186,14 +191,20 @@ def compute_metrics(ctx: click.Context, logdir: Path, test_batch_size):
         from cggp_tpu.ops.cg import ConjugateGradient
 
         lam = model.diag_variance(params)[:, 0]
-        if common_ctx["preconditioner"] == "pivchol":
+        precond_mode = common_ctx["preconditioner"]
+        if precond_mode == "auto":
+            from cggp_tpu.models.cggp import _CHOL_AUTO_MAX_M
+
+            m_now = int(params["inducing_points"].shape[0])
+            precond_mode = "chol" if m_now <= _CHOL_AUTO_MAX_M else "pivchol"
+        if precond_mode == "pivchol":
             from cggp_tpu.ops.cg import pivoted_cholesky_preconditioner
 
             kmm = model.kernel.K(params["kernel"], params["inducing_points"])
             precond = pivoted_cholesky_preconditioner(
                 kmm, lam, common_ctx["precond_rank"]
             )
-        elif common_ctx["preconditioner"] == "chol":
+        elif precond_mode == "chol":
             from cggp_tpu.ops.cg import CholPreconditioner
 
             kmm = model.kernel.K(params["kernel"], params["inducing_points"])

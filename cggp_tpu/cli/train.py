@@ -70,7 +70,7 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
          "(ShardedCGGP: psum-blocked CG over a mesh). Default: single chip.",
 )
 @click.option(
-    "-P", "--precondition", type=click.Choice(["none", "pivchol", "rff", "chol"]),
+    "-P", "--precondition", type=click.Choice(["none", "pivchol", "rff", "chol", "auto"]),
     default="none",
     help="Per-step CG preconditioning rebuilt from current hyperparameters. "
          "'pivchol'/'rff' are low-rank; 'chol' is the exact blocked factor "
@@ -200,7 +200,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         n, dim = x.shape
         m0 = num_inducing_points or int(n * 0.1)
         kernel, kernel_init = obj["kernel_fn"](dim)
-        if precondition in ("rff", "chol"):
+        if precondition in ("rff", "chol", "auto"):
             raise click.UsageError(f"--precondition {precondition} is "
                                    "single-chip only; use pivchol with "
                                    "--num-devices")
@@ -218,10 +218,11 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         click.echo(f"sharded over {num_devices} devices; "
                    f"M={m0} padded to {params['inducing_points'].shape[0]}")
     else:
-        if matrix_free and precondition == "chol":
+        if matrix_free and precondition in ("chol", "auto"):
             raise click.UsageError(
-                "--precondition chol needs the dense [M, M] system "
-                "(matrix-free models build factors matrix-free: use pivchol)"
+                f"--precondition {precondition} needs the dense [M, M] "
+                "system (matrix-free models build factors matrix-free: "
+                "use pivchol)"
             )
         extra = {"block": block} if matrix_free else {}
         model, params = create_model(

@@ -38,6 +38,14 @@ from cggp_tpu.ops.logdet import (
 
 Array = jnp.ndarray
 
+# precondition="auto" cutoff: largest M where the exact-factor build is
+# worth it per the chip measurements (scripts/chol_precond_probe.py: the
+# blocked chol+triangular-inverse build is cheaper than the pivchol-256
+# rank loop through M~2k and within 1.5x at 4096, where the 10x+ iteration
+# cut dwarfs it; beyond this the O(M^3) build and [M, M] factor HBM cost
+# grow while the dense model itself approaches its matrix-free crossover).
+_CHOL_AUTO_MAX_M = 4096
+
 
 @functools.lru_cache(maxsize=64)
 def _jitted_extremal_eigs(model):
@@ -79,7 +87,10 @@ class CGGP(ClusterGP):
     #   "pivchol" — greedy pivoted Cholesky of Kuu (targets the actual top
     #               eigenspace; the preferred fp32 choice — both now apply
     #               through the cancellation-free SPD SpectralPreconditioner)
-    precondition: Optional[str] = None  # None | "rff" | "pivchol" | "chol"
+    #   "chol"    — the exact blocked factor: PCG becomes iterative
+    #               refinement (1-3 iterations; ~6.5x end-to-end at M~1k)
+    #   "auto"    — "chol" while M <= _CHOL_AUTO_MAX_M, else "pivchol"
+    precondition: Optional[str] = None  # None|"rff"|"pivchol"|"chol"|"auto"
     precond_rank: int = 128  # factor rank (for "rff": Fourier bases L, rank = 2L)
 
     def __post_init__(self):
@@ -92,27 +103,36 @@ class CGGP(ClusterGP):
         if self.precondition is None:
             return None
         sg = jax.lax.stop_gradient
-        if self.precondition == "rff":
+        mode = self.precondition
+        if mode == "auto":
+            # M is static at trace time, so this resolves to ONE compiled
+            # branch: the exact factor while the O(M^3) build stays cheap
+            # (chip-measured cheaper than the pivchol rank loop at M <= 4k
+            # AND 6.5x+ end-to-end — docs/PERF.md round-3 chol section),
+            # the low-rank pivchol beyond.
+            mode = "chol" if z.shape[0] <= _CHOL_AUTO_MAX_M else "pivchol"
+        if mode == "rff":
             from cggp_tpu.ops.rff import rff_preconditioner
 
             return rff_preconditioner(
                 self.kernel, sg(kp), sg(z), sg(var[:, 0]),
                 self.precond_rank, key,
             )
-        if self.precondition == "pivchol":
+        if mode == "pivchol":
             from cggp_tpu.ops.cg import pivoted_cholesky_preconditioner
 
             return pivoted_cholesky_preconditioner(
                 sg(kmm), sg(var[:, 0]), self.precond_rank
             )
-        if self.precondition == "chol":
+        if mode == "chol":
             from cggp_tpu.ops.cg import CholPreconditioner
 
             # Exact-factor iterative refinement: the blocked Cholesky build
             # is CHEAPER than the pivchol rank loop at M <~ 2k on TPU
             # (1.55 vs 2.53 ms at M=989 — scripts/chol_precond_probe.py)
-            # and collapses the solve to 1-3 refinement iterations; a
-            # non-finite factor falls back to plain CG inside the state.
+            # and collapses the fused training solve to 1-3 refinement
+            # iterations (6.5x+ end-to-end steps/s at the bench workload);
+            # a non-finite factor falls back to plain CG inside the state.
             return CholPreconditioner(sg(kmm), sg(var[:, 0]))
         raise ValueError(f"unknown precondition mode: {self.precondition!r}")
 

@@ -275,6 +275,53 @@ def test_cggp_preconditioned_elbo_matches(rng, mode):
                                    rtol=1e-3, atol=5e-6)
 
 
+def test_precondition_auto_picks_by_m(rng, monkeypatch):
+    """precondition="auto" resolves statically: the exact chol factor
+    (dict state) while M <= _CHOL_AUTO_MAX_M, pivchol (3-tuple spectral
+    state) above — and trains/serves identically to the explicit modes."""
+    import jax
+
+    import cggp_tpu.models.cggp as cggp_mod
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.selection.update import labels_update_inducing_parameters
+
+    x = jnp.asarray(rng.uniform(-1, 1, (128, 2)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])))
+    iv, u, counts = labels_update_inducing_parameters((x, y), x[:16])
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-12, max_iterations=64),
+        num_data=128, num_probes=3,
+        precondition="auto", precond_rank=8,
+    )
+    params = model.init_params(iv, pseudo_u=u, cluster_counts=counts)
+
+    # Small M: the auto state is the chol dict.
+    state = model.precond_state(params)
+    assert isinstance(state, dict) and "chol_w" in state
+
+    # Above the cutoff (forced low so the test stays small): pivchol tuple.
+    monkeypatch.setattr(cggp_mod, "_CHOL_AUTO_MAX_M", 8)
+    state_big = model.precond_state(params)
+    assert isinstance(state_big, tuple) and len(state_big) == 3
+    monkeypatch.undo()
+
+    # And the ELBO value matches the explicit chol mode exactly (same
+    # solves, same preconditioner).
+    explicit = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-12, max_iterations=64),
+        num_data=128, num_probes=3,
+        precondition="chol",
+    )
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(
+        float(model.elbo(params, (x, y), key)),
+        float(explicit.elbo(params, (x, y), key)), rtol=1e-12)
+
+
 def test_trainable_pseudo_u_mask():
     """Net-new free-variational mode: trainable_pseudo_u frees the cluster
     means only (counts stay fixed — they must remain positive)."""
