@@ -4,7 +4,12 @@ steps, N=435k synthetic 3-D, covertree res 0.35 (M=989), batch 2048, K=25,
 xla_high, relative threshold — steps/s plus held-out test RMSE/NLPD so an
 accuracy regression cannot hide behind a throughput win.
 
-Usage:  python scripts/chol_frontier.py [chol|pivchol] [rank] [threshold]
+Usage:  python scripts/chol_frontier.py [chol|pivchol] [rank] [threshold] [res] [steps]
+
+``res`` (default 0.35 -> M=989) sets the covertree spatial resolution —
+smaller gives larger M (0.22 -> ~4k, 0.17 -> ~8k on this synthetic), for
+validating the precondition="auto" cutoff where the O(M^3) factor build
+meets the iteration cut.
 """
 
 from __future__ import annotations
@@ -24,6 +29,8 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "chol"
     rank = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-5
+    res = float(sys.argv[4]) if len(sys.argv) > 4 else 0.35
+    steps = int(sys.argv[5]) if len(sys.argv) > 5 else 1000
 
     import jax
 
@@ -42,14 +49,14 @@ def main() -> None:
     from cggp_tpu.training.batching import minibatch_index_iterator
     from cggp_tpu.training.optimize import make_adam_multi_step, make_metrics_callback
 
-    N, DIM, BATCH, K, STEPS = 435_000, 3, 2048, 25, 1000
+    N, DIM, BATCH, K, STEPS = 435_000, 3, 2048, 25, steps
     train, test = synthetic(n=N, dim=DIM, seed=0)
     x = jnp.asarray(train[0], jnp.float32)
     y = jnp.asarray(train[1], jnp.float32)
     n_train = int(x.shape[0])
 
     iv, u, counts = covertree_update_inducing_parameters(
-        (x, y), spatial_resolution=0.35
+        (x, y), spatial_resolution=res
     )
     m = int(iv.shape[0])
     model = CGGP(
@@ -101,7 +108,7 @@ def main() -> None:
         "final_loss": round(final_loss, 2),
         "test_rmse": round(float(metrics["test/rmse"]), 5),
         "test_nlpd": round(float(metrics["test/nlpd"]), 5),
-        "m": m, "steps": STEPS,
+        "m": m, "steps": STEPS, "res": res,
     }), flush=True)
 
 
