@@ -74,7 +74,7 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
     default="none",
     help="Per-step CG preconditioning rebuilt from current hyperparameters. "
          "'pivchol'/'rff' are low-rank; 'chol' is the exact blocked factor "
-         "(CG becomes iterative refinement — fastest at M <~ 4k, dense "
+         "(CG becomes iterative refinement — 4.7-6.9x across M <= 8k, dense "
          "single-chip model only).",
 )
 @click.option("--precond-rank", type=int, default=128,

@@ -39,12 +39,15 @@ from cggp_tpu.ops.logdet import (
 Array = jnp.ndarray
 
 # precondition="auto" cutoff: largest M where the exact-factor build is
-# worth it per the chip measurements (scripts/chol_precond_probe.py: the
-# blocked chol+triangular-inverse build is cheaper than the pivchol-256
-# rank loop through M~2k and within 1.5x at 4096, where the 10x+ iteration
-# cut dwarfs it; beyond this the O(M^3) build and [M, M] factor HBM cost
-# grow while the dense model itself approaches its matrix-free crossover).
-_CHOL_AUTO_MAX_M = 4096
+# worth it per the chip measurements (scripts/chol_frontier.py, 1e-5
+# relative, batch 2048: chol beats pivchol-256 end-to-end 6.9x at M=989,
+# 4.7x at M=3475, 4.9x at M=6886 at equal held-out metrics — docs/PERF.md
+# round-3-late table).  Capped at 8192 because the O(M^3) build keeps
+# growing, the factor doubles the model's [M, M] HBM footprint, and
+# M=16384 triangular-solve programs have crashed the remote compiler
+# before (the serving-"auto" fallback exists for exactly that); past this
+# M the dense model is near its matrix-free crossover anyway.
+_CHOL_AUTO_MAX_M = 8192
 
 
 @functools.lru_cache(maxsize=64)
@@ -107,9 +110,9 @@ class CGGP(ClusterGP):
         if mode == "auto":
             # M is static at trace time, so this resolves to ONE compiled
             # branch: the exact factor while the O(M^3) build stays cheap
-            # (chip-measured cheaper than the pivchol rank loop at M <= 4k
-            # AND 6.5x+ end-to-end — docs/PERF.md round-3 chol section),
-            # the low-rank pivchol beyond.
+            # (chip-measured 4.7-6.9x end-to-end across M=989-6886 —
+            # docs/PERF.md round-3 chol section), the low-rank pivchol
+            # beyond the cutoff.
             mode = "chol" if z.shape[0] <= _CHOL_AUTO_MAX_M else "pivchol"
         if mode == "rff":
             from cggp_tpu.ops.rff import rff_preconditioner

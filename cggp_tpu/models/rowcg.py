@@ -83,6 +83,9 @@ class RowSolveCGGP(ClusterGP):
     # sketch key is FIXED (``precond_seed``) instead of per-step — solver
     # state only affects iteration counts, not solutions, and the logdet
     # backward has no step key to thread.
+    # ("chol"/"auto" — the dense CGGP's exact-factor refinement — are
+    # deliberately absent: a dense [M, M] factor contradicts the
+    # matrix-free/sharded memory model these row-solver models exist for.)
     precondition: Optional[str] = None  # None | "pivchol" | "rff"
     precond_rank: int = 128  # pivchol columns; for "rff": Fourier bases L (rank 2L)
     precond_seed: int = 0  # rff sketch key (fixed across steps; see above)

@@ -40,7 +40,11 @@ def main() -> None:
     kernel = Matern32()
     rng = np.random.RandomState(0)
 
-    for m in (989, 2048, 4096):
+    import os as _os
+
+    sizes = (989, 2048, 4096, 8192) if _os.environ.get(
+        "CGGP_PROBE_BIG") else (989, 2048, 4096)
+    for m in sizes:
         kp = kernel.init_params(variance=1.0, lengthscales=np.full(3, 1.2),
                                 dtype=jnp.float32)
         z = jnp.asarray(rng.uniform(-2, 2, (m, 3)), jnp.float32)
