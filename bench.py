@@ -324,6 +324,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     from cggp_tpu.models import CGGP
     from cggp_tpu.ops.cg import ConjugateGradient
     from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.selection.covernet import covernet_update_inducing_parameters
     from cggp_tpu.selection.update import covertree_update_inducing_parameters
     from cggp_tpu.training.batching import minibatch_index_iterator
     from cggp_tpu.training.optimize import make_adam_multi_step
@@ -368,9 +369,24 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # under jit (mode="fill"), which silently poisons training.
     n_train = int(x.shape[0])
 
-    iv, u, counts = covertree_update_inducing_parameters(
-        (x, y), spatial_resolution=0.35
-    )
+    # Selection strategy for the e2e pipeline.  Default stays "covertree" so
+    # train_steps_per_sec keeps the same workload identity (m=989) as every
+    # earlier round's artifact.  CGGP_BENCH_SELECTION=covernet swaps in the
+    # device delta-net (same separation/coverage guarantees; selection stage
+    # 6.7 s -> 0.10 s warm at this shape, 67.7 s -> 0.23 s at res 0.15 —
+    # scripts/covernet_chip.py, docs/PERF.md), at a slightly different m.
+    selection = os.environ.get("CGGP_BENCH_SELECTION", "covertree")
+    t_sel = time.perf_counter()
+    if selection == "covernet":
+        iv, u, counts = covernet_update_inducing_parameters(
+            (x, y), spatial_resolution=0.35, max_points=2048
+        )
+    else:
+        iv, u, counts = covertree_update_inducing_parameters(
+            (x, y), spatial_resolution=0.35
+        )
+    float(jnp.sum(iv))  # device->host fetch = sync (tunnel methodology)
+    selection_wall = time.perf_counter() - t_sel
     m = int(iv.shape[0])
     model = CGGP(
         kernel=Matern32(),
@@ -485,6 +501,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         "e2e_config": {
             "n": N, "dim": DIM, "m": m, "batch": BATCH,
             "steps_per_call": K,
+            "selection": selection,
             "precondition": ("chol" if precondition == "chol"
                              else f"{precondition}-{precond_rank}"),
             "cg_threshold": threshold,
@@ -495,6 +512,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         "e2e_final_loss": round(final_loss, 2),
         "e2e_train_wall_s": round(train_wall, 3),
         "e2e_serve_wall_s": round(serve_wall, 3),
+        "e2e_selection_wall_s": round(selection_wall, 3),
     }
 
 

@@ -33,6 +33,7 @@ from cggp_tpu.ops.distance import DistanceType, create_distance_fn
 from cggp_tpu.ops.kernels import Kernel, kernel_by_name
 from cggp_tpu.selection.kmeans import kmeans_lloyd
 from cggp_tpu.selection.points import greedy_selection, oips, uniform
+from cggp_tpu.selection.covernet import covernet_update_inducing_parameters
 from cggp_tpu.selection.update import (
     covertree_update_inducing_parameters,
     kmeans_update_inducing_parameters,
@@ -41,7 +42,9 @@ from cggp_tpu.selection.update import (
 
 Array = jnp.ndarray
 
-CLUSTERING_TYPES = ("kmeans", "kmeans2", "covertree", "oips", "uniform", "greedy")
+CLUSTERING_TYPES = (
+    "kmeans", "kmeans2", "covertree", "covernet", "oips", "uniform", "greedy"
+)
 MODEL_NAMES = ("sgpr", "cdgp", "cdgp-implicit")
 DistanceChoices = click.Choice(DistanceType)
 ModelChoices = click.Choice(MODEL_NAMES)
@@ -431,6 +434,23 @@ def create_update_fn(
             dist = _distance_fn(model, params, distance_type)
             iv, means, counts = covertree_update_inducing_parameters(
                 data, spatial_resolution, distance_fn=dist
+            )
+            return _apply_selection(model, params, iv, means, counts)
+
+    elif clustering_type == "covernet":
+        spatial_resolution = float(clustering_kwargs["spatial_resolution"])
+        covernet_kwargs = {
+            k: clustering_kwargs[k]
+            for k in ("max_points", "lloyds", "block_size")
+            if clustering_kwargs.get(k) is not None
+        }
+
+        def update_fn(params: Dict) -> Dict:
+            # Device delta-net: euclidean by construction (like the cover
+            # tree, which ignores non-euclidean distances — covertree.py
+            # docstring / reference covertree.py:36-47).
+            iv, means, counts = covernet_update_inducing_parameters(
+                data, spatial_resolution, **covernet_kwargs
             )
             return _apply_selection(model, params, iv, means, counts)
 

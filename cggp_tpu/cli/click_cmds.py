@@ -49,7 +49,7 @@ def _build_ip_ctx(ctx: click.Context, clustering_type: str, clustering_kwargs: D
 
 
 def make_selection_groups() -> Dict[str, click.Group]:
-    """Fresh covertree/kmeans/kmeans2/oips/uniform/greedy groups."""
+    """Fresh covertree/covernet/kmeans/kmeans2/oips/uniform/greedy groups."""
 
     @click.group("covertree")
     @click.option("-s", "--spatial-resolution", type=float, required=True)
@@ -58,6 +58,24 @@ def make_selection_groups() -> Dict[str, click.Group]:
     def covertree(ctx, spatial_resolution, distance_type):
         _build_ip_ctx(
             ctx, "covertree", {"spatial_resolution": spatial_resolution}, distance_type
+        )
+
+    @click.group("covernet")
+    @click.option("-s", "--spatial-resolution", type=float, required=True)
+    @click.option("-m", "--max-num-ip", type=int, default=None,
+                  help="Initial center-buffer capacity (auto-doubles on "
+                       "saturation; snap to a power of two for compile-cache "
+                       "reuse).")
+    @click.option("--lloyds", type=int, default=1,
+                  help="Separation-preserving Lloyd's refinement rounds.")
+    @click.option("-d", "--distance-type", type=DistanceChoices, default="euclidean")
+    @click.pass_context
+    def covernet(ctx, spatial_resolution, max_num_ip, lloyds, distance_type):
+        _build_ip_ctx(
+            ctx, "covernet",
+            {"spatial_resolution": spatial_resolution, "max_points": max_num_ip,
+             "lloyds": lloyds},
+            distance_type,
         )
 
     @click.group("kmeans")
@@ -100,6 +118,7 @@ def make_selection_groups() -> Dict[str, click.Group]:
 
     return {
         "covertree": covertree,
+        "covernet": covernet,
         "kmeans": kmeans,
         "kmeans2": kmeans2,
         "oips": oips,

@@ -219,9 +219,10 @@ def _training_loss_fn(model):
 
 
 def attach_commands(group: click.Group) -> click.Group:
-    # The reference geospatial driver exposes covertree/kmeans/oips (:119-204).
+    # The reference geospatial driver exposes covertree/kmeans/oips (:119-204);
+    # covernet is the net-new device twin of covertree (same guarantees).
     groups = make_selection_groups()
-    for name in ("covertree", "kmeans", "oips"):
+    for name in ("covertree", "covernet", "kmeans", "oips"):
         groups[name].add_command(train_adam, "train-adam")
         group.add_command(groups[name], name)
     return group

@@ -33,7 +33,7 @@ from cggp_tpu.training.optimize import (
 from cggp_tpu.utils import save_config_dir
 
 _distance_types = click.Choice(["covariance", "correlation", "euclidean"])
-_clustering_types = click.Choice(["covertree", "kmeans", "oips"])
+_clustering_types = click.Choice(["covertree", "covernet", "kmeans", "oips"])
 
 
 @click.group("train")
@@ -264,6 +264,12 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         clustering_kwargs = {"rho": 0.5, "max_points": num_inducing_points}
     elif clustering_type == "covertree":
         clustering_kwargs = {"spatial_resolution": 1.0}
+    elif clustering_type == "covernet":
+        # Device delta-net twin of covertree: same resolution default; an
+        # explicit -m seeds the center-buffer capacity (auto-doubles).
+        clustering_kwargs = {
+            "spatial_resolution": 1.0, "max_points": num_inducing_points
+        }
     update_fn = create_update_fn(
         clustering_type, model, train_data,
         distance_type=distance_type, seed=obj["seed"], **clustering_kwargs,

@@ -8,6 +8,11 @@ k-means++ (scipy), OIPS, uniform, greedy max-variance.
 from cggp_tpu.selection.kmeans import kmeans_indices_and_distances, kmeans_lloyd
 from cggp_tpu.selection.points import greedy_selection, oips, uniform
 from cggp_tpu.selection.covertree import CoverTree
+from cggp_tpu.selection.covernet import (
+    covernet_lloyds,
+    covernet_select,
+    covernet_update_inducing_parameters,
+)
 from cggp_tpu.selection.update import (
     covertree_update_inducing_parameters,
     kmeans_update_inducing_parameters,
@@ -21,6 +26,9 @@ __all__ = [
     "oips",
     "uniform",
     "CoverTree",
+    "covernet_lloyds",
+    "covernet_select",
+    "covernet_update_inducing_parameters",
     "covertree_update_inducing_parameters",
     "kmeans_update_inducing_parameters",
     "labels_update_inducing_parameters",
