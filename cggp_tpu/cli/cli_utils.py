@@ -444,13 +444,22 @@ def create_update_fn(
             for k in ("max_points", "lloyds", "block_size")
             if clustering_kwargs.get(k) is not None
         }
+        if distance_type != "euclidean":
+            # Kernel metrics: Lloyd's mean-shift is euclidean geometry.
+            covernet_kwargs["lloyds"] = 0
 
         def update_fn(params: Dict) -> Dict:
-            # Device delta-net: euclidean by construction (like the cover
-            # tree, which ignores non-euclidean distances — covertree.py
-            # docstring / reference covertree.py:36-47).
+            # Unlike the cover tree (which ignores non-euclidean distances,
+            # reference covertree.py:36-47), the net honours the kernel
+            # metric — re-selection reads the CURRENT hyperparameters, so
+            # in-training updates adapt the separation to them.
+            kernel_kwargs = (
+                {} if distance_type == "euclidean"
+                else {"kernel": model.kernel, "kernel_params": params["kernel"]}
+            )
             iv, means, counts = covernet_update_inducing_parameters(
-                data, spatial_resolution, **covernet_kwargs
+                data, spatial_resolution, distance_type=distance_type,
+                **kernel_kwargs, **covernet_kwargs,
             )
             return _apply_selection(model, params, iv, means, counts)
 

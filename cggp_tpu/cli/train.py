@@ -61,6 +61,12 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
 @click.option("-m", "--num-inducing-points", type=int)
 @click.option("-d", "--distance-type", type=_distance_types, default="covariance")
 @click.option("-c", "--clustering-type", type=_clustering_types, default="kmeans")
+@click.option(
+    "--spatial-resolution", type=float, default=1.0,
+    help="covertree/covernet resolution. Lives on the metric's scale: input "
+         "units for euclidean, kernel units for covernet -d "
+         "covariance/correlation (bounded by sqrt(2*variance) resp. 1).",
+)
 @click.option("-l", "--learning-rate", type=float, default=0.01)
 @click.option("-e", "--error-threshold", type=float, default=1e-5)
 @click.option("-r", "--record-step", type=int, default=100)
@@ -134,10 +140,10 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
 @click.option("--tensorboard/--no-tensorboard", type=bool, default=False)
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
-                    distance_type, clustering_type, learning_rate,
-                    error_threshold, record_step, num_devices, precondition,
-                    precond_rank, relative_threshold, resume_from,
-                    checkpoint_every, trainable_u, steps_per_call,
+                    distance_type, clustering_type, spatial_resolution,
+                    learning_rate, error_threshold, record_step, num_devices,
+                    precondition, precond_rank, relative_threshold,
+                    resume_from, checkpoint_every, trainable_u, steps_per_call,
                     precond_refresh, matrix_free, block, max_cg_iterations,
                     tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
@@ -170,6 +176,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         "test_size": int(test_data[0].shape[0]),
         "input_dimension": int(train_data[0].shape[-1]),
         "clustering_type": clustering_type,
+        "spatial_resolution": spatial_resolution,
         "distance_type": distance_type,
         "precondition": precondition,
         "precond_rank": precond_rank,
@@ -263,12 +270,13 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
     elif clustering_type == "oips":
         clustering_kwargs = {"rho": 0.5, "max_points": num_inducing_points}
     elif clustering_type == "covertree":
-        clustering_kwargs = {"spatial_resolution": 1.0}
+        clustering_kwargs = {"spatial_resolution": spatial_resolution}
     elif clustering_type == "covernet":
-        # Device delta-net twin of covertree: same resolution default; an
-        # explicit -m seeds the center-buffer capacity (auto-doubles).
+        # Device delta-net twin of covertree: an explicit -m seeds the
+        # center-buffer capacity (auto-doubles on saturation).
         clustering_kwargs = {
-            "spatial_resolution": 1.0, "max_points": num_inducing_points
+            "spatial_resolution": spatial_resolution,
+            "max_points": num_inducing_points,
         }
     update_fn = create_update_fn(
         clustering_type, model, train_data,

@@ -73,11 +73,30 @@ def _sqdist(a: Array, b: Array) -> Array:
     return jnp.maximum(a2[:, None] + b2[None, :] - 2.0 * ab, 0.0)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _covernet_scan(
-    x_pad: Array, n_valid: Array, delta2: Array, max_points: int, block_size: int
+def _kernel_metric(kernel, kp, a: Array, b: Array, distance_type: str) -> Array:
+    """Pairwise kernel-induced distance measure [n, m] (reference
+    distance.py:6-34 semantics): ``covariance`` returns the SQUARED distance
+    k(a,a) + k(b,b) - 2 k(a,b) (compared against resolution^2), ``correlation``
+    returns 1 - k(a,b)/sqrt(k(a,a) k(b,b)) (compared against resolution)."""
+    k_ab = kernel.K(kp, a, b)
+    da = kernel.K_diag(kp, a)
+    db = kernel.K_diag(kp, b)
+    if distance_type == "covariance":
+        return jnp.maximum(da[:, None] + db[None, :] - 2.0 * k_ab, 0.0)
+    return 1.0 - k_ab / jnp.sqrt(da[:, None] * db[None, :])
+
+
+def _scan_loop(
+    pair_metric, x_pad: Array, n_valid: Array, thresh: Array,
+    max_points: int, block_size: int,
 ) -> Tuple[Array, Array]:
-    """Blocked exact greedy delta-net scan.  Returns (z [max_points, D], count)."""
+    """Blocked exact greedy net scan over a pairwise metric.
+
+    ``pair_metric(a, b) -> [n, m]`` yields the quantity compared against
+    ``thresh`` (squared distance vs resolution^2 for euclidean/covariance,
+    plain correlation distance vs resolution).  Returns
+    ``(z [max_points, D], count)``.
+    """
     npad, d = x_pad.shape
     nblocks = npad // block_size
     bidx = jnp.arange(block_size, dtype=jnp.int32)
@@ -90,16 +109,16 @@ def _covernet_scan(
         valid = (b * block_size + bidx) < n_valid
 
         # Candidates: valid points not covered by any accepted center so far.
-        d2_acc = _sqdist(xb, z)  # [B, max_points]
+        d2_acc = pair_metric(xb, z)  # [B, max_points]
         slot = jnp.arange(max_points) < count
         min_d2 = jnp.min(
             jnp.where(slot[None, :], d2_acc, jnp.inf), axis=1,
             initial=jnp.inf,
         )
-        cand = valid & (min_d2 > delta2)
+        cand = valid & (min_d2 > thresh)
 
         # Parallel-MIS rounds == the sequential greedy result within the block.
-        conflict = _sqdist(xb, xb) <= delta2  # includes the diagonal (0 <= delta2)
+        conflict = pair_metric(xb, xb) <= thresh  # incl. diagonal (0 <= thresh)
 
         def mis_cond(s):
             c, _ = s
@@ -139,19 +158,53 @@ def _covernet_scan(
     )
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _covernet_scan(
+    x_pad: Array, n_valid: Array, delta2: Array, max_points: int, block_size: int
+) -> Tuple[Array, Array]:
+    """Euclidean greedy delta-net scan (squared distances vs resolution^2)."""
+    return _scan_loop(_sqdist, x_pad, n_valid, delta2, max_points, block_size)
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _covernet_scan_kernel(
+    kernel, kp, x_pad: Array, n_valid: Array, thresh: Array,
+    max_points: int, block_size: int, distance_type: str,
+) -> Tuple[Array, Array]:
+    """Kernel-metric greedy net scan.  ``kp`` is traced, so re-selecting with
+    updated hyperparameters (in-training re-clustering) reuses the compiled
+    program."""
+    metric = lambda a, b: _kernel_metric(kernel, kp, a, b, distance_type)
+    return _scan_loop(metric, x_pad, n_valid, thresh, max_points, block_size)
+
+
 def covernet_select(
     x: Array,
     resolution: float,
     max_points: Optional[int] = None,
     block_size: int = 4096,
+    distance_type: str = "euclidean",
+    kernel=None,
+    kernel_params=None,
 ) -> Tuple[Array, int]:
     """Greedy delta-net over ``x`` in scan order; returns ``(z [m, D], m)``.
 
     Guarantees (non-saturated): pairwise center separation > ``resolution``,
-    every point within ``resolution`` of a center.  ``max_points`` bounds the
-    device buffer; when the net saturates it, the scan retries with a doubled
-    buffer (power-of-two ladder, so retries reuse the compile cache) until the
-    full net fits or the buffer reaches N.
+    every point within ``resolution`` of a center — in the chosen metric.
+    ``max_points`` bounds the device buffer; when the net saturates it, the
+    scan retries with a doubled buffer (power-of-two ladder, so retries reuse
+    the compile cache) until the full net fits or the buffer reaches N.
+
+    ``distance_type`` extends the net to the kernel-induced distances of
+    reference distance.py:6-34 (which the reference's covertree advertises
+    but ignores, covertree.py:36-47): ``"covariance"`` keeps every pair of
+    centers with ``k(zi,zi) + k(zj,zj) - 2 k(zi,zj) > resolution^2``, a
+    hyperparameter-adaptive bound on the off-diagonal mass of ``Kuu``;
+    ``"correlation"`` keeps ``k(zi,zj)/sqrt(k k) < 1 - resolution`` — for
+    stationary kernels exactly OIPS's acceptance rule (selection.py:87-96
+    with ``rho = 1 - resolution``), evaluated blocked-parallel instead of
+    point-at-a-time.  Hyperparameters are traced, so re-selection under
+    updated params reuses the compiled program.
     """
     x = jnp.asarray(x)  # numpy float64 in -> default float (silently) here,
     # not inside the jit where an explicit-dtype request would warn
@@ -162,7 +215,38 @@ def covernet_select(
         x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
     else:
         x_pad = x
-    delta2 = jnp.asarray(resolution, x_pad.dtype) ** 2
+    if distance_type == "euclidean":
+        thresh = jnp.asarray(resolution, x_pad.dtype) ** 2
+    elif distance_type in ("covariance", "correlation"):
+        if kernel is None or kernel_params is None:
+            raise ValueError(
+                f"distance_type={distance_type!r} needs kernel and kernel_params"
+            )
+        thresh = jnp.asarray(resolution, x_pad.dtype)
+        if distance_type == "covariance":
+            thresh = thresh**2
+            # Attainable range check: for stationary kernels the covariance
+            # distance is bounded by sqrt(2 * variance), so a resolution at
+            # or beyond that bound degenerates the net to a single center —
+            # easy to hit mid-training as the variance shrinks.
+            var = float(jnp.mean(kernel.K_diag(kernel_params, x[:1])))
+            if resolution**2 >= 2.0 * var:
+                warnings.warn(
+                    f"covernet: covariance resolution {resolution} >= "
+                    f"sqrt(2*variance)={np.sqrt(2 * var):.4g} — the metric "
+                    "cannot exceed it, so only one center will be kept; "
+                    "lower the resolution (it lives on the kernel's scale, "
+                    "not the input's)."
+                )
+        elif resolution >= 1.0:
+            warnings.warn(
+                f"covernet: correlation resolution {resolution} >= 1 — "
+                "positive-kernel correlation distance cannot exceed 1, so "
+                "only one center will be kept; use a resolution in (0, 1) "
+                "(the OIPS rho is 1 - resolution)."
+            )
+    else:
+        raise ValueError(f"unknown distance_type {distance_type!r}")
     n_valid = jnp.asarray(n, jnp.int32)
 
     if max_points is None:
@@ -173,7 +257,13 @@ def covernet_select(
     cap = min(max(cap, 64), max(n, 64))
 
     while True:
-        z, count = _covernet_scan(x_pad, n_valid, delta2, cap, block_size)
+        if distance_type == "euclidean":
+            z, count = _covernet_scan(x_pad, n_valid, thresh, cap, block_size)
+        else:
+            z, count = _covernet_scan_kernel(
+                kernel, kernel_params, x_pad, n_valid, thresh, cap, block_size,
+                distance_type,
+            )
         m = int(count)
         if m < cap or cap >= n:
             break
@@ -231,6 +321,9 @@ def covernet_update_inducing_parameters(
     max_points: Optional[int] = None,
     lloyds: int = 1,
     block_size: int = 4096,
+    distance_type: str = "euclidean",
+    kernel=None,
+    kernel_params=None,
 ) -> Tuple[Array, Array, Array]:
     """Device delta-net -> ``(Z, pseudo_u, cluster_counts)``.
 
@@ -240,12 +333,26 @@ def covernet_update_inducing_parameters(
     per-cluster means/counts.  Voronoi cells of a net are never empty before
     Lloyd's (each center is a data point claiming at least itself); after a
     mean move an emptied cell keeps count 1 / mean 0 like the labels path.
+
+    Kernel metrics (``distance_type`` covariance/correlation) select under
+    the kernel-induced distance; the Voronoi labeling stays euclidean like
+    the reference's selection->parameters plumbing (optimize.py:50-51 labels
+    by squared euclidean distance for every non-kmeans strategy).  Lloyd's
+    mean-shift is euclidean geometry and is rejected for kernel metrics.
     """
     x = jnp.asarray(data[0])
     y = jnp.asarray(data[1], dtype=x.dtype)
     if y.ndim == 1:
         y = y[:, None]
-    z, m = covernet_select(x, spatial_resolution, max_points, block_size)
+    if distance_type != "euclidean" and lloyds:
+        raise ValueError(
+            "covernet Lloyd's refinement is euclidean-only; pass lloyds=0 "
+            f"with distance_type={distance_type!r}"
+        )
+    z, m = covernet_select(
+        x, spatial_resolution, max_points, block_size,
+        distance_type=distance_type, kernel=kernel, kernel_params=kernel_params,
+    )
     if m == x.shape[0] and m > 1:
         warnings.warn(
             f"covernet: resolution {spatial_resolution} kept all {m} points "

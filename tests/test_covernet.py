@@ -116,6 +116,95 @@ def test_covernet_warns_when_nothing_reduced(rng):
     assert any("resolution" in str(w.message) for w in captured)
 
 
+def test_covernet_covariance_metric_guarantee(rng):
+    from cggp_tpu.ops import SquaredExponential
+
+    x = rng.uniform(-2, 2, size=(1500, 2))
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.5, lengthscales=np.array([0.7, 1.3]))
+    res = 0.9
+    z, m = covernet_select(
+        jnp.asarray(x), res, block_size=128,
+        distance_type="covariance", kernel=kernel, kernel_params=kp,
+    )
+    assert 1 < m < x.shape[0]
+    # separation in covariance distance: k(a,a)+k(b,b)-2k(a,b) > res^2
+    k = np.asarray(kernel.K(kp, z))
+    d2 = np.diag(k)[:, None] + np.diag(k)[None, :] - 2 * k
+    np.fill_diagonal(d2, np.inf)
+    assert d2.min() > res**2
+    # coverage in the same metric
+    kxz = np.asarray(kernel.K(kp, jnp.asarray(x), z))
+    kxx = np.asarray(kernel.K_diag(kp, jnp.asarray(x)))
+    d2_xz = kxx[:, None] + np.diag(k)[None, :] - 2 * kxz
+    assert d2_xz.min(axis=1).max() <= res**2 + 1e-9
+
+
+def test_covernet_correlation_equals_oips(rng):
+    """For stationary kernels the correlation-metric net IS the OIPS rule
+    (reference selection.py:87-96, rho = 1 - resolution) — but evaluated
+    blocked-parallel.  Exact set equality against our OIPS scan."""
+    from cggp_tpu.ops import Matern32
+    from cggp_tpu.selection import oips
+
+    x = rng.uniform(-2, 2, size=(900, 3))
+    kernel = Matern32()
+    kp = kernel.init_params(variance=1.0, lengthscales=np.full(3, 0.8))
+    res = 0.45
+    z, m = covernet_select(
+        jnp.asarray(x), res, block_size=128,
+        distance_type="correlation", kernel=kernel, kernel_params=kp,
+    )
+    z_oips, _idx = oips(kernel, kp, jnp.asarray(x), rho=1.0 - res,
+                        max_points=x.shape[0])
+    # OIPS seeds from argmax of the (constant) kernel diagonal = index 0,
+    # then scans in the same order: identical acceptance rule => identical set.
+    assert m == z_oips.shape[0]
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_oips), atol=1e-12)
+
+
+def test_covernet_update_kernel_metric_rejects_lloyds(rng):
+    from cggp_tpu.ops import SquaredExponential
+
+    x = jnp.asarray(rng.uniform(-2, 2, size=(200, 2)))
+    y = jnp.asarray(rng.normal(size=(200, 1)))
+    kernel = SquaredExponential()
+    kp = kernel.init_params(variance=1.0, lengthscales=np.ones(2))
+    with pytest.raises(ValueError, match="euclidean-only"):
+        covernet_update_inducing_parameters(
+            (x, y), 0.5, lloyds=1, distance_type="covariance",
+            kernel=kernel, kernel_params=kp,
+        )
+    iv, means, counts = covernet_update_inducing_parameters(
+        (x, y), 0.5, lloyds=0, distance_type="covariance",
+        kernel=kernel, kernel_params=kp,
+    )
+    assert iv.shape[0] == means.shape[0] == counts.shape[0] > 1
+
+
+def test_covernet_cli_covariance_dispatch(rng):
+    from cggp_tpu.cli.cli_utils import create_model_and_update_fn
+
+    x = jnp.asarray(rng.uniform(-2, 2, size=(300, 2)))
+    y = jnp.asarray(rng.normal(size=(300, 1)))
+    model, params, update_fn = create_model_and_update_fn(
+        "cdgp", (x, y),
+        clustering_type="covernet",
+        distance_type="covariance",
+        clustering_kwargs={"spatial_resolution": 0.8},
+    )
+    m0 = update_fn(params)["inducing_points"].shape[0]
+    # The selection adapts to the CURRENT hyperparameters: a much shorter
+    # lengthscale decorrelates points, so the covariance-metric net keeps more.
+    params2 = dict(params)
+    kp = dict(params["kernel"])
+    ell = model.kernel.lengthscales(params["kernel"])
+    kp["lengthscales"] = model.kernel.bijector.inverse(ell / 8.0)
+    params2["kernel"] = kp
+    m1 = update_fn(params2)["inducing_points"].shape[0]
+    assert m1 > m0
+
+
 def test_covernet_cli_dispatch(rng):
     from cggp_tpu.cli.cli_utils import create_model_and_update_fn
 
