@@ -396,7 +396,8 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         ),
         num_data=n_train,
         num_probes=5,
-        precondition=precondition,
+        # "none" = plain-CG A/B (same mapping as the train CLI).
+        precondition=None if precondition == "none" else precondition,
         precond_rank=precond_rank,
     )
     params = model.init_params(iv, pseudo_u=u, cluster_counts=counts,
@@ -502,8 +503,15 @@ def end_to_end_metrics(jax, platform: str) -> dict:
             "n": N, "dim": DIM, "m": m, "batch": BATCH,
             "steps_per_call": K,
             "selection": selection,
-            "precondition": ("chol" if precondition == "chol"
-                             else f"{precondition}-{precond_rank}"),
+            # Rank is only meaningful for the low-rank modes; "auto" resolves
+            # to chol at this m (<= the cutoff), so don't imply a rank ran.
+            "precondition": (f"{precondition}-{precond_rank}"
+                             if precondition in ("pivchol", "rff")
+                             else precondition),
+            # Timing methodology tag: best of 3 windows of 4 chunks (100
+            # steps each); earlier rounds' artifacts timed one 6-chunk
+            # window — do not compare raw e2e_train_wall_s across the tag.
+            "train_timing": "best_of_3x4chunk_windows",
             "cg_threshold": threshold,
             "relative_threshold": True, "dtype": "float32",
             "matvec_impl": matvec_impl,

@@ -63,9 +63,9 @@ def make_selection_groups() -> Dict[str, click.Group]:
     @click.group("covernet")
     @click.option("-s", "--spatial-resolution", type=float, required=True)
     @click.option("-m", "--max-num-ip", type=int, default=None,
-                  help="Initial center-buffer capacity (auto-doubles on "
-                       "saturation; snap to a power of two for compile-cache "
-                       "reuse).")
+                  help="Hard cap on M (net truncated with a warning, like "
+                       "every other strategy's -m). Default: grow until the "
+                       "resolution's full net fits.")
     @click.option("--lloyds", type=int, default=1,
                   help="Separation-preserving Lloyd's refinement rounds.")
     @click.option("-d", "--distance-type", type=DistanceChoices, default="euclidean")

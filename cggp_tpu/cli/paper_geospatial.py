@@ -64,6 +64,14 @@ from cggp_tpu.utils import save_config_dir
 def main(ctx, dataset_fn, model_class, precision, jitter, kernel, logdir, seed,
          jit, error_threshold, preconditioner, precond_rank, relative_threshold):
     """Reference paper_cli_geospatial.py:57-116."""
+    if model_class != "cdgp" and preconditioner != "eye":
+        # Same contract as the uci driver: refuse rather than silently run
+        # unpreconditioned (sgpr has no CG; cdgp-implicit builds its own
+        # per-solve preconditioner and cannot carry a dense chol factor).
+        raise click.UsageError(
+            f"-P {preconditioner} only applies to the cdgp model; "
+            f"model class {model_class!r} would silently ignore it"
+        )
     if precision == np.float64:
         jax.config.update("jax_enable_x64", True)
     np.random.seed(seed)

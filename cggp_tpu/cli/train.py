@@ -272,8 +272,8 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
     elif clustering_type == "covertree":
         clustering_kwargs = {"spatial_resolution": spatial_resolution}
     elif clustering_type == "covernet":
-        # Device delta-net twin of covertree: an explicit -m seeds the
-        # center-buffer capacity (auto-doubles on saturation).
+        # Device delta-net twin of covertree; an explicit -m hard-caps M
+        # (truncated net, warned) like the other strategies.
         clustering_kwargs = {
             "spatial_resolution": spatial_resolution,
             "max_points": num_inducing_points,

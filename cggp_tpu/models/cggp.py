@@ -599,13 +599,18 @@ class CGGPPosterior(NamedTuple):
 
 
 class _StatePreconditioner:
-    """Rewraps a cached SpectralPreconditioner state for the CG facade."""
+    """Rewraps a cached preconditioner state for the CG facade — a
+    CholPreconditioner dict (``{"chol_w": W}``) or a SpectralPreconditioner
+    tuple.  The facade contract is ``.apply(state, vec, mat)`` + ``.state``;
+    ``apply`` is resolved from the state's shape and must keep a stable
+    function identity (it is a static jit argument in the CG facade)."""
 
     def __init__(self, state):
         self.state = state
+        from cggp_tpu.ops.cg import CholPreconditioner, SpectralPreconditioner
 
-    from cggp_tpu.ops.cg import SpectralPreconditioner as _SP
-    apply = staticmethod(_SP.apply)
+        self.apply = (CholPreconditioner.apply if isinstance(state, dict)
+                      else SpectralPreconditioner.apply)
 
     def __call__(self, vec, mat):
         return self.apply(self.state, vec, mat)
@@ -614,19 +619,4 @@ class _StatePreconditioner:
 def _precond_from_state(state):
     if state == ():
         return None
-    if isinstance(state, dict):  # CholPreconditioner state ({"chol_w": W})
-        return _CholStatePreconditioner(state)
     return _StatePreconditioner(state)
-
-
-class _CholStatePreconditioner:
-    """Rewraps a cached CholPreconditioner state for the CG facade."""
-
-    def __init__(self, state):
-        self.state = state
-
-    from cggp_tpu.ops.cg import CholPreconditioner as _CP
-    apply = staticmethod(_CP.apply)
-
-    def __call__(self, vec, mat):
-        return self.apply(self.state, vec, mat)

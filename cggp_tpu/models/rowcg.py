@@ -184,17 +184,39 @@ class RowSolveCGGP(ClusterGP):
     # -- parameters ----------------------------------------------------------
 
     def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
-                    **kwargs) -> Dict:
+                    capacity: Optional[int] = None, **kwargs) -> Dict:
+        """``capacity`` (net-new) pins the padded inducing dimension to a
+        fixed size >= the real count (still a multiple of the model's pad
+        multiple): the shape contract for fully-jitted in-training
+        re-clustering (``assign_clusters_device`` swaps buffer contents
+        without changing shapes, so the training program never recompiles).
+        """
         params = super().init_params(
             inducing_points, pseudo_u=pseudo_u, cluster_counts=cluster_counts,
             **kwargs,
         )
         m_real = params["inducing_points"].shape[0]
         dtype = params["inducing_points"].dtype
+        if capacity is None:
+            multiple = self._pad_multiple_for(m_real)
+        else:
+            capacity = int(capacity)
+            if capacity < m_real:
+                raise ValueError(
+                    f"capacity {capacity} < real inducing count {m_real}"
+                )
+            if capacity % self._pad_multiple_for(capacity) != 0:
+                raise ValueError(
+                    f"capacity {capacity} must be a multiple of "
+                    f"{self._pad_multiple_for(capacity)}"
+                )
+            # pad_inducing pads to a multiple; m_real <= capacity makes the
+            # next multiple exactly capacity.
+            multiple = capacity
         z, _lam, u_t, counts_t, mask_t = pad_inducing(
             params["inducing_points"],
             jnp.ones(m_real, dtype),
-            self._pad_multiple_for(m_real),
+            multiple,
             params["pseudo_u"].T,
             params["cluster_counts"].T,
             jnp.ones((1, m_real), dtype),
@@ -237,6 +259,27 @@ class RowSolveCGGP(ClusterGP):
         new["pseudo_u"] = u_t.T
         new["cluster_counts"] = jnp.where(counts_t.T == 0.0, 1.0, counts_t.T)
         new["inducing_mask"] = mask_t.T
+        return new
+
+    def assign_clusters_device(self, params: Dict, z, u, counts, mask) -> Dict:
+        """Fixed-capacity re-clustering swap — jit-composable (pure dict
+        update, no shape change): the device half of fully-fused in-training
+        re-selection (``covernet_update_padded`` produces the arguments;
+        ``make_adam_multi_step(recluster_fn=...)`` runs it per chunk).  The
+        params must have been built with ``init_params(capacity=...)`` of the
+        same capacity; pads follow the pad_inducing convention (far coords,
+        count 1, u 0, mask 0) so they stay exact no-ops."""
+        if z.shape != params["inducing_points"].shape:
+            raise ValueError(
+                f"capacity mismatch: new Z {z.shape} vs params "
+                f"{params['inducing_points'].shape} — build params with "
+                "init_params(capacity=...) matching the recluster capacity"
+            )
+        new = dict(params)
+        new["inducing_points"] = z
+        new["pseudo_u"] = jnp.asarray(u, z.dtype)
+        new["cluster_counts"] = jnp.asarray(counts, z.dtype)
+        new["inducing_mask"] = jnp.asarray(mask, z.dtype)
         return new
 
     # -- KL ------------------------------------------------------------------

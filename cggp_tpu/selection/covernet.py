@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import warnings
 from functools import partial
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -191,9 +191,11 @@ def covernet_select(
 
     Guarantees (non-saturated): pairwise center separation > ``resolution``,
     every point within ``resolution`` of a center — in the chosen metric.
-    ``max_points`` bounds the device buffer; when the net saturates it, the
-    scan retries with a doubled buffer (power-of-two ladder, so retries reuse
-    the compile cache) until the full net fits or the buffer reaches N.
+    ``max_points`` is a HARD CAP like every other strategy's ``-m``: the net
+    is truncated at that many centers (separation still guaranteed; coverage
+    only up to the truncation point, with a warning).  With ``max_points=
+    None`` the buffer starts at 1024 and auto-doubles (power-of-two ladder,
+    so retries reuse the compile cache) until the full net fits.
 
     ``distance_type`` extends the net to the kernel-induced distances of
     reference distance.py:6-34 (which the reference's covertree advertises
@@ -250,11 +252,9 @@ def covernet_select(
     n_valid = jnp.asarray(n, jnp.int32)
 
     if max_points is None:
-        cap = 1024
+        cap = min(max(1024, 64), max(n, 64))
     else:
-        # Snap to the power-of-two ladder (compile-cache friendly).
-        cap = 1 << (int(max_points) - 1).bit_length()
-    cap = min(max(cap, 64), max(n, 64))
+        cap = min(max(int(max_points), 1), n)
 
     while True:
         if distance_type == "euclidean":
@@ -266,6 +266,15 @@ def covernet_select(
             )
         m = int(count)
         if m < cap or cap >= n:
+            break
+        if max_points is not None:
+            # Explicit cap: truncate like kmeans/oips/uniform bound M, but
+            # say so — the coverage guarantee stops at the truncation point.
+            warnings.warn(
+                f"covernet: net truncated at max_points={cap} (resolution "
+                f"{resolution} wants more centers); separation holds, "
+                "coverage is incomplete — raise max_points or the resolution."
+            )
             break
         cap = min(cap * 2, n)
     return z[:m], m
@@ -368,3 +377,126 @@ def covernet_update_inducing_parameters(
 def _voronoi_means_counts(x: Array, y: Array, z: Array):
     labels, _ = kmeans_indices_and_distances(z, x)
     return _means_and_counts_from_labels(y, labels, z.shape[0])
+
+
+def covernet_update_padded(
+    x: Array,
+    y: Array,
+    spatial_resolution: float,
+    capacity: int,
+    block_size: int = 4096,
+    lloyds: int = 0,
+    distance_type: str = "euclidean",
+    kernel=None,
+    kernel_params=None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Fixed-capacity covernet update -> ``(Z, u, counts, mask)``, all
+    ``[capacity, ...]`` — jit-composable (no host fetch, no shape change).
+
+    The fully-fused re-clustering building block: every output keeps the
+    static ``capacity`` leading dimension, with the net's real centers in the
+    first ``count`` slots and :func:`~cggp_tpu.ops.cg_implicit.pad_inducing`
+    convention pads after (coords ``1e6*(1+i)``, count 1, pseudo-u 0, mask 0)
+    — exact no-ops in every masked-model objective.  Compose with
+    :meth:`~cggp_tpu.models.rowcg.RowSolveCGGP.assign_clusters_device` inside
+    a jitted training chunk (``make_adam_multi_step(recluster_fn=...)``) so
+    inducing points re-select ON DEVICE every dispatch, adapting to the
+    current hyperparameters under kernel metrics with zero host roundtrips.
+
+    A net larger than ``capacity`` is silently truncated (separation holds,
+    coverage stops at the truncation point; warnings cannot fire under jit) —
+    size ``capacity`` with headroom and check ``mask.sum()`` when in doubt.
+    """
+    if distance_type == "euclidean":
+        thresh = jnp.asarray(spatial_resolution, x.dtype) ** 2
+    elif distance_type in ("covariance", "correlation"):
+        if kernel is None or kernel_params is None:
+            raise ValueError(
+                f"distance_type={distance_type!r} needs kernel and kernel_params"
+            )
+        thresh = jnp.asarray(spatial_resolution, x.dtype)
+        if distance_type == "covariance":
+            thresh = thresh**2
+    else:
+        raise ValueError(f"unknown distance_type {distance_type!r}")
+    if lloyds and distance_type != "euclidean":
+        raise ValueError(
+            "covernet Lloyd's refinement is euclidean-only; pass lloyds=0 "
+            f"with distance_type={distance_type!r}"
+        )
+    if y.ndim == 1:
+        y = y[:, None]
+
+    n, d = x.shape
+    block_size = int(min(block_size, max(64, 1 << (n - 1).bit_length())))
+    pad = (-n) % block_size
+    if pad:
+        x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
+    else:
+        x_pad = x
+    n_valid = jnp.asarray(n, jnp.int32)
+    capacity = int(capacity)
+
+    if distance_type == "euclidean":
+        z_buf, count = _covernet_scan(x_pad, n_valid, thresh, capacity, block_size)
+    else:
+        z_buf, count = _covernet_scan_kernel(
+            kernel, kernel_params, x_pad, n_valid, thresh, capacity,
+            block_size, distance_type,
+        )
+    slot = jnp.arange(capacity) < count
+    far = 1.0e6 * (1.0 + jnp.arange(1, capacity + 1, dtype=x.dtype))[:, None]
+    z = jnp.where(slot[:, None], z_buf, jnp.broadcast_to(far, (capacity, d)))
+    if lloyds:
+        delta2 = jnp.asarray(spatial_resolution, x.dtype) ** 2
+        for _ in range(int(lloyds)):
+            # Pad slots have empty Voronoi cells (far coords never win the
+            # argmin), so the mean-shift leaves them in place.
+            z = _lloyds_round(x, z, delta2)
+    means, counts = _voronoi_means_counts(x, y, z)
+    mask = slot.astype(x.dtype)[:, None]
+    return z, means * mask, counts, mask
+
+
+def make_device_recluster_fn(
+    model,
+    data: Tuple[Array, Array],
+    spatial_resolution: float,
+    capacity: int,
+    block_size: int = 4096,
+    lloyds: int = 0,
+    distance_type: str = "euclidean",
+):
+    """Build ``recluster(params) -> params``: a pure, jit-composable
+    inducing-point update for a masked row-solve model
+    (:class:`~cggp_tpu.models.implicit.ImplicitCGGP` /
+    :class:`~cggp_tpu.parallel.model.ShardedCGGP`) whose params were built
+    with ``init_params(..., capacity=capacity)``.
+
+    Under kernel metrics the selection reads the CURRENT kernel params each
+    call, so in-training re-selection adapts to the moving hyperparameters —
+    the TPU-first answer to the reference's host-roundtrip re-clustering
+    (optimize.py:19-38 pulls data to numpy every update).
+    """
+    x = jnp.asarray(data[0])
+    y = jnp.asarray(data[1], dtype=x.dtype)
+    multiple = model._pad_multiple_for(int(capacity))
+    if int(capacity) % multiple != 0:
+        raise ValueError(
+            f"capacity {capacity} must divide the model's pad multiple "
+            f"({multiple}: mesh size for ShardedCGGP, panel block for "
+            "ImplicitCGGP)"
+        )
+
+    def recluster(params: Dict) -> Dict:
+        kernel_kwargs = (
+            {} if distance_type == "euclidean"
+            else {"kernel": model.kernel, "kernel_params": params["kernel"]}
+        )
+        z, u, counts, mask = covernet_update_padded(
+            x, y, spatial_resolution, capacity, block_size=block_size,
+            lloyds=lloyds, distance_type=distance_type, **kernel_kwargs,
+        )
+        return model.assign_clusters_device(params, z, u, counts, mask)
+
+    return recluster

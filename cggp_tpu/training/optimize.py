@@ -82,6 +82,7 @@ def make_adam_multi_step(
     data: Tuple[Array, Array],
     trainable_mask: Optional[Dict] = None,
     precond_fn=None,
+    recluster_fn=None,
 ):
     """Build a jitted K-step Adam driver: ``lax.scan`` over a chunk of batch
     indices, ONE dispatch per K optimizer steps (net-new vs the reference's
@@ -98,6 +99,14 @@ def make_adam_multi_step(
     entry params and reuse it for all K steps — ``loss_fn`` must then accept
     a fourth argument ``loss_fn(params, batch, key, precond_state)``
     (``CGGP.precond_state`` / ``training_loss(precond_override=...)``).
+
+    ``recluster_fn(params) -> params`` (net-new, fully-fused re-clustering):
+    a PURE jit-composable inducing-point update (fixed shapes — see
+    ``selection.covernet.make_device_recluster_fn``) run at the top of every
+    dispatch, INSIDE the compiled program: the reference's host-roundtrip
+    per-step re-clustering (optimize.py:19-38) becomes part of the training
+    chunk itself.  Inducing buffers must be non-trainable (the default) so
+    the optimizer state stays aligned across swaps.
     Caveat: the CG stop rule tests the true residual, so converged solves
     are unaffected — but the stale factor's extra iterations can hit the
     solver's cap, where solutions DO degrade (converged=False; see
@@ -107,6 +116,8 @@ def make_adam_multi_step(
 
     @jax.jit
     def multi_step(params, opt_state, idx_chunk, key):
+        if recluster_fn is not None:
+            params = recluster_fn(params)
         precond = precond_fn(params) if precond_fn is not None else None
 
         def body(carry, idx):
@@ -154,6 +165,7 @@ def train_using_adam_and_update(
     steps_per_call: int = 1,
     mesh=None,
     precond_fn=None,
+    recluster_fn=None,
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
@@ -180,7 +192,11 @@ def train_using_adam_and_update(
     ``iterations`` rounds up to a multiple of K.  ``precond_fn`` (requires
     ``steps_per_call > 1``) freezes the CG preconditioner per chunk — see
     :func:`make_adam_multi_step`; ``loss_fn`` must then take
-    ``(params, batch, key, precond_state)``.
+    ``(params, batch, key, precond_state)``.  ``recluster_fn`` (requires
+    ``steps_per_call > 1``, exclusive with an in-training ``update_fn``)
+    re-selects inducing points ON DEVICE inside every dispatch — see
+    :func:`make_adam_multi_step` and
+    :func:`cggp_tpu.selection.covernet.make_device_recluster_fn`.
 
     Observability (SURVEY.md section 5 additions over the reference): per-step
     wall time goes to the monitor as ``train/step_time_ms``; with
@@ -198,6 +214,19 @@ def train_using_adam_and_update(
             "to the model's own per-step build, just with a different "
             "loss_fn signature"
         )
+    if recluster_fn is not None:
+        if steps_per_call <= 1:
+            raise ValueError(
+                "recluster_fn (fully-fused re-clustering) requires "
+                "steps_per_call > 1 — it re-selects inducing points inside "
+                "each scan-chunked dispatch"
+            )
+        if update_fn is not None and update_during_training:
+            raise ValueError(
+                "pass either recluster_fn (device, inside the dispatch) or "
+                "update_fn with update_during_training (host, between "
+                "dispatches), not both — they would re-cluster twice"
+            )
 
     if mesh is not None:
         if steps_per_call > 1:
@@ -221,7 +250,8 @@ def train_using_adam_and_update(
         from cggp_tpu.training.batching import minibatch_index_iterator
 
         multi_step = make_adam_multi_step(loss_fn, optimizer, data, trainable_mask,
-                                          precond_fn=precond_fn)
+                                          precond_fn=precond_fn,
+                                          recluster_fn=recluster_fn)
         idx_chunks = minibatch_index_iterator(
             data_key, data[0].shape[0], batch_size, steps_per_call
         )
