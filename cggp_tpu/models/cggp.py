@@ -58,7 +58,12 @@ def _jitted_extremal_eigs(model):
     traced once and the transient [M, M] Gram is freed at program exit)."""
 
     def estimate(params):
-        kmm = model.kernel.K(params["kernel"], params["inducing_points"])
+        # Masked system on capacity-padded params: pad eigenvalues are
+        # exactly their Lambda (= noise/1), inside the real spectrum's span,
+        # so the kappa estimate matches the real submatrix's.
+        kmm = model._masked_kmm(
+            params["kernel"], params["inducing_points"], model._mask_of(params)
+        )
         kmm_lambda = add_diagonal(kmm, model.diag_variance(params)[:, 0])
         return lanczos_extremal_eigs(
             jax.lax.stop_gradient(kmm_lambda), jax.random.PRNGKey(0),
@@ -99,6 +104,124 @@ class CGGP(ClusterGP):
     def __post_init__(self):
         if self.conjugate_gradient is None:
             raise ValueError("CGGP requires a ConjugateGradient instance")
+
+    # -- capacity padding / masking (net-new) --------------------------------
+    #
+    # ``init_params(capacity=C)`` pins the inducing dimension to a fixed C
+    # with pad_inducing-convention pads + an ``inducing_mask`` param, the
+    # same contract as the masked row-solve family (models/rowcg.py): pads
+    # are EXACT no-ops in every objective (masked kernel coupling, masked
+    # probes, masked KL constant), so re-clustering swaps buffer contents
+    # without changing shapes — host updates stop recompiling the training
+    # program, and ``assign_clusters_device`` composes into a jitted chunk
+    # (make_adam_multi_step(recluster_fn=...)).  Params without the mask key
+    # behave exactly as before.
+
+    @staticmethod
+    def _mask_of(params: Dict):
+        mask = params.get("inducing_mask")
+        return None if mask is None else jax.lax.stop_gradient(mask)[:, 0]
+
+    def _masked_kmm(self, kp, z, mask):
+        """``K(Z, Z)`` with pad rows/cols zeroed (incl. the pad diagonal —
+        the pad block of ``Kmm + Lambda`` is then exactly ``diag(Lambda)``,
+        decoupled at ANY lengthscale, not just by far-coordinate underflow)."""
+        kmm = self.kernel.K(kp, z)  # jitter = 0 (models.py:300, :333)
+        if mask is None:
+            return kmm
+        return kmm * (mask[:, None] * mask[None, :])
+
+    def _masked_kmn(self, kp, z, x, mask):
+        kmn = self.kernel.K(kp, z, x)
+        return kmn if mask is None else kmn * mask[:, None]
+
+    def _pad_multiple_for(self, m: int) -> int:
+        return 1  # dense model: any capacity works (no panel/mesh constraint)
+
+    def init_params(self, inducing_points, pseudo_u=None, cluster_counts=None,
+                    capacity: Optional[int] = None, **kwargs) -> Dict:
+        params = super().init_params(
+            inducing_points, pseudo_u=pseudo_u, cluster_counts=cluster_counts,
+            **kwargs,
+        )
+        if capacity is None:
+            return params  # unpadded: identical to the pre-capacity model
+        from cggp_tpu.ops.cg_implicit import pad_inducing
+
+        m_real = params["inducing_points"].shape[0]
+        dtype = params["inducing_points"].dtype
+        capacity = int(capacity)
+        if capacity < m_real:
+            raise ValueError(f"capacity {capacity} < real inducing count {m_real}")
+        z, _lam, u_t, counts_t, mask_t = pad_inducing(
+            params["inducing_points"],
+            jnp.ones(m_real, dtype),
+            capacity,  # pad_inducing pads to a multiple; m <= C makes it C
+            params["pseudo_u"].T,
+            params["cluster_counts"].T,
+            jnp.ones((1, m_real), dtype),
+        )
+        params["inducing_points"] = z
+        params["pseudo_u"] = u_t.T
+        counts = counts_t.T
+        params["cluster_counts"] = jnp.where(counts == 0.0, 1.0, counts)
+        params["inducing_mask"] = mask_t.T
+        return params
+
+    def assign_clusters(self, params: Dict, iv, means, counts) -> Dict:
+        """Host re-clustering assign; on capacity-padded params the new
+        selection is RE-PADDED to the same capacity (the mask would
+        otherwise go stale against a shape-changed Z)."""
+        if "inducing_mask" not in params:
+            return super().assign_clusters(params, iv, means, counts)
+        capacity = params["inducing_points"].shape[0]
+        from cggp_tpu.ops.cg_implicit import pad_inducing
+
+        dtype = params["inducing_points"].dtype
+        iv = jnp.asarray(iv, dtype)
+        if iv.shape[0] > capacity:
+            raise ValueError(
+                f"re-clustered M={iv.shape[0]} exceeds the pinned capacity "
+                f"{capacity}; raise capacity at init_params or coarsen the "
+                "selection"
+            )
+        z, _lam, u_t, counts_t, mask_t = pad_inducing(
+            iv, jnp.ones(iv.shape[0], dtype), capacity,
+            jnp.asarray(means, dtype).T, jnp.asarray(counts, dtype).T,
+            jnp.ones((1, iv.shape[0]), dtype),
+        )
+        counts_p = counts_t.T
+        return self.assign_clusters_device(
+            params, z, u_t.T, jnp.where(counts_p == 0.0, 1.0, counts_p),
+            mask_t.T,
+        )
+
+    def assign_clusters_device(self, params: Dict, z, u, counts, mask) -> Dict:
+        """Fixed-capacity re-clustering swap — jit-composable (pure dict
+        update, no shape change); arguments come from
+        ``selection.covernet.covernet_update_padded``."""
+        if "inducing_mask" not in params:
+            raise ValueError(
+                "assign_clusters_device needs capacity-padded params — "
+                "build them with init_params(capacity=...)"
+            )
+        if z.shape != params["inducing_points"].shape:
+            raise ValueError(
+                f"capacity mismatch: new Z {z.shape} vs params "
+                f"{params['inducing_points'].shape}"
+            )
+        new = dict(params)
+        new["inducing_points"] = z
+        new["pseudo_u"] = jnp.asarray(u, z.dtype)
+        new["cluster_counts"] = jnp.asarray(counts, z.dtype)
+        new["inducing_mask"] = jnp.asarray(mask, z.dtype)
+        return new
+
+    def trainable_mask(self, params: Dict, *args, **kwargs) -> Dict:
+        mask = super().trainable_mask(params, *args, **kwargs)
+        if "inducing_mask" in mask:
+            mask["inducing_mask"] = False
+        return mask
 
     def _build_preconditioner(self, kp, z, kmm, var, key):
         """Per-step solver-state preconditioner (None when disabled); shared
@@ -174,8 +297,14 @@ class CGGP(ClusterGP):
         var = self.diag_variance(params)
         m = z.shape[0]
         dtype = z.dtype
+        mask = self._mask_of(params)
+        if mask is not None and self.num_probes is None:
+            raise ValueError(
+                "capacity-padded CGGP requires num_probes (the "
+                "identity-solve trace/logdet path cannot mask pad rows)"
+            )
 
-        kmm = self.kernel.K(kp, z)  # jitter = 0
+        kmm = self._masked_kmm(kp, z, mask)
         kmm_lambda = add_diagonal(kmm, var[:, 0])
 
         cg = self.conjugate_gradient
@@ -194,6 +323,8 @@ class CGGP(ClusterGP):
             logdet_probes = None
         else:
             probes = rademacher(key_probes, (m, self.num_probes), dtype)
+            if mask is not None:
+                probes = probes * mask[:, None]
             if self.fuse_kl_solves:
                 # One batched solve for [u | probes]: [M, P+1] RHS.
                 rhs = jnp.concatenate([u, probes], axis=-1)
@@ -218,12 +349,15 @@ class CGGP(ClusterGP):
                 key=key_logdet,
                 lanczos_iters=self.slq_lanczos_iters,
                 preconditioner=precond,
+                mask=mask,
             )
         else:
             logdet = eval_logdet(kmm_lambda, cg, num_probes=logdet_probes,
-                                 key=key_logdet, preconditioner=precond)
+                                 key=key_logdet, preconditioner=precond,
+                                 mask=mask)
 
-        const = jnp.sum(jnp.log(var))
+        log_var = jnp.log(var)
+        const = jnp.sum(log_var if mask is None else log_var * mask[:, None])
         return 0.5 * (quad - trace + logdet - const)
 
     def predict_f(self, params: Dict, x_new: Array, full_cov: bool = False) -> Tuple[Array, Array]:
@@ -231,9 +365,10 @@ class CGGP(ClusterGP):
         z = params["inducing_points"]
         u = params["pseudo_u"]
         var = self.diag_variance(params)
+        mask = self._mask_of(params)
 
-        kmm = self.kernel.K(kp, z)  # jitter = 0 (models.py:333)
-        kmn = self.kernel.K(kp, z, x_new)  # [M, T]
+        kmm = self._masked_kmm(kp, z, mask)  # jitter = 0 (models.py:333)
+        kmn = self._masked_kmn(kp, z, x_new, mask)  # [M, T]
         kmm_lambda = add_diagonal(kmm, var[:, 0])
 
         cg = self.conjugate_gradient
@@ -313,7 +448,8 @@ class CGGP(ClusterGP):
         z = params["inducing_points"]
         u = params["pseudo_u"]
         var = self.diag_variance(params)
-        kmm = self.kernel.K(kp, z)
+        mask = self._mask_of(params)
+        kmm = self._masked_kmm(kp, z, mask)
         kmm_lambda = add_diagonal(kmm, var[:, 0])
         if solver == "auto":
             solver = self._auto_serving_solver(kmm_lambda)
@@ -325,7 +461,7 @@ class CGGP(ClusterGP):
             # carrying it would double the cache's HBM at large M.
             return CGGPPosterior(
                 kernel_params=kp, inducing_points=z, kmm_lambda=None,
-                nu=nu, precond_state=(), chol=chol,
+                nu=nu, precond_state=(), chol=chol, inducing_mask=mask,
             )
         precond = self._build_preconditioner(
             kp, z, kmm, var, key if key is not None else jax.random.PRNGKey(0)
@@ -349,6 +485,7 @@ class CGGP(ClusterGP):
             return CGGPPosterior(
                 kernel_params=kp, inducing_points=z, kmm_lambda=None,
                 nu=nu, precond_state=(), chol=None, lanczos_r=lanczos_r,
+                inducing_mask=mask,
             )
         return CGGPPosterior(
             kernel_params=kp,
@@ -357,6 +494,7 @@ class CGGP(ClusterGP):
             nu=nu,
             precond_state=() if precond is None else precond.state,
             chol=None,
+            inducing_mask=mask,
         )
 
     def resolve_serving_solver(self, params: Dict) -> str:
@@ -398,7 +536,8 @@ class CGGP(ClusterGP):
 
     def posterior_mean(self, post: "CGGPPosterior", x_new: Array) -> Array:
         """CG-free serving mean: ``K(x, Z) @ nu``, one skinny matmul."""
-        kmn = self.kernel.K(post.kernel_params, post.inducing_points, x_new)
+        kmn = self._masked_kmn(post.kernel_params, post.inducing_points,
+                               x_new, post.inducing_mask)
         return kmn.T @ post.nu
 
     def posterior_predict(self, post: "CGGPPosterior", x_new: Array,
@@ -408,7 +547,7 @@ class CGGP(ClusterGP):
         either way the per-batch u column and preconditioner build are gone."""
         kp = post.kernel_params
         z = post.inducing_points
-        kmn = self.kernel.K(kp, z, x_new)  # [M, T]
+        kmn = self._masked_kmn(kp, z, x_new, post.inducing_mask)  # [M, T]
         if post.lanczos_r is not None:
             # LOVE path: two skinny matmuls, no solve (conservative
             # over-estimates; math in ops/logdet.love_variance).
@@ -468,10 +607,11 @@ class CGGP(ClusterGP):
         var = self.diag_variance(params)
         m = z.shape[0]
         dtype = z.dtype
+        mask = self._mask_of(params)
 
-        kmm = self.kernel.K(kp, z)  # jitter = 0 (models.py:300, :333)
+        kmm = self._masked_kmm(kp, z, mask)  # jitter = 0 (models.py:300, :333)
         kmm_lambda = add_diagonal(kmm, var[:, 0])
-        kmn = self.kernel.K(kp, z, x)  # [M, B]
+        kmn = self._masked_kmn(kp, z, x, mask)  # [M, B]
 
         cg = self.conjugate_gradient
         # One up-front split (key discipline: no key both consumed and
@@ -486,6 +626,9 @@ class CGGP(ClusterGP):
             # fresh Rademacher batch, models.py:37-44) — but solved in the
             # SAME fused CG launch.
             logdet_probes = rademacher(key_logdet, (m, self.num_probes), dtype)
+        if mask is not None:
+            probes = probes * mask[:, None]
+            logdet_probes = logdet_probes * mask[:, None]
 
         # Solver state, not part of the differentiated model.
         if precond_override is None:
@@ -510,15 +653,16 @@ class CGGP(ClusterGP):
         if use_slq:
             logdet = slq_logdet(kmm_lambda, cg, num_probes=self.num_probes,
                                 key=key_logdet, lanczos_iters=self.slq_lanczos_iters,
-                                preconditioner=precond)
+                                preconditioner=precond, mask=mask)
         else:
             # The logdet gradient reuses this launch's probe solutions — zero
             # extra CG loops (the reference re-solves in its custom gradient,
-            # models.py:32-44).
+            # models.py:32-44).  (Masked probes keep pad rows out of it.)
             logdet = eval_logdet_from_solves(
                 kmm_lambda, logdet_probes, jax.lax.stop_gradient(inv_logdet_probes)
             )
-        const = jnp.sum(jnp.log(var))
+        log_var = jnp.log(var)
+        const = jnp.sum(log_var if mask is None else log_var * mask[:, None])
         kl = 0.5 * (quad - trace + logdet - const)
 
         # -- data term (models.py:324-354 predict + variational expectations) --
@@ -560,10 +704,11 @@ class CGGP(ClusterGP):
         u = params["pseudo_u"]
         var = self.diag_variance(params)
         m = z.shape[0]
+        mask = self._mask_of(params)
 
-        kmm = self.kernel.K(kp, z)
+        kmm = self._masked_kmm(kp, z, mask)
         kmm_lambda = add_diagonal(kmm, var[:, 0])
-        kmn = self.kernel.K(kp, z, x)
+        kmn = self._masked_kmn(kp, z, x, mask)
         p = self.num_probes or 0
         key_probes, key_pre = jax.random.split(key)
         probes = (
@@ -571,6 +716,8 @@ class CGGP(ClusterGP):
             if p
             else jnp.zeros((m, 0), z.dtype)
         )
+        if mask is not None:
+            probes = probes * mask[:, None]
         rhs = jnp.concatenate([u, probes, kmn], axis=-1)
         # Same preconditioner as the training solve: stats reflect what the
         # optimizer actually pays.
@@ -596,6 +743,8 @@ class CGGPPosterior(NamedTuple):
     # (solver="chol": per-batch variance = two triangular solves, no CG)
     lanczos_r: Optional[Array] = None  # [k, M] LOVE quad cache
     # (solver="lanczos": per-batch variance = two skinny matmuls, no solve)
+    inducing_mask: Optional[Array] = None  # [M] 1-real/0-pad row mask of a
+    # capacity-padded model (masks the serving Kmn; None = unpadded)
 
 
 class _StatePreconditioner:

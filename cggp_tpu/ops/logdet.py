@@ -123,24 +123,34 @@ def eval_logdet(
     num_probes: Optional[int] = None,
     key: Optional[jax.Array] = None,
     preconditioner=None,
+    mask: Optional[Array] = None,
 ) -> Array:
     """Zero-valued log-det whose gradient is ``A^{-1}`` via CG.
 
     Matches reference models.py:21-48: with ``num_probes=None`` the gradient
     solves against the identity; otherwise it uses ``num_probes`` Rademacher
     probes drawn from ``key``.  ``preconditioner`` (optional) preconditions
-    the gradient's internal solves.
+    the gradient's internal solves.  ``mask`` [n] zeroes probe entries at the
+    pad rows of a capacity-padded system (requires ``num_probes``: the
+    identity-solve variant has no probes to mask).
     """
     n = matrix.shape[-1]
     (apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
      matvec_impl, relative, state) = _cg_static(cg, n, preconditioner)
     if num_probes is None:
+        if mask is not None:
+            raise ValueError(
+                "eval_logdet(mask=...) requires num_probes — the "
+                "identity-solve gradient would re-couple the pad rows"
+            )
         probes = jnp.zeros((n, 1), dtype=matrix.dtype)  # placeholder, unused
         use_probes = False
     else:
         if key is None:
             raise ValueError("eval_logdet with num_probes requires an explicit PRNG key")
         probes = rademacher(key, (n, num_probes), matrix.dtype)
+        if mask is not None:
+            probes = probes * mask[:, None]
         use_probes = True
     return _eval_logdet(
         apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
@@ -229,8 +239,15 @@ def _lanczos_tridiag(matrix: Array, v0: Array, num_iters: int):
 
 
 def _slq_value(matrix: Array, probes: Array, lanczos_iters: int) -> Array:
-    """SLQ estimate of ``logdet(A)`` from normalised Rademacher probes [n, P]."""
-    n = matrix.shape[-1]
+    """SLQ estimate of ``logdet(A)`` from Rademacher probes [n, P].
+
+    Each probe's quadrature is scaled by its own ``||z||^2`` (the Hutchinson
+    weight — the same trick the sharded twin uses,
+    parallel/sharded_cg.make_sharded_slq_value): for full Rademacher probes
+    that is exactly ``n`` (value unchanged), while MASKED probes (pad-aware
+    models zero pad entries) automatically target the real submatrix's
+    dimension instead of over-counting by n/k.
+    """
     dtype = matrix.dtype
 
     def one_probe(z):
@@ -239,10 +256,10 @@ def _slq_value(matrix: Array, probes: Array, lanczos_iters: int) -> Array:
         evals, evecs = jnp.linalg.eigh(t)
         evals = jnp.maximum(evals, jnp.finfo(dtype).tiny)
         weights = jnp.square(evecs[0, :])
-        return jnp.sum(weights * jnp.log(evals))
+        return jnp.sum(z * z) * jnp.sum(weights * jnp.log(evals))
 
     per_probe = jax.vmap(one_probe, in_axes=1)(probes)
-    return jnp.asarray(n, dtype) * jnp.mean(per_probe)
+    return jnp.mean(per_probe)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
@@ -285,6 +302,7 @@ def slq_logdet(
     key: jax.Array,
     lanczos_iters: int = 25,
     preconditioner=None,
+    mask: Optional[Array] = None,
 ) -> Array:
     """Stochastic-Lanczos-quadrature log-det *value* with CG-probe gradient.
 
@@ -292,11 +310,17 @@ def slq_logdet(
     forward value is a genuine estimate of ``logdet(A)`` so ELBO values are
     meaningful; the backward rule is the same Rademacher/CG trace estimator,
     preserving the reference's gradient path.
+
+    ``mask`` [n] (1 real / 0 pad) zeroes probe entries at pad rows, so both
+    the value (``||z||^2``-scaled quadrature) and the gradient target the
+    real submatrix of a capacity-padded system exactly.
     """
     n = matrix.shape[-1]
     (apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
      matvec_impl, relative, state) = _cg_static(cg, n, preconditioner)
     probes = rademacher(key, (n, num_probes), matrix.dtype)
+    if mask is not None:
+        probes = probes * mask[:, None]
     return _slq_logdet(
         apply_fn, threshold, max_iterations, max_steps_cycle, dot_name,
         matvec_impl, relative, int(lanczos_iters), matrix, probes, state,
