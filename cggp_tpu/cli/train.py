@@ -67,6 +67,15 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
          "units for euclidean, kernel units for covernet -d "
          "covariance/correlation (bounded by sqrt(2*variance) resp. 1).",
 )
+@click.option(
+    "--recluster", type=click.Choice(["between", "fused"]), default="between",
+    help="When re-clustering runs during training: 'between' = host update "
+         "between dispatches (reference cli.py:153-162 semantics); 'fused' "
+         "= the covernet update runs INSIDE each jitted K-step dispatch on "
+         "a capacity-pinned model (requires -c covernet, --steps-per-call "
+         "> 1; -m sets the capacity) — zero host roundtrips, no recompiles "
+         "as M drifts.",
+)
 @click.option("-l", "--learning-rate", type=float, default=0.01)
 @click.option("-e", "--error-threshold", type=float, default=1e-5)
 @click.option("-r", "--record-step", type=int, default=100)
@@ -141,11 +150,11 @@ def main(ctx, dataset_fn, kernel, logdir, seed, jit):
 @click.pass_context
 def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                     distance_type, clustering_type, spatial_resolution,
-                    learning_rate, error_threshold, record_step, num_devices,
-                    precondition, precond_rank, relative_threshold,
-                    resume_from, checkpoint_every, trainable_u, steps_per_call,
-                    precond_refresh, matrix_free, block, max_cg_iterations,
-                    tensorboard):
+                    recluster, learning_rate, error_threshold, record_step,
+                    num_devices, precondition, precond_rank,
+                    relative_threshold, resume_from, checkpoint_every,
+                    trainable_u, steps_per_call, precond_refresh, matrix_free,
+                    block, max_cg_iterations, tensorboard):
     """Adam training on the CGGP model (reference cli.py:79-162).
 
     With ``--num-devices`` the model is the net-new :class:`ShardedCGGP`
@@ -283,6 +292,64 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         distance_type=distance_type, seed=obj["seed"], **clustering_kwargs,
     )
 
+    recluster_fn = None
+    if recluster == "fused":
+        # Fully-fused re-clustering: pin the inducing dimension to a fixed
+        # capacity (mask-padded, exact no-ops) and run the covernet update
+        # inside each jitted dispatch — see make_adam_multi_step.
+        if clustering_type != "covernet":
+            raise click.UsageError("--recluster fused requires -c covernet")
+        if steps_per_call <= 1:
+            raise click.UsageError(
+                "--recluster fused needs --steps-per-call > 1 (it runs "
+                "inside the scan-chunked dispatch)")
+        if num_devices is not None:
+            raise click.UsageError(
+                "--recluster fused is single-chip in the CLI (the library "
+                "path composes with ShardedCGGP — see "
+                "selection.covernet.make_device_recluster_fn)")
+        if trainable_u:
+            raise click.UsageError(
+                "--recluster fused overwrites pseudo_u every dispatch; "
+                "it is incompatible with --trainable-u")
+        from cggp_tpu.selection.covernet import (
+            covernet_update_inducing_parameters,
+            make_device_recluster_fn,
+        )
+
+        ck = {k: v for k, v in clustering_kwargs.items() if k != "max_points"}
+        ck["lloyds"] = 0  # per-chunk updates run lloyds=0; keep init consistent
+        if distance_type != "euclidean":
+            ck.update(kernel=model.kernel, kernel_params=params["kernel"])
+        iv, u0, c0 = covernet_update_inducing_parameters(
+            train_data, distance_type=distance_type, **ck
+        )
+        cap = num_inducing_points or 1 << int(iv.shape[0]).bit_length()
+        if cap < iv.shape[0]:
+            raise click.UsageError(
+                f"-m {cap} is below the initial net size {iv.shape[0]}; "
+                "raise -m or --spatial-resolution")
+        fresh = model.init_params(
+            iv, pseudo_u=u0, cluster_counts=c0, capacity=cap, dtype=iv.dtype
+        )
+        # Keep the (possibly resumed) hyperparameters; only the inducing
+        # state moves to the capacity-pinned layout.
+        for k in params:
+            if k not in ("inducing_points", "pseudo_u", "cluster_counts",
+                         "inducing_mask"):
+                fresh[k] = params[k]
+        params = fresh
+        recluster_fn = make_device_recluster_fn(
+            model, train_data, spatial_resolution, cap, lloyds=0,
+            distance_type=distance_type,
+        )
+        update_fn = None
+        info["capacity"] = cap
+        click.echo(f"fused re-clustering: m0={iv.shape[0]} pinned at "
+                   f"capacity {cap}, update runs inside each "
+                   f"{steps_per_call}-step dispatch")
+    info["recluster"] = recluster
+
     metrics_fn = make_metrics_callback(
         model, train_data, test_data,
         batch_size=batch_size * 5, key=key, use_jit=obj["jit"],
@@ -368,6 +435,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         steps_per_call=steps_per_call,
         mesh=train_mesh,
         precond_fn=precond_fn,
+        recluster_fn=recluster_fn,
     )
     save_config_dir(logdir, params, info)
     monitor.close()

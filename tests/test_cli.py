@@ -546,3 +546,34 @@ def test_uci_cdgp_implicit(runner, tmp_path):
     # ~1e-3 residual, so scores differ at the ~1e-4 relative level.
     np.testing.assert_allclose(out["test/rmse"], dense["test/rmse"],
                                rtol=1e-3)
+
+
+def test_train_cggp_adam_fused_recluster(runner, tmp_path):
+    logdir = tmp_path / "fused"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir), "-s", "0",
+        "train-cggp-adam", "-n", "50", "-b", "64", "-m", "16",
+        "-c", "covernet", "-d", "euclidean", "--spatial-resolution", "0.5",
+        "--recluster", "fused", "--steps-per-call", "25",
+        "--no-tensorboard",
+    ])
+    assert "fused re-clustering" in result.output
+    assert (logdir / "params.npz").exists()
+    import json
+
+    info = json.loads((logdir / "info.json").read_text())
+    assert info["recluster"] == "fused" and info["capacity"] == 16
+    # capacity-pinned buffers in the saved params
+    params = np.load(logdir / "params.npz")
+    assert params["inducing_points"].shape[0] == 16
+
+
+def test_train_fused_recluster_usage_errors(runner, tmp_path):
+    result = runner.invoke(cli, [
+        "train", "-d", "synthetic1d", "-l", str(tmp_path / "x"), "-s", "0",
+        "train-cggp-adam", "-n", "4", "-b", "64",
+        "-c", "kmeans", "-m", "8", "--recluster", "fused",
+        "--steps-per-call", "2", "--no-tensorboard",
+    ], catch_exceptions=False)
+    assert result.exit_code != 0
+    assert "requires -c covernet" in result.output
