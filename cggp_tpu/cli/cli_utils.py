@@ -446,6 +446,13 @@ def create_update_fn(
         }
         if distance_type != "euclidean":
             # Kernel metrics: Lloyd's mean-shift is euclidean geometry.
+            # An explicit --lloyds N would be silently dropped — refuse
+            # (same contract as the library fn's ValueError).
+            if clustering_kwargs.get("lloyds"):
+                raise ValueError(
+                    "covernet Lloyd's refinement is euclidean-only; drop "
+                    f"--lloyds with -d {distance_type}"
+                )
             covernet_kwargs["lloyds"] = 0
 
         def update_fn(params: Dict) -> Dict:

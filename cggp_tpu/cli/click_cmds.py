@@ -66,8 +66,9 @@ def make_selection_groups() -> Dict[str, click.Group]:
                   help="Hard cap on M (net truncated with a warning, like "
                        "every other strategy's -m). Default: grow until the "
                        "resolution's full net fits.")
-    @click.option("--lloyds", type=int, default=1,
-                  help="Separation-preserving Lloyd's refinement rounds.")
+    @click.option("--lloyds", type=int, default=None,
+                  help="Separation-preserving Lloyd's refinement rounds "
+                       "(default 1; euclidean metric only).")
     @click.option("-d", "--distance-type", type=DistanceChoices, default="euclidean")
     @click.pass_context
     def covernet(ctx, spatial_resolution, max_num_ip, lloyds, distance_type):

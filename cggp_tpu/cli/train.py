@@ -324,7 +324,22 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         iv, u0, c0 = covernet_update_inducing_parameters(
             train_data, distance_type=distance_type, **ck
         )
-        cap = num_inducing_points or 1 << int(iv.shape[0]).bit_length()
+        if num_inducing_points:
+            cap = num_inducing_points
+            multiple = model._pad_multiple_for(cap)
+            if cap % multiple != 0:
+                raise click.UsageError(
+                    f"-m {cap} must be a multiple of {multiple} for this "
+                    "model (--matrix-free pads to the panel --block)")
+        else:
+            # ~25% drift headroom, rounded up to the model's pad multiple
+            # (and a lane-friendly 64).  Tighter than a pow2 snap: capacity
+            # padding is the dominant cost knob — the [C, C] system runs at
+            # (C/m)^2-ish the flops of the real one (PERF.md dense fused
+            # re-clustering A/B).
+            want = int(iv.shape[0]) + max(int(iv.shape[0]) // 4, 8)
+            multiple = max(model._pad_multiple_for(want), 64)
+            cap = -(-want // multiple) * multiple
         if cap < iv.shape[0]:
             raise click.UsageError(
                 f"-m {cap} is below the initial net size {iv.shape[0]}; "
@@ -349,6 +364,15 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                    f"capacity {cap}, update runs inside each "
                    f"{steps_per_call}-step dispatch")
     info["recluster"] = recluster
+    if recluster_fn is not None:
+        # Kernel-metric nets can outgrow the capacity mid-training; the
+        # in-jit update truncates SILENTLY (warnings cannot fire there), so
+        # surface the live real-center count as a monitor scalar: m_real ==
+        # capacity is the saturation tell.
+        def _m_real_callback(step, p):
+            return {"selection/m_real": float(p["inducing_mask"].sum())}
+    else:
+        _m_real_callback = None
 
     metrics_fn = make_metrics_callback(
         model, train_data, test_data,
@@ -366,6 +390,9 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             lambda step, p: save_checkpoint(Path(logdir) / "ckpt", p, step),
             record_step=checkpoint_every,
         )
+    if _m_real_callback is not None:
+        monitor.add_callback("m_real", _m_real_callback,
+                             record_step=record_step)
     if hasattr(model, "cg_stats"):
         # Solver observability: iterations + residual of the fused solve.
         monitor.add_callback(

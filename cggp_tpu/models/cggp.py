@@ -283,7 +283,14 @@ class CGGP(ClusterGP):
         kp = params["kernel"]
         z = params["inducing_points"]
         var = self.diag_variance(params)
-        kmm = self.kernel.K(jax.lax.stop_gradient(kp), jax.lax.stop_gradient(z))
+        # Masked system on capacity-padded params: unmasked Kmm would let
+        # pivchol burn its rank on pad pivots (full K_diag at far coords)
+        # and rff sketch garbage pad rows — same reason rowcg.precond_state
+        # masks (rowcg.py:137-163).
+        kmm = self._masked_kmm(
+            jax.lax.stop_gradient(kp), jax.lax.stop_gradient(z),
+            self._mask_of(params),
+        )
         precond = self._build_preconditioner(
             kp, z, kmm, var,
             key if key is not None else jax.random.PRNGKey(0),

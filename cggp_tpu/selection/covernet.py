@@ -95,7 +95,10 @@ def _scan_loop(
     ``pair_metric(a, b) -> [n, m]`` yields the quantity compared against
     ``thresh`` (squared distance vs resolution^2 for euclidean/covariance,
     plain correlation distance vs resolution).  Returns
-    ``(z [max_points, D], count)``.
+    ``(z [max_points, D], count, overflow)`` — ``overflow`` is True iff a
+    greedy-accepted point was dropped for lack of buffer space (i.e. the
+    true net is LARGER than max_points; count == max_points alone cannot
+    distinguish an exact fit from truncation).
     """
     npad, d = x_pad.shape
     nblocks = npad // block_size
@@ -104,7 +107,7 @@ def _scan_loop(
     earlier = bidx[None, :] < bidx[:, None]
 
     def block_body(b, state):
-        z, count = state
+        z, count, overflow = state
         xb = jax.lax.dynamic_slice_in_dim(x_pad, b * block_size, block_size)
         valid = (b * block_size + bidx) < n_valid
 
@@ -147,14 +150,18 @@ def _scan_loop(
         write = accepted & (pos < max_points)
         safe_pos = jnp.where(write, pos, max_points)  # OOB rows -> dropped
         z = z.at[safe_pos].set(xb, mode="drop")
+        # A greedy-accepted point that did not fit = genuine truncation
+        # (distinguishes an exactly-capacity net from a clipped one).
+        overflow = overflow | jnp.any(accepted & ~write)
         count = jnp.minimum(
             count + jnp.sum(accepted, dtype=jnp.int32), max_points
         ).astype(jnp.int32)
-        return z, count
+        return z, count, overflow
 
     z0 = jnp.zeros((max_points, d), dtype=x_pad.dtype)
     return jax.lax.fori_loop(
-        0, nblocks, block_body, (z0, jnp.asarray(0, jnp.int32))
+        0, nblocks, block_body,
+        (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
 
 
@@ -252,20 +259,22 @@ def covernet_select(
     n_valid = jnp.asarray(n, jnp.int32)
 
     if max_points is None:
-        cap = min(max(1024, 64), max(n, 64))
+        cap = min(1024, max(n, 64))
     else:
         cap = min(max(int(max_points), 1), n)
 
     while True:
         if distance_type == "euclidean":
-            z, count = _covernet_scan(x_pad, n_valid, thresh, cap, block_size)
+            z, count, overflow = _covernet_scan(
+                x_pad, n_valid, thresh, cap, block_size
+            )
         else:
-            z, count = _covernet_scan_kernel(
+            z, count, overflow = _covernet_scan_kernel(
                 kernel, kernel_params, x_pad, n_valid, thresh, cap, block_size,
                 distance_type,
             )
         m = int(count)
-        if m < cap or cap >= n:
+        if not bool(overflow):
             break
         if max_points is not None:
             # Explicit cap: truncate like kmeans/oips/uniform bound M, but
@@ -438,9 +447,11 @@ def covernet_update_padded(
     capacity = int(capacity)
 
     if distance_type == "euclidean":
-        z_buf, count = _covernet_scan(x_pad, n_valid, thresh, capacity, block_size)
+        z_buf, count, _overflow = _covernet_scan(
+            x_pad, n_valid, thresh, capacity, block_size
+        )
     else:
-        z_buf, count = _covernet_scan_kernel(
+        z_buf, count, _overflow = _covernet_scan_kernel(
             kernel, kernel_params, x_pad, n_valid, thresh, capacity,
             block_size, distance_type,
         )
@@ -483,9 +494,9 @@ def make_device_recluster_fn(
     multiple = model._pad_multiple_for(int(capacity))
     if int(capacity) % multiple != 0:
         raise ValueError(
-            f"capacity {capacity} must divide the model's pad multiple "
-            f"({multiple}: mesh size for ShardedCGGP, panel block for "
-            "ImplicitCGGP)"
+            f"capacity {capacity} must be a multiple of {multiple} "
+            "(the model's pad multiple: mesh size for ShardedCGGP, panel "
+            "block for ImplicitCGGP)"
         )
 
     def recluster(params: Dict) -> Dict:
