@@ -70,7 +70,8 @@ def sample_gpr_prior(kernel: Kernel, kp, inputs: Array, key, jitter: float = 1e-
 
 
 def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
-              solver_dtype=None, precondition: str = None):
+              solver_dtype=None, precondition: str = None,
+              selection: str = "covertree"):
     """One dimension's resolution sweep; returns a list of row dicts.
 
     Ground truth — the GP-prior sample, the exact GPR posterior, and the W2
@@ -109,7 +110,18 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
 
     rows = []
     for resolution in resolutions:
-        iv, means, counts = covertree_update_inducing_parameters(data, float(resolution))
+        if selection == "covernet":
+            from cggp_tpu.selection.covernet import (
+                covernet_update_inducing_parameters,
+            )
+
+            iv, means, counts = covernet_update_inducing_parameters(
+                data, float(resolution)
+            )
+        else:
+            iv, means, counts = covertree_update_inducing_parameters(
+                data, float(resolution)
+            )
         m = iv.shape[0]
 
         cg = ConjugateGradient(1e-6, max_iterations=max(m, 8))
@@ -144,6 +156,7 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
 
         row = {
             "dim": dim,
+            "selection": selection,
             "resolution": float(resolution),
             "num_inducing_points": int(m),
             "condition_number": float(eigvals.max() / eigvals.min()),
@@ -152,7 +165,8 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
             "cg_iterations": int(stats.steps),
             "wasserstein2": w2,
         }
-        bad = [k for k, v in row.items() if not np.isfinite(v)]
+        bad = [k for k, v in row.items()
+               if not isinstance(v, str) and not np.isfinite(v)]
         if bad:
             click.echo(
                 f"WARNING dim={dim} res={resolution}: non-finite {bad} — "
@@ -181,8 +195,15 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
     default="none",
     help="Per-solve preconditioner for the CDGP side (net-new, round-3).",
 )
+@click.option(
+    "--selection", type=click.Choice(["covertree", "covernet"]),
+    default="covertree",
+    help="Inducing-point selection for the CDGP side: the reference's host "
+         "cover tree, or the device delta-net with the same separation/"
+         "coverage guarantees (net-new) — outputs get a _covernet suffix.",
+)
 def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot,
-         precondition):
+         precondition, selection):
     """Reference paper_visualization (:151-213).
 
     ``-p fp64`` reproduces the reference protocol end-to-end in fp64.
@@ -200,13 +221,16 @@ def main(logdir, precision, num_data, seed, noise, dims, resolutions, plot,
     suffix = "_fp32" if precision == np.float32 else ""
     if precondition is not None:
         suffix += f"_{precondition}"
+    if selection != "covertree":
+        suffix += f"_{selection}"
 
     import pandas as pd
 
     all_rows = []
     for dim in dims:
         rows = run_sweep(dim, num_data, resolutions, noise, seed,
-                         solver_dtype=solver_dtype, precondition=precondition)
+                         solver_dtype=solver_dtype, precondition=precondition,
+                         selection=selection)
         all_rows.extend(rows)
         frame = pd.DataFrame(rows)
         out = Path(logdir, f"condition_wasserstein_dim{dim}{suffix}.csv")
