@@ -9,6 +9,7 @@ from cggp_tpu.selection.kmeans import kmeans_indices_and_distances, kmeans_lloyd
 from cggp_tpu.selection.points import greedy_selection, oips, uniform
 from cggp_tpu.selection.covertree import CoverTree
 from cggp_tpu.selection.covernet import (
+    covernet_extend,
     covernet_lloyds,
     covernet_select,
     covernet_update_inducing_parameters,
@@ -26,6 +27,7 @@ __all__ = [
     "oips",
     "uniform",
     "CoverTree",
+    "covernet_extend",
     "covernet_lloyds",
     "covernet_select",
     "covernet_update_inducing_parameters",

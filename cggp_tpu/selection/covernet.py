@@ -89,6 +89,7 @@ def _kernel_metric(kernel, kp, a: Array, b: Array, distance_type: str) -> Array:
 def _scan_loop(
     pair_metric, x_pad: Array, n_valid: Array, thresh: Array,
     max_points: int, block_size: int,
+    z_init: Optional[Array] = None, count_init: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Blocked exact greedy net scan over a pairwise metric.
 
@@ -158,10 +159,17 @@ def _scan_loop(
         ).astype(jnp.int32)
         return z, count, overflow
 
-    z0 = jnp.zeros((max_points, d), dtype=x_pad.dtype)
+    if z_init is None:
+        z0 = jnp.zeros((max_points, d), dtype=x_pad.dtype)
+        c0 = jnp.asarray(0, jnp.int32)
+    else:
+        # Streaming continuation: the scan starts with an already-accepted
+        # center prefix — new points only become centers when they clear
+        # every existing one (see covernet_extend).
+        z0 = z_init
+        c0 = jnp.asarray(count_init, jnp.int32)
     return jax.lax.fori_loop(
-        0, nblocks, block_body,
-        (z0, jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+        0, nblocks, block_body, (z0, c0, jnp.asarray(False))
     )
 
 
@@ -171,6 +179,16 @@ def _covernet_scan(
 ) -> Tuple[Array, Array]:
     """Euclidean greedy delta-net scan (squared distances vs resolution^2)."""
     return _scan_loop(_sqdist, x_pad, n_valid, delta2, max_points, block_size)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _covernet_scan_extend(
+    x_pad: Array, n_valid: Array, delta2: Array, max_points: int,
+    block_size: int, z_init: Array, count_init: Array,
+) -> Tuple[Array, Array]:
+    """Euclidean scan continuing from an accepted-center prefix."""
+    return _scan_loop(_sqdist, x_pad, n_valid, delta2, max_points, block_size,
+                      z_init=z_init, count_init=count_init)
 
 
 @partial(jax.jit, static_argnums=(0, 5, 6, 7))
@@ -287,6 +305,62 @@ def covernet_select(
             break
         cap = min(cap * 2, n)
     return z[:m], m
+
+
+def covernet_extend(
+    z: Array,
+    x_new: Array,
+    resolution: float,
+    max_points: Optional[int] = None,
+    block_size: int = 4096,
+) -> Tuple[Array, int]:
+    """Streaming net growth: extend an existing net ``z`` with new data.
+
+    Returns the updated ``(z', m')`` — the original centers (unchanged, as a
+    prefix) plus every ``x_new`` point that clears ``resolution`` against
+    all centers accepted before it.  EXACTLY equal to
+    ``covernet_select(concat(x_old, x_new), resolution)`` when ``z`` was the
+    net of ``x_old`` (covered old points would be re-rejected anyway), so
+    online ingestion needs only the new block — the covertree has no
+    incremental analogue (the reference rebuilds the whole tree per update,
+    optimize.py:19-38).  ``max_points`` caps the TOTAL like
+    :func:`covernet_select` (None = grow as needed).
+    """
+    z = jnp.asarray(z)
+    x_new = jnp.asarray(x_new, z.dtype)
+    m0, d = z.shape
+    n = x_new.shape[0]
+    block_size = int(min(block_size, max(64, 1 << max(n - 1, 1).bit_length())))
+    pad = (-n) % block_size
+    if pad:
+        x_pad = jnp.concatenate([x_new, jnp.broadcast_to(x_new[:1], (pad, d))])
+    else:
+        x_pad = x_new
+    delta2 = jnp.asarray(resolution, z.dtype) ** 2
+    n_valid = jnp.asarray(n, jnp.int32)
+
+    if max_points is None:
+        cap = max(64, 1 << (max(m0 + 64, 1) - 1).bit_length())
+    else:
+        cap = max(int(max_points), m0)
+
+    while True:
+        z_init = jnp.zeros((cap, d), z.dtype).at[:m0].set(z)
+        zb, count, overflow = _covernet_scan_extend(
+            x_pad, n_valid, delta2, cap, block_size,
+            z_init, jnp.asarray(m0, jnp.int32),
+        )
+        m = int(count)
+        if not bool(overflow):
+            break
+        if max_points is not None:
+            warnings.warn(
+                f"covernet_extend: net truncated at max_points={cap}; "
+                "separation holds, coverage of the new data is incomplete."
+            )
+            break
+        cap = cap * 2
+    return zb[:m], m
 
 
 def covernet_lloyds(

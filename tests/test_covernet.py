@@ -466,3 +466,40 @@ def test_init_params_capacity_validation(rng):
     p = model.init_params(x[:10], pseudo_u=u, cluster_counts=counts, capacity=32)
     assert p["inducing_points"].shape == (32, 2)
     assert int(p["inducing_mask"].sum()) == 10
+
+
+def test_covernet_extend_equals_full_scan(rng):
+    """Streaming growth == from-scratch net over the concatenation (old
+    covered points would be re-rejected, so only the new block matters)."""
+    from cggp_tpu.selection import covernet_extend
+
+    x1 = rng.normal(size=(400, 2))
+    x2 = rng.normal(size=(350, 2)) + 1.5  # partly new territory
+    res = 0.4
+    z1, m1 = covernet_select(jnp.asarray(x1), res, block_size=128)
+    z2, m2 = covernet_extend(z1, jnp.asarray(x2), res, block_size=128)
+    z_full, m_full = covernet_select(
+        jnp.asarray(np.concatenate([x1, x2])), res, block_size=128
+    )
+    assert m2 == m_full > m1
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z_full), atol=1e-12)
+    # the original centers are an unchanged prefix
+    np.testing.assert_allclose(np.asarray(z2[:m1]), np.asarray(z1), atol=0)
+
+
+def test_covernet_extend_cap_and_noop(rng):
+    from cggp_tpu.selection import covernet_extend
+
+    x1 = rng.normal(size=(300, 2))
+    res = 0.5
+    z1, m1 = covernet_select(jnp.asarray(x1), res)
+    # Re-feeding covered data adds nothing.
+    z_same, m_same = covernet_extend(z1, jnp.asarray(x1), res)
+    assert m_same == m1
+    # A hard cap truncates with a warning.
+    x2 = rng.normal(size=(300, 2)) + 10.0
+    with warnings.catch_warnings(record=True) as captured:
+        warnings.simplefilter("always")
+        z2, m2 = covernet_extend(z1, jnp.asarray(x2), res, max_points=m1 + 2)
+    assert m2 == m1 + 2
+    assert any("truncated" in str(w.message) for w in captured)
