@@ -305,6 +305,31 @@ def main() -> None:
         out["itergpr"] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"itergpr section failed: {exc}", flush=True)
     checkpoint()
+
+    # Round-3 late additions: covernet selection A/B + dense fused
+    # re-clustering — child scripts with their own JSON lines.
+    for name, script, flags in (
+        ("covernet", "covernet_chip.py", ["--fine"]),
+        ("dense_recluster", "dense_recluster_chip.py", []),
+    ):
+        if args.tiny:
+            break
+        print(f"== {name} ==", flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", script), *flags],
+                capture_output=True, text=True, timeout=1800,
+                env=dict(os.environ),
+            )
+            rows = [json.loads(l) for l in proc.stdout.splitlines()
+                    if l.startswith("{")]
+            out[name] = rows or {"error": proc.stderr[-500:]}
+            for r in rows:
+                print(json.dumps(r), flush=True)
+        except Exception as exc:  # noqa: BLE001
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"{name} section failed: {exc}", flush=True)
+        checkpoint()
     print(f"wrote {path}", flush=True)
 
     # Markdown for docs/PERF.md
