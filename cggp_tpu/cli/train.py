@@ -303,11 +303,10 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             raise click.UsageError(
                 "--recluster fused needs --steps-per-call > 1 (it runs "
                 "inside the scan-chunked dispatch)")
-        if num_devices is not None:
-            raise click.UsageError(
-                "--recluster fused is single-chip in the CLI (the library "
-                "path composes with ShardedCGGP — see "
-                "selection.covernet.make_device_recluster_fn)")
+        # --num-devices composes: steps_per_call > 1 keeps batches
+        # replicated (the trainer's rule), while the ShardedCGGP KL stays
+        # M-sharded internally; capacity % num_devices is validated below
+        # through the model's pad multiple.
         if trainable_u:
             raise click.UsageError(
                 "--recluster fused overwrites pseudo_u every dispatch; "
@@ -330,7 +329,8 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             if cap % multiple != 0:
                 raise click.UsageError(
                     f"-m {cap} must be a multiple of {multiple} for this "
-                    "model (--matrix-free pads to the panel --block)")
+                    "model (--matrix-free pads to the panel --block; "
+                    "--num-devices to the mesh size)")
         else:
             # ~25% drift headroom, rounded up to the model's pad multiple
             # (and a lane-friendly 64).  Tighter than a pow2 snap: capacity

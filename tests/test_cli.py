@@ -577,3 +577,18 @@ def test_train_fused_recluster_usage_errors(runner, tmp_path):
     ], catch_exceptions=False)
     assert result.exit_code != 0
     assert "requires -c covernet" in result.output
+
+
+def test_train_fused_recluster_sharded(runner, tmp_path):
+    logdir = tmp_path / "fused_sharded"
+    result = _run(runner, [
+        "train", "-d", "synthetic1d", "-l", str(logdir), "-s", "0",
+        "train-cggp-adam", "-n", "50", "-b", "64", "-m", "16",
+        "-c", "covernet", "-d", "euclidean", "--spatial-resolution", "0.5",
+        "--recluster", "fused", "--steps-per-call", "25",
+        "--num-devices", "4", "--no-tensorboard",
+    ])
+    assert "fused re-clustering" in result.output
+    params = np.load(logdir / "params.npz")
+    assert params["inducing_points"].shape[0] == 16
+    assert np.isfinite(params["pseudo_u"]).all()
