@@ -272,7 +272,7 @@ def main() -> None:
     print(json.dumps(result), flush=True)
 
 
-def run_e2e_subprocess(timeout_s: int = 480) -> dict:
+def run_e2e_subprocess(timeout_s: int = 780) -> dict:
     """Run ``end_to_end_metrics`` in a child process with a hard deadline.
 
     The e2e program's first compile through the remote-device tunnel can take
@@ -280,7 +280,10 @@ def run_e2e_subprocess(timeout_s: int = 480) -> dict:
     would be lost too.  A child process bounds that risk: on timeout or crash
     the parent still prints the one-line JSON with an ``e2e_error`` note.
     The child shares the persistent compile cache, so a warm rerun finishes
-    in well under a minute.
+    in well under a minute.  The budget must also absorb this host's wildly
+    variable vCPU (the same covertree build measured 3.5-150 s across idle
+    runs — hypervisor steal); a 480 s cap was observed to clip an otherwise
+    green run.
     """
     import os
     import subprocess
@@ -376,6 +379,15 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # 6.7 s -> 0.10 s warm at this shape, 67.7 s -> 0.23 s at res 0.15 —
     # scripts/covernet_chip.py, docs/PERF.md), at a slightly different m.
     selection = os.environ.get("CGGP_BENCH_SELECTION", "covertree")
+    # Timer hygiene: the child's FIRST device round-trips (H2D of the data,
+    # the jnp.sum reduce compile, tunnel warmup) previously landed inside the
+    # selection window and dominated it (recorded 150-247 s for a build that
+    # measures 3-26 s on its own — tunnel first-touch, not tree cost).  Sync
+    # the transfers and warm the reduce program first, and hand the host
+    # tree its own host copy (it is a host component; the reference pulls
+    # .numpy() the same way, optimize.py:25).
+    xh, yh = np.asarray(x), np.asarray(y)
+    float(jnp.sum(x))
     t_sel = time.perf_counter()
     if selection == "covernet":
         iv, u, counts = covernet_update_inducing_parameters(
@@ -383,11 +395,34 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         )
     else:
         iv, u, counts = covertree_update_inducing_parameters(
-            (x, y), spatial_resolution=0.35
+            (xh, yh), spatial_resolution=0.35
         )
     float(jnp.sum(iv))  # device->host fetch = sync (tunnel methodology)
     selection_wall = time.perf_counter() - t_sel
     m = int(iv.shape[0])
+
+    # Side measurement: the TPU-native covernet (same separation/coverage
+    # guarantees, docs/PERF.md covernet section) timed next to whatever the
+    # pipeline ran, so the artifact carries the device-selection headline
+    # without changing the training workload identity (m stays the tree's).
+    # The host tree's wall is contention-sensitive (it shares this 1-core
+    # box with the harness; 6.6 s uncontended vs 246 s measured under a
+    # concurrent chip sweep) — the device net is not.
+    covernet_extra = {}
+    if selection != "covernet":
+        try:
+            t0 = time.perf_counter()
+            iv_net, _, _ = covernet_update_inducing_parameters(
+                (x, y), spatial_resolution=0.35, max_points=2048
+            )
+            float(jnp.sum(iv_net))
+            covernet_extra = {
+                "e2e_selection_covernet_wall_s":
+                    round(time.perf_counter() - t0, 3),
+                "e2e_selection_covernet_m": int(iv_net.shape[0]),
+            }
+        except Exception as exc:  # noqa: BLE001 — side metric, never fatal
+            covernet_extra = {"e2e_selection_covernet_error": str(exc)[:200]}
     model = CGGP(
         kernel=Matern32(),
         conjugate_gradient=ConjugateGradient(
@@ -521,6 +556,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         "e2e_train_wall_s": round(train_wall, 3),
         "e2e_serve_wall_s": round(serve_wall, 3),
         "e2e_selection_wall_s": round(selection_wall, 3),
+        **covernet_extra,
     }
 
 
