@@ -108,20 +108,16 @@ def run_sweep(dim: int, num_data: int, resolutions, noise: float, seed: int,
     x_lo = x.astype(solver_dtype)
     kp_lo = jax.tree_util.tree_map(lambda a: jnp.asarray(a, solver_dtype), dict(kp))
 
+    if selection == "covernet":
+        from cggp_tpu.selection.covernet import (
+            covernet_update_inducing_parameters as update_fn,
+        )
+    else:
+        update_fn = covertree_update_inducing_parameters
+
     rows = []
     for resolution in resolutions:
-        if selection == "covernet":
-            from cggp_tpu.selection.covernet import (
-                covernet_update_inducing_parameters,
-            )
-
-            iv, means, counts = covernet_update_inducing_parameters(
-                data, float(resolution)
-            )
-        else:
-            iv, means, counts = covertree_update_inducing_parameters(
-                data, float(resolution)
-            )
+        iv, means, counts = update_fn(data, float(resolution))
         m = iv.shape[0]
 
         cg = ConjugateGradient(1e-6, max_iterations=max(m, 8))

@@ -9,6 +9,7 @@ random-subset Z, per-step re-clustering *during* training (cli.py:153-162).
 from __future__ import annotations
 
 import json
+import math
 from pathlib import Path
 from typing import Optional
 
@@ -338,7 +339,11 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             # (C/m)^2-ish the flops of the real one (PERF.md dense fused
             # re-clustering A/B).
             want = int(iv.shape[0]) + max(int(iv.shape[0]) // 4, 8)
-            multiple = max(model._pad_multiple_for(want), 64)
+            # lcm, not max: the rounded capacity must satisfy BOTH the
+            # model's pad multiple (mesh size / panel block — e.g. 6 devices)
+            # and the lane-friendly 64; max(6, 64)=64 is not a multiple of 6
+            # and init_params would raise.
+            multiple = math.lcm(model._pad_multiple_for(want), 64)
             cap = -(-want // multiple) * multiple
         if cap < iv.shape[0]:
             raise click.UsageError(

@@ -203,6 +203,22 @@ def _covernet_scan_kernel(
     return _scan_loop(metric, x_pad, n_valid, thresh, max_points, block_size)
 
 
+def _pad_blocks(x: Array, block_size: int) -> Tuple[Array, Array, int]:
+    """Shared scan plumbing: clamp ``block_size`` to the data (pow2, >=64)
+    and pad the row count to a block multiple with copies of ``x[0]``
+    (rejected by the scan via ``n_valid``).  Returns
+    ``(x_pad, n_valid, block_size)`` — used by both :func:`covernet_select`
+    and :func:`covernet_extend` so the pad/clamp rules cannot drift apart."""
+    n, d = x.shape
+    block_size = int(min(block_size, max(64, 1 << max(n - 1, 1).bit_length())))
+    pad = (-n) % block_size
+    if pad:
+        x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
+    else:
+        x_pad = x
+    return x_pad, jnp.asarray(n, jnp.int32), block_size
+
+
 def covernet_select(
     x: Array,
     resolution: float,
@@ -235,13 +251,8 @@ def covernet_select(
     """
     x = jnp.asarray(x)  # numpy float64 in -> default float (silently) here,
     # not inside the jit where an explicit-dtype request would warn
-    n, d = x.shape
-    block_size = int(min(block_size, max(64, 1 << (n - 1).bit_length())))
-    pad = (-n) % block_size
-    if pad:
-        x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
-    else:
-        x_pad = x
+    n = x.shape[0]
+    x_pad, n_valid, block_size = _pad_blocks(x, block_size)
     if distance_type == "euclidean":
         thresh = jnp.asarray(resolution, x_pad.dtype) ** 2
     elif distance_type in ("covariance", "correlation"):
@@ -274,7 +285,6 @@ def covernet_select(
             )
     else:
         raise ValueError(f"unknown distance_type {distance_type!r}")
-    n_valid = jnp.asarray(n, jnp.int32)
 
     if max_points is None:
         cap = min(1024, max(n, 64))
@@ -324,24 +334,26 @@ def covernet_extend(
     online ingestion needs only the new block — the covertree has no
     incremental analogue (the reference rebuilds the whole tree per update,
     optimize.py:19-38).  ``max_points`` caps the TOTAL like
-    :func:`covernet_select` (None = grow as needed).
+    :func:`covernet_select` (None = grow as needed).  Existing centers are
+    never dropped: ``max_points < len(z)`` keeps all of ``z`` (with a
+    warning) and accepts nothing new.
     """
     z = jnp.asarray(z)
     x_new = jnp.asarray(x_new, z.dtype)
     m0, d = z.shape
     n = x_new.shape[0]
-    block_size = int(min(block_size, max(64, 1 << max(n - 1, 1).bit_length())))
-    pad = (-n) % block_size
-    if pad:
-        x_pad = jnp.concatenate([x_new, jnp.broadcast_to(x_new[:1], (pad, d))])
-    else:
-        x_pad = x_new
+    x_pad, n_valid, block_size = _pad_blocks(x_new, block_size)
     delta2 = jnp.asarray(resolution, z.dtype) ** 2
-    n_valid = jnp.asarray(n, jnp.int32)
 
     if max_points is None:
         cap = max(64, 1 << (max(m0 + 64, 1) - 1).bit_length())
     else:
+        if int(max_points) < m0:
+            warnings.warn(
+                f"covernet_extend: max_points={int(max_points)} is below "
+                f"the existing net size {m0}; existing centers are never "
+                "dropped, so no new centers will be accepted."
+            )
         cap = max(int(max_points), m0)
 
     while True:
@@ -355,8 +367,9 @@ def covernet_extend(
             break
         if max_points is not None:
             warnings.warn(
-                f"covernet_extend: net truncated at max_points={cap}; "
-                "separation holds, coverage of the new data is incomplete."
+                f"covernet_extend: net truncated at max_points="
+                f"{int(max_points)} (buffer {cap}); separation holds, "
+                "coverage of the new data is incomplete."
             )
             break
         cap = cap * 2

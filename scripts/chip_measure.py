@@ -321,9 +321,21 @@ def main() -> None:
                 capture_output=True, text=True, timeout=1800,
                 env=dict(os.environ),
             )
-            rows = [json.loads(l) for l in proc.stdout.splitlines()
-                    if l.startswith("{")]
-            out[name] = rows or {"error": proc.stderr[-500:]}
+            rows = []
+            for l in proc.stdout.splitlines():
+                if l.startswith("{"):
+                    try:
+                        rows.append(json.loads(l))
+                    except ValueError:
+                        pass  # truncated/interleaved line; keep the good rows
+            if proc.returncode != 0:
+                # Partial rows are NOT a complete artifact — mark the crash
+                # so a half-finished A/B can't masquerade as a full one.
+                out[name] = {"error": f"rc={proc.returncode}: "
+                                      f"{proc.stderr[-500:]}",
+                             "partial_rows": rows}
+            else:
+                out[name] = rows or {"error": proc.stderr[-500:]}
             for r in rows:
                 print(json.dumps(r), flush=True)
         except Exception as exc:  # noqa: BLE001
