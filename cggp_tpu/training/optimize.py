@@ -849,7 +849,8 @@ def _posterior_takes_data(model) -> bool:
 def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
                        mean_only: bool = False, use_posterior: bool = True,
-                       posterior_solver: str = "auto", mesh=None):
+                       posterior_solver: str = "auto", mesh=None,
+                       scan: object = "auto"):
     """Full-dataset posterior (mean, var), asynchronously pipelined (net-new).
 
     One jitted predict per fixed-size batch, dispatched back-to-back with NO
@@ -881,6 +882,15 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
     path and a single-device-style model — a model that runs its own
     shard_map collectives over the same mesh (ShardedCGGP) would conflict
     with row-sharded inputs and is rejected.
+
+    ``scan`` (net-new, round 3): ``"auto"`` routes SOLVE-FREE posterior
+    caches (chol / LOVE) through :func:`posterior_predict_scan` — the whole
+    sweep as one device dispatch, removing per-batch host round trips
+    (chip-measured: identical mean+var throughput at a dispatch-free 1%
+    variance, mean-only 25.6M vs the loop's 2.2-8.6M points/s at reference
+    scale).  ``False`` keeps the python loop; ``True`` forces the scan even
+    for a CG posterior (see the cliff warning above).  ``mesh`` serving
+    always uses the loop (the scan carries no sharding annotations).
     """
     if mesh is not None:
         if not use_posterior:
@@ -992,6 +1002,32 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                     model, "cg", mesh)
                 post = build(params, train_data) \
                     if _posterior_takes_data(model) else build(params)
+        # mean_only is solve-free for EVERY family (a kmn @ nu matmul);
+        # mean+var is solve-free unless the cache's solver fields say the
+        # per-batch program is CG (chol/lanczos_r present-but-None — the
+        # CGGP/RowCGGP "cg" branch, or IterGPR without a LOVE cache).
+        solve_free = mean_only or not _posterior_serves_via_cg(post)
+        use_scan = mesh is None and (
+            scan is True or (scan == "auto" and solve_free)
+        )
+        if use_scan:
+            try:
+                return posterior_predict_scan(
+                    model, post, x, batch_size=batch_size,
+                    mean_only=mean_only,
+                )
+            except Exception as exc:  # noqa: BLE001 — compile/runtime failure
+                # Same crash-proofing contract as the per-batch probe above:
+                # an auto-routed scan falls back to the loop; a FORCED scan
+                # fails loudly.
+                if scan is True:
+                    raise
+                warnings.warn(
+                    "posterior_predict_scan failed to build/run "
+                    f"({type(exc).__name__}); falling back to the dispatch "
+                    "loop",
+                    RuntimeWarning,
+                )
         if mean_only:
             means = [
                 post_mean(post, x_pad[i * batch_size : (i + 1) * batch_size])
@@ -1010,3 +1046,62 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         means.append(mu)
         variances.append(var)
     return jnp.concatenate(means)[:n], jnp.concatenate(variances)[:n]
+
+
+def _posterior_serves_via_cg(post) -> bool:
+    """True when a posterior cache's per-batch mean+var program runs CG (a
+    ``while_loop``): its solver fields exist but are all unset — the
+    CGGP/RowCGGP ``solver="cg"`` branch, or IterGPR without a LOVE cache.
+    Caches without solver fields at all (GPR/SGPR/Chol families) and caches
+    with a factor or LOVE rows are solve-free."""
+    has_solver_fields = hasattr(post, "chol") or hasattr(post, "lanczos_r")
+    return (has_solver_fields
+            and getattr(post, "chol", None) is None
+            and getattr(post, "lanczos_r", None) is None)
+
+
+def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
+                           mean_only: bool = False):
+    """Whole-dataset serving from a prebuilt posterior cache as ONE device
+    program (net-new, TPU-first): ``lax.map`` over fixed-size row blocks.
+
+    Complements :func:`predict_in_batches`, whose docstring records the
+    scan-over-CG negative result: with a SOLVE-FREE per-batch program — the
+    chol cache's ``cho_solve`` + matmuls, or the LOVE cache's two skinny
+    matmuls — there is no ``while_loop`` for the scan to de-optimize, and
+    the whole sweep compiles to a single dispatch.  That removes every
+    per-batch host round trip: through a remote-device tunnel the python
+    loop pays 1.5-5 ms dispatch latency per batch (measured 1.6-5.6M
+    points/s run-to-run variance at reference scale, tunnel-state
+    dependent); the one-dispatch sweep is dispatch-invariant.  A CG-branch
+    posterior (``chol is None`` and no ``lanczos_r``) nests its
+    ``while_loop`` inside the scan and regresses 12-20x — route that shape
+    through :func:`predict_in_batches` (warned, not rejected: small sweeps
+    may still prefer one dispatch).
+
+    Jit-composable: wrap in ``jax.jit`` with ``post`` as an argument so
+    repeated serves reuse the compiled program.  Returns
+    ``(mean [N, P], var [N, 1])`` — or ``(mean, None)`` with ``mean_only``.
+    """
+    if (not mean_only and _posterior_serves_via_cg(post)
+            and not isinstance(getattr(post, "nu", None), jax.core.Tracer)):
+        warnings.warn(
+            "posterior_predict_scan: this posterior serves through CG (no "
+            "chol/LOVE cache); the while_loop inside lax.map is 12-20x "
+            "slower on TPU — prefer predict_in_batches for this shape",
+            RuntimeWarning,
+        )
+    n, d = x.shape
+    batch_size = min(int(batch_size), n)
+    pad = (-n) % batch_size
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
+    blocks = x.reshape(-1, batch_size, d)
+    if mean_only:
+        mu = jax.lax.map(lambda xb: model.posterior_mean(post, xb), blocks)
+        return mu.reshape(-1, mu.shape[-1])[:n], None
+    mu, var = jax.lax.map(
+        lambda xb: model.posterior_predict(post, xb, full_cov=False), blocks
+    )
+    return (mu.reshape(-1, mu.shape[-1])[:n],
+            var.reshape(-1, var.shape[-1])[:n])

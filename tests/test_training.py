@@ -516,6 +516,61 @@ def test_predict_in_batches_posterior_paths(rng):
                            mean_only=True, use_posterior=False)
 
 
+def test_posterior_predict_scan_matches_loop(rng):
+    """The one-dispatch lax.map serving sweep equals the python-loop path
+    exactly (same per-batch program over the same blocks), including the
+    tail-padding strip, mean_only, LOVE caches, and under an outer jit."""
+    import pytest as _pytest
+
+    from cggp_tpu.training.optimize import posterior_predict_scan
+
+    data = _toy_data(rng, n=100)
+    model, params = _make_cggp(data, m=8)
+    x_query = _toy_data(rng, n=37)[0]  # non-multiple of batch_size -> padding
+
+    post = model.posterior(params, solver="chol")
+    mu_ref, var_ref = model.posterior_predict(post, x_query, full_cov=False)
+
+    mu, var = posterior_predict_scan(model, post, x_query, batch_size=16)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-4, atol=1e-6)
+    assert mu.shape == (37, 1) and var.shape == (37, 1)
+
+    mu_m, none_var = posterior_predict_scan(model, post, x_query,
+                                            batch_size=16, mean_only=True)
+    assert none_var is None
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_ref),
+                               rtol=1e-5, atol=1e-7)
+
+    # jit-composable with post as an argument (the production serving shape)
+    serve = jax.jit(lambda p, xq: posterior_predict_scan(
+        model, p, xq, batch_size=16))
+    mu_j, var_j = serve(post, x_query)
+    np.testing.assert_allclose(np.asarray(mu_j), np.asarray(mu),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_j), np.asarray(var),
+                               rtol=1e-6, atol=1e-8)
+
+    # LOVE cache: solve-free per batch; scan output equals its loop output
+    post_l = model.posterior(params, solver="lanczos")
+    mu_l_ref, var_l_ref = model.posterior_predict(post_l, x_query)
+    mu_l, var_l = posterior_predict_scan(model, post_l, x_query, batch_size=16)
+    np.testing.assert_allclose(np.asarray(mu_l), np.asarray(mu_l_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(var_l), np.asarray(var_l_ref),
+                               rtol=1e-4, atol=1e-6)
+
+    # a CG-branch posterior warns (while_loop-in-scan cliff) but still works
+    post_cg = model.posterior(params, solver="cg")
+    with _pytest.warns(RuntimeWarning, match="12-20x"):
+        mu_c, var_c = posterior_predict_scan(model, post_cg, x_query,
+                                             batch_size=16)
+    np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_monitor_fires_in_chunked_training(rng, tmp_path):
     """Regression (code-review finding): with steps_per_call=K the monitor
     step must stay a multiple of K so record_step gates remain satisfiable —
