@@ -136,17 +136,41 @@ def main() -> None:
                     sweeps.append(time.perf_counter() - t0)
                 mean_pps = 4 * BATCH / min(sweeps)
 
+                # One-dispatch lax.map sweep (round 3: the solve-free
+                # chol/LOVE per-batch programs scan cleanly —
+                # training/optimize.posterior_predict_scan); the CG branch
+                # hits the while_loop-in-scan cliff and keeps the loop.
+                scan_pps = None
+                if solver != "cg":
+                    from cggp_tpu.training.optimize import (
+                        posterior_predict_scan,
+                    )
+
+                    serve_scan = jax.jit(lambda post, xq: sum(map(
+                        jnp.sum,
+                        posterior_predict_scan(model, post, xq, BATCH))))
+                    float(serve_scan(post, x))  # compile
+                    sweeps = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        acc = serve_scan(post, x)
+                        float(acc)
+                        sweeps.append(time.perf_counter() - t0)
+                    scan_pps = round(4 * BATCH / min(sweeps), 1)
+
                 row = {
                     "platform": platform, "M": m, "batch": BATCH,
                     "solver": solver,
                     "build_wall_s": round(build_wall, 4),
                     "predict_points_per_sec": round(predict_pps, 1),
+                    "scan_points_per_sec": scan_pps,
                     "mean_points_per_sec": round(mean_pps, 1),
                 }
             except Exception as exc:  # noqa: BLE001 — record, keep sweeping
                 row = {"platform": platform, "M": m, "batch": BATCH,
                        "solver": solver, "build_wall_s": None,
                        "predict_points_per_sec": None,
+                       "scan_points_per_sec": None,
                        "mean_points_per_sec": None,
                        "error": f"{type(exc).__name__}"[:80]}
             rows.append(row)
@@ -155,7 +179,8 @@ def main() -> None:
     out = Path(args.out, "serving_results.csv")
     with out.open("w", newline="") as f:
         fields = ["platform", "M", "batch", "solver", "build_wall_s",
-                  "predict_points_per_sec", "mean_points_per_sec", "error"]
+                  "predict_points_per_sec", "scan_points_per_sec",
+                  "mean_points_per_sec", "error"]
         w = csv.DictWriter(f, fieldnames=fields, restval="")
         w.writeheader()
         w.writerows(rows)
