@@ -571,6 +571,34 @@ def test_posterior_predict_scan_matches_loop(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_posterior_serves_via_cg_classification(rng):
+    """The scan auto-router must classify every family's cache correctly:
+    solver fields present-but-unset = CG per batch (loop); a factor, LOVE
+    rows, or no solver fields at all = solve-free (scan)."""
+    from cggp_tpu.training.optimize import _posterior_serves_via_cg
+
+    data = _toy_data(rng, n=60)
+    model, params = _make_cggp(data, m=8)
+    assert not _posterior_serves_via_cg(model.posterior(params, solver="chol"))
+    assert not _posterior_serves_via_cg(
+        model.posterior(params, solver="lanczos"))
+    assert _posterior_serves_via_cg(model.posterior(params, solver="cg"))
+
+    from cggp_tpu.models import GPR, SGPR
+
+    gpr = GPR(kernel=SquaredExponential())
+    assert not _posterior_serves_via_cg(
+        gpr.posterior(gpr.init_params(input_dim=2), data))
+
+    from cggp_tpu.models import IterGPR
+
+    ig = IterGPR(kernel=SquaredExponential(), max_cg_iterations=16)
+    igp = ig.init_params(2, noise_variance=0.1)
+    assert _posterior_serves_via_cg(ig.posterior(igp, data))  # CG variance
+    assert not _posterior_serves_via_cg(
+        ig.posterior(igp, data, solver="lanczos"))
+
+
 def test_monitor_fires_in_chunked_training(rng, tmp_path):
     """Regression (code-review finding): with steps_per_call=K the monitor
     step must stay a multiple of K so record_step gates remain satisfiable —
