@@ -345,6 +345,7 @@ def covernet_extend(
     x_pad, n_valid, block_size = _pad_blocks(x_new, block_size)
     delta2 = jnp.asarray(resolution, z.dtype) ** 2
 
+    warned_below = False
     if max_points is None:
         cap = max(64, 1 << (max(m0 + 64, 1) - 1).bit_length())
     else:
@@ -354,6 +355,7 @@ def covernet_extend(
                 f"the existing net size {m0}; existing centers are never "
                 "dropped, so no new centers will be accepted."
             )
+            warned_below = True  # the truncation warning would be redundant
         cap = max(int(max_points), m0)
 
     while True:
@@ -366,11 +368,12 @@ def covernet_extend(
         if not bool(overflow):
             break
         if max_points is not None:
-            warnings.warn(
-                f"covernet_extend: net truncated at max_points="
-                f"{int(max_points)} (buffer {cap}); separation holds, "
-                "coverage of the new data is incomplete."
-            )
+            if not warned_below:
+                warnings.warn(
+                    f"covernet_extend: net truncated at max_points="
+                    f"{int(max_points)} (buffer {cap}); separation holds, "
+                    "coverage of the new data is incomplete."
+                )
             break
         cap = cap * 2
     return zb[:m], m

@@ -18,6 +18,8 @@ from cggp_tpu.training.optimize import (
     make_metrics_callback,
     make_param_callback,
     make_adam_multi_step,
+    posterior_predict_scan,
+    predict_in_batches,
     train_using_adam_and_update,
     train_using_device_lbfgs,
     train_using_lbfgs_and_update,
@@ -38,6 +40,8 @@ __all__ = [
     "Monitor",
     "create_monitor",
     "make_cg_stats_callback",
+    "posterior_predict_scan",
+    "predict_in_batches",
     "make_metrics_callback",
     "make_param_callback",
     "make_adam_multi_step",

@@ -846,6 +846,16 @@ def _posterior_takes_data(model) -> bool:
     return "data" in inspect.signature(model.posterior).parameters
 
 
+@functools.lru_cache(maxsize=64)
+def _cached_scan_jit(model, batch_size: int, mean_only: bool):
+    """Jitted one-dispatch serving sweep, cached per (model, batch, mode) —
+    same rationale as :func:`_cached_posterior_jits`: a fresh closure per
+    call would re-trace AND re-compile the whole lax.map program every
+    serve (minutes through a remote-device tunnel)."""
+    return jax.jit(lambda post, xq: posterior_predict_scan(
+        model, post, xq, batch_size=batch_size, mean_only=mean_only))
+
+
 def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
                        mean_only: bool = False, use_posterior: bool = True,
@@ -910,8 +920,13 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
         batch_size = min(-(-batch_size // d) * d, -(-n // d) * d)
     num_batches = -(-n // batch_size)
     pad = num_batches * batch_size - n
-    x_pad = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, x.shape[-1]))], axis=0) \
-        if pad else x
+
+    def _padded():
+        # Deferred: the scan route pads internally, so the loop/probe copy
+        # would be a wasted O(N*d) device allocation on the default path.
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (pad, x.shape[-1]))], axis=0
+        ) if pad else x
 
     # The cache applies when the model's posterior() signature matches what
     # the caller can supply: params-only models without a train_data
@@ -922,6 +937,11 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
     if mean_only and not posterior_capable:
         raise ValueError(
             "mean_only serving needs a posterior()-capable model"
+        )
+    if scan is True and (mesh is not None or not posterior_capable):
+        raise ValueError(
+            "scan=True needs the posterior-cache path (use_posterior=True, "
+            "a posterior()-capable model, matching train_data) and no mesh"
         )
 
     if posterior_capable:
@@ -973,6 +993,41 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
             build, post_predict, post_mean = _cached_posterior_jits(model, "cg", mesh)
             post = build(params, train_data) if _posterior_takes_data(model) \
                 else build(params)
+        # mean_only is solve-free for EVERY family (a kmn @ nu matmul);
+        # mean+var is solve-free unless the cache's solver fields say the
+        # per-batch program is CG (chol/lanczos_r present-but-None — the
+        # CGGP/RowCGGP "cg" branch, or IterGPR without a LOVE cache).
+        # Decided BEFORE the per-batch probe below: on the scan route the
+        # probe's compiled program would never run (a wasted tunnel compile
+        # + one batch of compute), and a scan failure falls THROUGH to the
+        # probe + loop, which keeps its own chol->cg crash-proofing.
+        solve_free = mean_only or not _posterior_serves_via_cg(post)
+        use_scan = mesh is None and (
+            scan is True or (scan == "auto" and solve_free)
+        )
+        if use_scan:
+            try:
+                serve = _cached_scan_jit(model, batch_size, mean_only)
+                out = serve(post, x)
+                # Sync before declaring success: execution failures surface
+                # asynchronously (RESOURCE_EXHAUSTED on a memory-tight chip),
+                # and escaping this try would crash the caller instead of
+                # falling back.  [1]-element fetch, same rationale as the
+                # probe below.
+                jax.tree_util.tree_map(lambda a: np.asarray(a[:1]), out)
+                return out
+            except Exception as exc:  # noqa: BLE001 — compile/runtime failure
+                # An auto-routed scan falls back to the dispatch loop; a
+                # FORCED scan fails loudly.
+                if scan is True:
+                    raise
+                warnings.warn(
+                    "posterior_predict_scan failed to build/run "
+                    f"({type(exc).__name__}); falling back to the dispatch "
+                    "loop",
+                    RuntimeWarning,
+                )
+        x_pad = _padded()
         if requested_solver == "auto" and getattr(post, "chol", None) is not None:
             # Second auto/chol guard: the per-batch triangular-solve PROGRAM
             # itself can fail to build at large M (observed in this
@@ -1002,32 +1057,6 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
                     model, "cg", mesh)
                 post = build(params, train_data) \
                     if _posterior_takes_data(model) else build(params)
-        # mean_only is solve-free for EVERY family (a kmn @ nu matmul);
-        # mean+var is solve-free unless the cache's solver fields say the
-        # per-batch program is CG (chol/lanczos_r present-but-None — the
-        # CGGP/RowCGGP "cg" branch, or IterGPR without a LOVE cache).
-        solve_free = mean_only or not _posterior_serves_via_cg(post)
-        use_scan = mesh is None and (
-            scan is True or (scan == "auto" and solve_free)
-        )
-        if use_scan:
-            try:
-                return posterior_predict_scan(
-                    model, post, x, batch_size=batch_size,
-                    mean_only=mean_only,
-                )
-            except Exception as exc:  # noqa: BLE001 — compile/runtime failure
-                # Same crash-proofing contract as the per-batch probe above:
-                # an auto-routed scan falls back to the loop; a FORCED scan
-                # fails loudly.
-                if scan is True:
-                    raise
-                warnings.warn(
-                    "posterior_predict_scan failed to build/run "
-                    f"({type(exc).__name__}); falling back to the dispatch "
-                    "loop",
-                    RuntimeWarning,
-                )
         if mean_only:
             means = [
                 post_mean(post, x_pad[i * batch_size : (i + 1) * batch_size])
@@ -1036,8 +1065,10 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size: int = 8192,
             return jnp.concatenate(means)[:n], None
         predict = lambda _p, xb: post_predict(post, xb)
     elif train_data is None:
+        x_pad = _padded()
         predict = _cached_predict_jit(model)
     else:
+        x_pad = _padded()
         predict_f = bind_predict_fn(model, train_data)
         predict = jax.jit(lambda p, xb: predict_f(p, xb))
     means, variances = [], []
@@ -1083,8 +1114,13 @@ def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
     repeated serves reuse the compiled program.  Returns
     ``(mean [N, P], var [N, 1])`` — or ``(mean, None)`` with ``mean_only``.
     """
+    # Weight field name differs per family (nu for the inducing-point
+    # caches, alpha for IterGPR) — either works as the under-jit sentinel.
+    weights = getattr(post, "nu", None)
+    if weights is None:
+        weights = getattr(post, "alpha", None)
     if (not mean_only and _posterior_serves_via_cg(post)
-            and not isinstance(getattr(post, "nu", None), jax.core.Tracer)):
+            and not isinstance(weights, jax.core.Tracer)):
         warnings.warn(
             "posterior_predict_scan: this posterior serves through CG (no "
             "chol/LOVE cache); the while_loop inside lax.map is 12-20x "

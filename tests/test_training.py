@@ -570,6 +570,18 @@ def test_posterior_predict_scan_matches_loop(rng):
     np.testing.assert_allclose(np.asarray(mu_c), np.asarray(mu_ref),
                                rtol=1e-4, atol=1e-6)
 
+    # predict_in_batches auto-routes through the (cached-jit) scan and
+    # matches; forcing scan without the posterior-cache path is an error,
+    # not a silent loop.
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    mu_a, var_a = predict_in_batches(model, params, x_query, batch_size=16)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu),
+                               rtol=1e-5, atol=1e-7)
+    with _pytest.raises(ValueError, match="scan=True"):
+        predict_in_batches(model, params, x_query, batch_size=16,
+                           use_posterior=False, scan=True)
+
 
 def test_posterior_serves_via_cg_classification(rng):
     """The scan auto-router must classify every family's cache correctly:
