@@ -490,10 +490,19 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # chip's capability, invariant to tunnel dispatch latency (measured
     # walls 0.189-0.191 s across repeats vs the loop's 0.19-0.66 s).  The
     # python dispatch loop is kept as a secondary field — it is what a
-    # host-driven request stream pays per batch through THIS tunnel.
-    SERVE_BATCH, SERVE_POINTS = 8192, 1_048_576
+    # host-driven request stream pays per batch through THIS tunnel; it
+    # serves auto-sized batches (auto_serving_batch_size: fewer-bigger
+    # dispatches, chip A/B +53% in scripts/serving_batch_chip.py — the scan
+    # measures FASTER at 8192, so the headline batch stays put).
+    SERVE_POINTS = 1_048_576
 
-    from cggp_tpu.training.optimize import posterior_predict_scan
+    from cggp_tpu.training.optimize import (
+        auto_serving_batch_size,
+        posterior_predict_scan,
+    )
+
+    SERVE_BATCH = 8192
+    LOOP_BATCH = auto_serving_batch_size(m, SERVE_POINTS)
 
     build_post = jax.jit(model.posterior)
     # Fixed 1M-point query set resident on device (n_train < 1M: tile).
@@ -518,14 +527,14 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     # Cycle fixed-shape batch slices within the train split (n_train < 1M):
     # same program, fresh data each dispatch.
     starts = [
-        (i * SERVE_BATCH) % (n_train - SERVE_BATCH)
-        for i in range(SERVE_POINTS // SERVE_BATCH)
+        (i * LOOP_BATCH) % (n_train - LOOP_BATCH)
+        for i in range(SERVE_POINTS // LOOP_BATCH)
     ]
 
     post = build_post(params)
     float(serve_scan(post, xserve))  # compile
     float(serve_scan_mean(post, xserve))
-    float(predict_batch(post, x[:SERVE_BATCH]))
+    float(predict_batch(post, x[:LOOP_BATCH]))
 
     def _timed(fn, repeats=2):
         walls = []
@@ -544,7 +553,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
     def _loop(post):
         acc = 0.0
         for start in starts:
-            acc = predict_batch(post, x[start : start + SERVE_BATCH])
+            acc = predict_batch(post, x[start : start + LOOP_BATCH])
         return acc
 
     loop_points_per_sec = SERVE_POINTS / _timed(_loop)
@@ -571,6 +580,10 @@ def end_to_end_metrics(jax, platform: str) -> dict:
             # this tag on (earlier artifacts timed the python dispatch loop,
             # now the *_dispatch_loop_* field — do not compare across tags).
             "serve_timing": "one_dispatch_scan_best_of_2",
+            "serve_batch": SERVE_BATCH,
+            # The dispatch-loop secondary metric serves auto-sized batches
+            # (fewer-bigger host dispatches); earlier tags looped 8192.
+            "serve_loop_batch": LOOP_BATCH,
             "cg_threshold": threshold,
             "relative_threshold": True, "dtype": "float32",
             "matvec_impl": matvec_impl,

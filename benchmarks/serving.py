@@ -141,8 +141,11 @@ def main() -> None:
                 # training/optimize.posterior_predict_scan); the CG branch
                 # hits the while_loop-in-scan cliff and keeps the loop.
                 scan_pps = None
+                loop_auto_pps = None
+                auto_bs = None
                 if solver != "cg":
                     from cggp_tpu.training.optimize import (
+                        auto_serving_batch_size,
                         posterior_predict_scan,
                     )
 
@@ -158,12 +161,34 @@ def main() -> None:
                         sweeps.append(time.perf_counter() - t0)
                     scan_pps = round(4 * BATCH / min(sweeps), 1)
 
+                    # DISPATCH-LOOP at the auto-sized batch (fewer-bigger
+                    # host dispatches — auto_serving_batch_size docstring;
+                    # the scan route measures fastest at the 8192 default,
+                    # so the auto rule applies to the loop only).
+                    AUTO_TOTAL = 4 * 65536
+                    auto_bs = auto_serving_batch_size(m, AUTO_TOTAL)
+                    x_auto = jnp.tile(x, (AUTO_TOTAL // x.shape[0] + 1, 1)
+                                      )[:AUTO_TOTAL]
+                    float(predict(post, x_auto[:auto_bs]))  # compile
+                    nb = AUTO_TOTAL // auto_bs
+                    sweeps = []
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        for i in range(nb):
+                            acc = predict(post,
+                                          x_auto[i * auto_bs:(i + 1) * auto_bs])
+                        float(acc)
+                        sweeps.append(time.perf_counter() - t0)
+                    loop_auto_pps = round(AUTO_TOTAL / min(sweeps), 1)
+
                 row = {
                     "platform": platform, "M": m, "batch": BATCH,
                     "solver": solver,
                     "build_wall_s": round(build_wall, 4),
                     "predict_points_per_sec": round(predict_pps, 1),
                     "scan_points_per_sec": scan_pps,
+                    "loop_auto_batch": auto_bs,
+                    "loop_auto_points_per_sec": loop_auto_pps,
                     "mean_points_per_sec": round(mean_pps, 1),
                 }
             except Exception as exc:  # noqa: BLE001 — record, keep sweeping
@@ -171,6 +196,8 @@ def main() -> None:
                        "solver": solver, "build_wall_s": None,
                        "predict_points_per_sec": None,
                        "scan_points_per_sec": None,
+                       "loop_auto_batch": None,
+                       "loop_auto_points_per_sec": None,
                        "mean_points_per_sec": None,
                        "error": f"{type(exc).__name__}"[:80]}
             rows.append(row)
@@ -180,6 +207,7 @@ def main() -> None:
     with out.open("w", newline="") as f:
         fields = ["platform", "M", "batch", "solver", "build_wall_s",
                   "predict_points_per_sec", "scan_points_per_sec",
+                  "loop_auto_batch", "loop_auto_points_per_sec",
                   "mean_points_per_sec", "error"]
         w = csv.DictWriter(f, fieldnames=fields, restval="")
         w.writeheader()

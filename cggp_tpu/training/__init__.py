@@ -13,6 +13,7 @@ from cggp_tpu.training.gang import (
 )
 from cggp_tpu.training.monitor import Monitor
 from cggp_tpu.training.optimize import (
+    auto_serving_batch_size,
     create_monitor,
     make_cg_stats_callback,
     make_metrics_callback,
@@ -40,6 +41,7 @@ __all__ = [
     "Monitor",
     "create_monitor",
     "make_cg_stats_callback",
+    "auto_serving_batch_size",
     "posterior_predict_scan",
     "predict_in_batches",
     "make_metrics_callback",

@@ -516,6 +516,52 @@ def test_predict_in_batches_posterior_paths(rng):
                            mean_only=True, use_posterior=False)
 
 
+def test_auto_serving_batch_size():
+    """The dispatch-loop batch rule: largest power-of-two T with
+    M*T <= 2^27, clamped to [8192, 65536] and to the dataset size
+    (chip A/B: scripts/serving_batch_chip.py — loop peaks at T=65536;
+    the one-dispatch scan route keeps 8192 and never uses this rule)."""
+    from cggp_tpu.training.optimize import auto_serving_batch_size
+
+    big = 10_000_000
+    assert auto_serving_batch_size(989, big) == 65536    # bench e2e shape
+    assert auto_serving_batch_size(1024, big) == 65536   # measured loop peak
+    assert auto_serving_batch_size(4096, big) == 32768
+    assert auto_serving_batch_size(16384, big) == 8192   # today's default
+    assert auto_serving_batch_size(32768, big) == 8192   # floor: never below
+    # Dataset smaller than the budget batch: one power-of-two block.
+    assert auto_serving_batch_size(989, 1000) == 1024
+    assert auto_serving_batch_size(989, 1) == 2
+
+
+def test_predict_in_batches_auto_batch(rng):
+    """batch_size="auto" serves identical values to an explicit batch, on
+    both the posterior-cache path and a data-bound model."""
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    data = _toy_data(rng, n=100)
+    model, params = _make_cggp(data, m=8)
+    x_query = _toy_data(rng, n=37)[0]
+
+    mu_a, var_a = predict_in_batches(model, params, x_query, batch_size="auto")
+    mu, var = model.predict_f(params, x_query)
+    np.testing.assert_allclose(np.asarray(mu_a), np.asarray(mu), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_a), np.asarray(var), rtol=1e-3, atol=1e-5)
+
+    from cggp_tpu.models import GPR
+
+    gpr = GPR(kernel=SquaredExponential())
+    gp = gpr.init_params(input_dim=2)
+    mu_g, var_g = predict_in_batches(gpr, gp, x_query, batch_size="auto",
+                                     train_data=data)
+    mu_e, var_e = predict_in_batches(gpr, gp, x_query, batch_size=16,
+                                     train_data=data)
+    np.testing.assert_allclose(np.asarray(mu_g), np.asarray(mu_e),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_g), np.asarray(var_e),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_posterior_predict_scan_matches_loop(rng):
     """The one-dispatch lax.map serving sweep equals the python-loop path
     exactly (same per-batch program over the same blocks), including the
