@@ -149,37 +149,53 @@ def main() -> None:
                         posterior_predict_scan,
                     )
 
-                    serve_scan = jax.jit(lambda post, xq: sum(map(
-                        jnp.sum,
-                        posterior_predict_scan(model, post, xq, BATCH))))
-                    float(serve_scan(post, x))  # compile
-                    sweeps = []
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        acc = serve_scan(post, x)
-                        float(acc)
-                        sweeps.append(time.perf_counter() - t0)
-                    scan_pps = round(4 * BATCH / min(sweeps), 1)
+                    # Each extra column is failure-isolated on its own: a
+                    # bigger-program compile death here (observed: the
+                    # [8192, 32768] cho_solve) must not void the legacy
+                    # columns already measured above.
+                    try:
+                        serve_scan = jax.jit(lambda post, xq: sum(map(
+                            jnp.sum,
+                            posterior_predict_scan(model, post, xq, BATCH))))
+                        float(serve_scan(post, x))  # compile
+                        sweeps = []
+                        for _ in range(2):
+                            t0 = time.perf_counter()
+                            acc = serve_scan(post, x)
+                            float(acc)
+                            sweeps.append(time.perf_counter() - t0)
+                        scan_pps = round(4 * BATCH / min(sweeps), 1)
+                    except Exception:  # noqa: BLE001 — keep the row
+                        scan_pps = None
 
                     # DISPATCH-LOOP at the auto-sized batch (fewer-bigger
                     # host dispatches — auto_serving_batch_size docstring;
                     # the scan route measures fastest at the 8192 default,
-                    # so the auto rule applies to the loop only).
-                    AUTO_TOTAL = 4 * 65536
-                    auto_bs = auto_serving_batch_size(m, AUTO_TOTAL)
-                    x_auto = jnp.tile(x, (AUTO_TOTAL // x.shape[0] + 1, 1)
-                                      )[:AUTO_TOTAL]
-                    float(predict(post, x_auto[:auto_bs]))  # compile
-                    nb = AUTO_TOTAL // auto_bs
-                    sweeps = []
-                    for _ in range(2):
-                        t0 = time.perf_counter()
-                        for i in range(nb):
-                            acc = predict(post,
-                                          x_auto[i * auto_bs:(i + 1) * auto_bs])
-                        float(acc)
-                        sweeps.append(time.perf_counter() - t0)
-                    loop_auto_pps = round(AUTO_TOTAL / min(sweeps), 1)
+                    # so the auto rule applies to the loop only).  NOTE the
+                    # column totals differ: 262144 points here vs 32768 for
+                    # the per-batch/scan columns — per-sweep fetch overhead
+                    # amortizes differently; compare like against like via
+                    # scripts/serving_batch_chip.py (equal totals).
+                    try:
+                        AUTO_TOTAL = 4 * 65536
+                        auto_bs = auto_serving_batch_size(m, AUTO_TOTAL)
+                        x_auto = jnp.tile(x, (AUTO_TOTAL // x.shape[0] + 1, 1)
+                                          )[:AUTO_TOTAL]
+                        float(predict(post, x_auto[:auto_bs]))  # compile
+                        nb = AUTO_TOTAL // auto_bs
+                        sweeps = []
+                        for _ in range(2):
+                            t0 = time.perf_counter()
+                            for i in range(nb):
+                                acc = predict(
+                                    post,
+                                    x_auto[i * auto_bs:(i + 1) * auto_bs])
+                            float(acc)
+                            sweeps.append(time.perf_counter() - t0)
+                        loop_auto_pps = round(AUTO_TOTAL / min(sweeps), 1)
+                    except Exception:  # noqa: BLE001 — keep the row
+                        auto_bs = None
+                        loop_auto_pps = None
 
                 row = {
                     "platform": platform, "M": m, "batch": BATCH,

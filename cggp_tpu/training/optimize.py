@@ -847,13 +847,14 @@ def _posterior_takes_data(model) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_scan_jit(model, batch_size: int, mean_only: bool):
-    """Jitted one-dispatch serving sweep, cached per (model, batch, mode) —
-    same rationale as :func:`_cached_posterior_jits`: a fresh closure per
-    call would re-trace AND re-compile the whole lax.map program every
-    serve (minutes through a remote-device tunnel)."""
+def _cached_scan_jit(model, batch_size: int, mean_only: bool, mesh=None):
+    """Jitted one-dispatch serving sweep, cached per (model, batch, mode,
+    mesh) — same rationale as :func:`_cached_posterior_jits`: a fresh
+    closure per call would re-trace AND re-compile the whole lax.map
+    program every serve (minutes through a remote-device tunnel)."""
     return jax.jit(lambda post, xq: posterior_predict_scan(
-        model, post, xq, batch_size=batch_size, mean_only=mean_only))
+        model, post, xq, batch_size=batch_size, mean_only=mean_only,
+        mesh=mesh))
 
 
 def auto_serving_batch_size(m: int, n: int, floor: int = 8192,
@@ -955,7 +956,10 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
     variance, mean-only 25.6M vs the loop's 2.2-8.6M points/s at reference
     scale).  ``False`` keeps the python loop; ``True`` forces the scan even
     for a CG posterior (see the cliff warning above).  ``mesh`` serving
-    always uses the loop (the scan carries no sharding annotations).
+    composes with the scan (round 3): each block's rows are
+    sharding-constrained inside the ``lax.map`` body so the data-parallel
+    sweep is one dispatch too; any scan build failure falls back to the
+    mesh dispatch loop.
     """
     if mesh is not None:
         if not use_posterior:
@@ -1005,10 +1009,10 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
         raise ValueError(
             "mean_only serving needs a posterior()-capable model"
         )
-    if scan is True and (mesh is not None or not posterior_capable):
+    if scan is True and not posterior_capable:
         raise ValueError(
             "scan=True needs the posterior-cache path (use_posterior=True, "
-            "a posterior()-capable model, matching train_data) and no mesh"
+            "a posterior()-capable model, matching train_data)"
         )
 
     if posterior_capable:
@@ -1069,12 +1073,10 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
         # + one batch of compute), and a scan failure falls THROUGH to the
         # probe + loop, which keeps its own chol->cg crash-proofing.
         solve_free = mean_only or not _posterior_serves_via_cg(post)
-        use_scan = mesh is None and (
-            scan is True or (scan == "auto" and solve_free)
-        )
+        use_scan = scan is True or (scan == "auto" and solve_free)
         if use_scan:
             try:
-                serve = _cached_scan_jit(model, scan_batch, mean_only)
+                serve = _cached_scan_jit(model, scan_batch, mean_only, mesh)
                 out = serve(post, x)
                 # Sync before declaring success: execution failures surface
                 # asynchronously (RESOURCE_EXHAUSTED on a memory-tight chip),
@@ -1159,7 +1161,7 @@ def _posterior_serves_via_cg(post) -> bool:
 
 
 def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
-                           mean_only: bool = False):
+                           mean_only: bool = False, mesh=None):
     """Whole-dataset serving from a prebuilt posterior cache as ONE device
     program (net-new, TPU-first): ``lax.map`` over fixed-size row blocks.
 
@@ -1176,6 +1178,15 @@ def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
     ``while_loop`` inside the scan and regresses 12-20x — route that shape
     through :func:`predict_in_batches` (warned, not rejected: small sweeps
     may still prefer one dispatch).
+
+    ``mesh`` (net-new, round 3): DATA-PARALLEL one-dispatch serving — each
+    block's query rows are sharding-constrained over the mesh inside the
+    ``lax.map`` body, so GSPMD column-partitions the [M, T] kernel block,
+    the per-block solve (triangular solves partition over RHS columns),
+    and the row-wise reduces, with the cache replicated and no collectives
+    until the final gather.  Requires ``batch_size`` divisible by the mesh
+    size.  The model must not run its own mesh collectives (callers guard
+    this; ShardedCGGP serves through its own shard_map).
 
     Jit-composable: wrap in ``jax.jit`` with ``post`` as an argument so
     repeated serves reuse the compiled program.  Returns
@@ -1196,15 +1207,39 @@ def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
         )
     n, d = x.shape
     batch_size = min(int(batch_size), n)
+    constrain_rows = lambda a: a  # noqa: E731 — identity off-mesh
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from cggp_tpu.parallel.mesh import DATA_AXIS
+
+        if batch_size % mesh.devices.size != 0:
+            # Round UP to a mesh multiple (x is padded to a batch multiple
+            # below anyway); rounding down could silently drop devices.
+            dsize = mesh.devices.size
+            batch_size = min(-(-batch_size // dsize) * dsize,
+                             -(-n // dsize) * dsize)
+
+        def constrain_rows(a):
+            spec = PartitionSpec(DATA_AXIS, *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, spec))
+
     pad = (-n) % batch_size
     if pad:
         x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
     blocks = x.reshape(-1, batch_size, d)
     if mean_only:
-        mu = jax.lax.map(lambda xb: model.posterior_mean(post, xb), blocks)
+        mu = jax.lax.map(
+            lambda xb: constrain_rows(
+                model.posterior_mean(post, constrain_rows(xb))), blocks)
         return mu.reshape(-1, mu.shape[-1])[:n], None
-    mu, var = jax.lax.map(
-        lambda xb: model.posterior_predict(post, xb, full_cov=False), blocks
-    )
+
+    def block_predict(xb):
+        mu, var = model.posterior_predict(post, constrain_rows(xb),
+                                          full_cov=False)
+        return constrain_rows(mu), constrain_rows(var)
+
+    mu, var = jax.lax.map(block_predict, blocks)
     return (mu.reshape(-1, mu.shape[-1])[:n],
             var.reshape(-1, var.shape[-1])[:n])

@@ -704,6 +704,75 @@ def test_predict_in_batches_mesh_dp_serving_matches(mesh, rng):
         predict_in_batches(sharded, sp, xq, batch_size=40, mesh=mesh)
 
 
+def test_mesh_scan_serving_matches(mesh, rng):
+    """The one-dispatch scan composes with mesh dp serving (round 3): block
+    rows are sharding-constrained inside the lax.map body, and a FORCED
+    scan=True over the mesh matches the single-device scan exactly."""
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.training.optimize import (
+        posterior_predict_scan,
+        predict_in_batches,
+    )
+
+    n, d, m = 120, 2, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+    model = CGGP(
+        kernel=SquaredExponential(),
+        conjugate_gradient=ConjugateGradient(1e-10, max_iterations=4 * m),
+        num_data=n, num_probes=2,
+    )
+    params = model.init_params(
+        x[:m], noise_variance=0.1,
+        pseudo_u=jnp.asarray(rng.standard_normal((m, 1)), jnp.float32),
+        cluster_counts=jnp.full((m, 1), 4.0, jnp.float32),
+        dtype=jnp.float32,
+    )
+    xq = jnp.asarray(rng.uniform(-1, 1, (100, d)), jnp.float32)
+
+    mu1, var1 = predict_in_batches(model, params, xq, batch_size=48)
+    mu8, var8 = predict_in_batches(model, params, xq, batch_size=48,
+                                   mesh=mesh, scan=True)
+    # GSPMD partitions the per-block solve/contractions; fp32 reduction
+    # order differs from the single-device program at ~3e-5 abs.
+    np.testing.assert_allclose(np.asarray(mu8), np.asarray(mu1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var8), np.asarray(var1),
+                               rtol=1e-3, atol=1e-4)
+
+    # Direct scan call with a non-mesh-multiple batch: rounded up inside.
+    post = model.posterior(params, solver="chol")
+    mu_s, var_s = posterior_predict_scan(model, post, xq, batch_size=30,
+                                         mesh=mesh)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var1),
+                               rtol=1e-3, atol=1e-4)
+
+    # mean_only over the mesh scan.
+    mu_m, none = predict_in_batches(model, params, xq, batch_size=48,
+                                    mesh=mesh, mean_only=True, scan=True)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu1),
+                               rtol=1e-3, atol=1e-4)
+
+    # LOVE cache (solver="lanczos") through the mesh scan: must match the
+    # SINGLE-DEVICE scan on the same cache (fp32 Lanczos at rank m is not
+    # bit-identical to chol, so the oracle is the unsharded LOVE scan).
+    love = CGGP(
+        kernel=model.kernel, conjugate_gradient=model.conjugate_gradient,
+        num_data=n, num_probes=2, serving_lanczos_rank=m,
+    )
+    post_l = love.posterior(params, solver="lanczos")
+    mu_l1, var_l1 = posterior_predict_scan(love, post_l, xq, batch_size=48)
+    mu_lv, var_lv = posterior_predict_scan(love, post_l, xq, batch_size=48,
+                                           mesh=mesh)
+    np.testing.assert_allclose(np.asarray(mu_lv), np.asarray(mu_l1),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var_lv), np.asarray(var_l1),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_sharded_lanczos_serving_matches_cg(mesh, rng):
     """posterior(solver="lanczos") on the sharded model (LOVE-style rank-k
     cache built through the psum-blocked matvec): exact at rank >= real M,
