@@ -13,7 +13,13 @@ from cggp_tpu.models.clustergp import ClusterGP
 from cggp_tpu.models.cggp import CGGP, CGGPPosterior
 from cggp_tpu.models.implicit import ImplicitCGGP, ImplicitCGGPPosterior
 from cggp_tpu.models.itergpr import IterGPR, IterGPRPosterior
-from cggp_tpu.models.pathwise import PathwiseClusterGP
+from cggp_tpu.models.pathwise import (
+    PathwiseClusterGP,
+    PathwisePosterior,
+    build_pathwise_posterior,
+    pathwise_samples_at,
+    pathwise_samples_scan,
+)
 
 __all__ = [
     "GaussianLikelihood",
@@ -32,4 +38,8 @@ __all__ = [
     "CGGPPosterior",
     "ImplicitCGGPPosterior",
     "IterGPRPosterior",
+    "PathwisePosterior",
+    "build_pathwise_posterior",
+    "pathwise_samples_at",
+    "pathwise_samples_scan",
 ]
