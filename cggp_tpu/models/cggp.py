@@ -469,6 +469,7 @@ class CGGP(ClusterGP):
             return CGGPPosterior(
                 kernel_params=kp, inducing_points=z, kmm_lambda=None,
                 nu=nu, precond_state=(), chol=chol, inducing_mask=mask,
+                lam=var[:, 0],
             )
         precond = self._build_preconditioner(
             kp, z, kmm, var, key if key is not None else jax.random.PRNGKey(0)
@@ -492,7 +493,7 @@ class CGGP(ClusterGP):
             return CGGPPosterior(
                 kernel_params=kp, inducing_points=z, kmm_lambda=None,
                 nu=nu, precond_state=(), chol=None, lanczos_r=lanczos_r,
-                inducing_mask=mask,
+                inducing_mask=mask, lam=var[:, 0],
             )
         return CGGPPosterior(
             kernel_params=kp,
@@ -502,6 +503,184 @@ class CGGP(ClusterGP):
             precond_state=() if precond is None else precond.state,
             chol=None,
             inducing_mask=mask,
+            lam=var[:, 0],
+        )
+
+    def posterior_extend(self, post: "CGGPPosterior", params: Dict,
+                         key: Optional[jax.Array] = None) -> "CGGPPosterior":
+        """Extend a serving cache after streaming ingestion — O(dM * M^2)
+        instead of the O(M'^3) rebuild (net-new; the reference re-solves
+        everything per predict batch, models.py:333-345).
+
+        ``params`` is the updated parameter dict from a streaming update
+        (``selection.covernet.covernet_extend_update``): same kernel
+        hyperparameters, the cache's inducing points as an unchanged PREFIX
+        of ``params["inducing_points"]``, with ``dM >= 0`` new centers
+        appended and possibly merged ``pseudo_u``/``cluster_counts``.  The
+        predictive weights ``nu`` are always re-solved (pseudo-u changes on
+        every touched cluster); what the cache saves is the O(M^3) factor
+        work:
+
+        - **chol cache, Lambda prefix unchanged** (pure center append):
+          bordered Cholesky update (:func:`~cggp_tpu.ops.linalg.chol_extend`)
+          — the extended cache is EXACTLY the one ``posterior(params,
+          solver="chol")`` would build.  A non-finite Schur factor (fp32,
+          ill-conditioned border) falls back to a full ``posterior(params)``
+          rebuild with a warning.
+        - **cg cache** (any Lambda drift — the streaming-merge norm, since
+          counts grow on every old cluster that receives new points): the
+          [M, M] system block is reused (diag-updated in place), only the
+          dM new kernel rows are evaluated, and a cached exact-factor
+          preconditioner state is border-extended
+          (:func:`~cggp_tpu.ops.linalg.triangular_inv_extend`).  The factor
+          is stale on the drifted prefix diagonal, but the preconditioner
+          apply is SPD by construction (``W^T W``) and CG verifies the TRUE
+          residual, so serving stays exact — drift only costs refinement
+          iterations.  Spectral/identity preconditioner states are rebuilt
+          from the new system (O(M' * rank^2), not O(M'^3)).
+        - **chol cache with Lambda drift**: raises — a direct ``cho_solve``
+          through a drift-stale factor would serve silently wrong values.
+          Build the streaming cache with ``posterior(params, solver="cg")``
+          (production config ``precondition="chol"`` caches the refinement
+          factor) or rebuild.
+        - **LOVE cache**: raises — a Krylov quadrature basis has no
+          incremental extension; rebuild with ``posterior(solver="lanczos")``.
+
+        Eager-only routing (host checks on prefix equality); the RETURNED
+        cache is an ordinary pytree and jits like any other.  Capacity-padded
+        caches are rejected — the padded flow already reserves slots for
+        growth (``assign_clusters_device``) without changing shapes.
+        """
+        if post.inducing_mask is not None or "inducing_mask" in params:
+            raise ValueError(
+                "posterior_extend targets unpadded caches; capacity-padded "
+                "models grow inside their padding via assign_clusters_device"
+            )
+        if post.lanczos_r is not None:
+            raise ValueError(
+                "a LOVE (solver='lanczos') cache cannot be extended — the "
+                "Krylov basis is not incremental; rebuild with "
+                "posterior(params, solver='lanczos')"
+            )
+        kp = params["kernel"]
+        if jax.tree_util.tree_structure(kp) != jax.tree_util.tree_structure(
+            post.kernel_params
+        ) or not all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(kp),
+                jax.tree_util.tree_leaves(post.kernel_params),
+            )
+        ):
+            raise ValueError(
+                "kernel hyperparameters changed since the cache was built; "
+                "every cached block depends on them — rebuild with posterior()"
+            )
+        z = params["inducing_points"]
+        z_old = post.inducing_points
+        m0, m1 = z_old.shape[0], z.shape[0]
+        if m1 < m0 or not bool(jnp.all(z[:m0] == z_old)):
+            raise ValueError(
+                "params['inducing_points'] must extend the cache's centers "
+                "as an unchanged prefix (covernet_extend appends, never "
+                "moves); rebuild with posterior() after a full re-selection"
+            )
+        u = params["pseudo_u"]
+        lam_new = self.diag_variance(params)[:, 0]
+        lam_prefix_same = post.lam is not None and bool(
+            jnp.all(lam_new[:m0] == post.lam)
+        )
+        dm = m1 - m0
+        hi = jax.lax.Precision.HIGHEST
+
+        if post.chol is not None:
+            if not lam_prefix_same:
+                raise ValueError(
+                    "Lambda drifted on the cached prefix (merged counts or "
+                    "changed likelihood variance): a cho_solve through the "
+                    "stale factor would serve wrong values. Build streaming "
+                    "caches with posterior(params, solver='cg') — CG "
+                    "verifies the true residual — or rebuild this one."
+                )
+            if dm == 0:
+                nu = jax.scipy.linalg.cho_solve((post.chol, True), u)
+                return post._replace(nu=nu)
+            from cggp_tpu.ops.linalg import chol_extend
+
+            a21 = self.kernel.K(kp, z[m0:], z_old)
+            a22 = add_diagonal(self.kernel.K(kp, z[m0:]), lam_new[m0:])
+            chol = chol_extend(post.chol, a21, a22)
+            if not bool(jnp.all(jnp.isfinite(chol))):
+                import warnings
+
+                warnings.warn(
+                    "posterior_extend: bordered Cholesky produced a "
+                    "non-finite factor (ill-conditioned border at this "
+                    "dtype); rebuilding the cache from scratch instead."
+                )
+                return self.posterior(params, key=key)
+            nu = jax.scipy.linalg.cho_solve((chol, True), u)
+            return CGGPPosterior(
+                kernel_params=kp, inducing_points=z, kmm_lambda=None,
+                nu=nu, precond_state=(), chol=chol, lam=lam_new,
+            )
+
+        # -- cg cache -------------------------------------------------------
+        if post.lam is not None:
+            top_left = add_diagonal(post.kmm_lambda, lam_new[:m0] - post.lam)
+        else:  # pre-extension cache: cannot separate K from Lambda; rebuild
+            top_left = add_diagonal(self.kernel.K(kp, z_old), lam_new[:m0])
+        if dm == 0:
+            kmm_lambda = top_left
+        else:
+            a21 = self.kernel.K(kp, z[m0:], z_old)
+            a22 = add_diagonal(self.kernel.K(kp, z[m0:]), lam_new[m0:])
+            kmm_lambda = jnp.concatenate(
+                [
+                    jnp.concatenate([top_left, a21.T], axis=1),
+                    jnp.concatenate([a21, a22], axis=1),
+                ],
+                axis=0,
+            )
+
+        state = post.precond_state
+        if isinstance(state, dict) and dm > 0:
+            # Border-extend the exact-factor refinement state W = L^{-1}.
+            # The extension is exact for the system the OLD factor solved
+            # plus the new border; prefix-Lambda drift leaves it a stale
+            # (still SPD) preconditioner — CG absorbs that as iterations.
+            from cggp_tpu.ops.linalg import triangular_inv_extend
+
+            w11 = state["chol_w"]
+            l21 = jnp.matmul(a21, w11.T, precision=hi)
+            schur = a22 - jnp.matmul(l21, l21.T, precision=hi)
+            l22 = jnp.linalg.cholesky(schur)
+            w_ext = triangular_inv_extend(w11, l21, l22)
+            ok = jnp.all(jnp.isfinite(w_ext))
+            state = {
+                "chol_w": jnp.where(ok, w_ext, jnp.eye(m1, dtype=w_ext.dtype))
+            }
+        elif not isinstance(state, dict) and (dm > 0 or not lam_prefix_same):
+            # Spectral ((U, ...) tuple) and identity (()) states have no
+            # border algebra — rebuild from the new system at the model's
+            # configured mode (O(M' rank^2), no O(M'^3) factor).
+            kmm = add_diagonal(kmm_lambda, -lam_new)
+            precond = self._build_preconditioner(
+                kp, z, kmm, lam_new[:, None],
+                key if key is not None else jax.random.PRNGKey(0),
+            )
+            state = () if precond is None else precond.state
+
+        nu0 = post.nu if dm == 0 else jnp.concatenate(
+            [post.nu, jnp.zeros((dm, 1), post.nu.dtype)]
+        )
+        nu = self.conjugate_gradient(
+            kmm_lambda, u, initial_solution=nu0,
+            preconditioner=_precond_from_state(state),
+        )
+        return CGGPPosterior(
+            kernel_params=kp, inducing_points=z, kmm_lambda=kmm_lambda,
+            nu=nu, precond_state=state, chol=None, lam=lam_new,
         )
 
     def resolve_serving_solver(self, params: Dict) -> str:
@@ -752,6 +931,10 @@ class CGGPPosterior(NamedTuple):
     # (solver="lanczos": per-batch variance = two skinny matmuls, no solve)
     inducing_mask: Optional[Array] = None  # [M] 1-real/0-pad row mask of a
     # capacity-padded model (masks the serving Kmn; None = unpadded)
+    lam: Optional[Array] = None  # [M] diagonal Lambda the cache was built
+    # with — read by posterior_extend to detect prefix drift exactly
+    # (reconstructing it from the factor would drown count-merge deltas in
+    # fp32 rounding); None on caches from before the streaming extension
 
 
 class _StatePreconditioner:

@@ -9,7 +9,8 @@ from cggp_tpu.ops.kernels import (
     Matern52,
     kernel_by_name,
 )
-from cggp_tpu.ops.linalg import add_diagonal, pivoted_cholesky
+from cggp_tpu.ops.linalg import (add_diagonal, chol_extend,
+                                 pivoted_cholesky, triangular_inv_extend)
 from cggp_tpu.ops.distance import euclid_distance, create_distance_fn
 from cggp_tpu.ops.cg import (
     CGState,
@@ -44,7 +45,9 @@ __all__ = [
     "Matern52",
     "kernel_by_name",
     "add_diagonal",
+    "chol_extend",
     "pivoted_cholesky",
+    "triangular_inv_extend",
     "euclid_distance",
     "create_distance_fn",
     "CGState",

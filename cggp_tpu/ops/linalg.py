@@ -56,6 +56,73 @@ def compensated_dot(a: jnp.ndarray, b: jnp.ndarray, keepdims: bool = True) -> jn
     return compensated_sum(a * b, axis=-1, keepdims=keepdims)
 
 
+def chol_extend(l11: jnp.ndarray, a21: jnp.ndarray, a22: jnp.ndarray) -> jnp.ndarray:
+    """Bordered Cholesky update: extend the factor of a leading block.
+
+    Given ``L11`` = lower Cholesky of the [M, M] leading block ``A11`` and
+    the new blocks ``A21 [dM, M]`` / ``A22 [dM, dM]`` of the extended SPD
+    matrix ``[[A11, A21^T], [A21, A22]]``, returns the [M+dM, M+dM] lower
+    Cholesky factor
+
+        L' = [[L11,   0 ],
+              [L21,  L22]]    with  L21 = A21 L11^{-T},
+                                    L22 = chol(A22 - L21 L21^T).
+
+    Cost: one [dM, M] triangular solve + one [dM, dM] Schur complement +
+    one [dM, dM] Cholesky — O(dM * M^2 + dM^2 * M + dM^3) instead of the
+    O((M+dM)^3) full refactorization; for dM << M this is the streaming
+    serving-cache extension (net-new; no reference twin — the reference
+    refactorizes per batch, models.py:238-249).
+
+    The Schur complement runs at HIGHEST matmul precision (the subtraction
+    is cancellation-prone in bf16).  If ``A22 - L21 L21^T`` is not positive
+    definite at working precision the [dM, dM] Cholesky yields NaN — callers
+    should check ``isfinite`` and fall back to a full factorization (same
+    contract as ``CholPreconditioner``'s non-finite guard).
+    """
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    m = l11.shape[-1]
+    dm = a22.shape[-1]
+    # L21^T = L11^{-1} A21^T (forward substitution against the old factor).
+    l21_t = jax.scipy.linalg.solve_triangular(l11, a21.T, lower=True)
+    schur = a22 - jnp.matmul(l21_t.T, l21_t, precision=hi)
+    l22 = jnp.linalg.cholesky(schur)
+    top = jnp.concatenate([l11, jnp.zeros((m, dm), l11.dtype)], axis=1)
+    bottom = jnp.concatenate([l21_t.T, l22], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def triangular_inv_extend(w11: jnp.ndarray, l21: jnp.ndarray,
+                          l22: jnp.ndarray) -> jnp.ndarray:
+    """Extend a cached triangular inverse ``W11 = L11^{-1}`` to the bordered
+    factor's inverse:
+
+        W' = L'^{-1} = [[ W11,          0  ],
+                        [-W22 L21 W11,  W22]]    with  W22 = L22^{-1}.
+
+    ``l21``/``l22`` come from :func:`chol_extend`'s bottom row.  This is the
+    streaming update of :class:`~cggp_tpu.ops.cg.CholPreconditioner` state
+    (which stores ``W``, not ``L``): O(dM * M^2) instead of the O((M+dM)^3)
+    triangular solve against the identity.
+    """
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    m = w11.shape[-1]
+    dm = l22.shape[-1]
+    w22 = jax.scipy.linalg.solve_triangular(
+        l22, jnp.eye(dm, dtype=l22.dtype), lower=True
+    )
+    w21 = -jnp.matmul(
+        w22, jnp.matmul(l21, w11, precision=hi), precision=hi
+    )
+    top = jnp.concatenate([w11, jnp.zeros((m, dm), w11.dtype)], axis=1)
+    bottom = jnp.concatenate([w21, w22], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
 def pivoted_cholesky(matrix: jnp.ndarray, rank: int) -> jnp.ndarray:
     """Greedy partial pivoted Cholesky: ``L [n, rank]`` with ``L L^T ~= matrix``.
 

@@ -10,6 +10,7 @@ from cggp_tpu.selection.points import greedy_selection, oips, uniform
 from cggp_tpu.selection.covertree import CoverTree
 from cggp_tpu.selection.covernet import (
     covernet_extend,
+    covernet_extend_update,
     covernet_lloyds,
     covernet_select,
     covernet_update_inducing_parameters,
@@ -28,6 +29,7 @@ __all__ = [
     "uniform",
     "CoverTree",
     "covernet_extend",
+    "covernet_extend_update",
     "covernet_lloyds",
     "covernet_select",
     "covernet_update_inducing_parameters",

@@ -379,6 +379,75 @@ def covernet_extend(
     return zb[:m], m
 
 
+def covernet_extend_update(
+    z: Array,
+    pseudo_u: Array,
+    cluster_counts: Array,
+    data_new: Tuple[Array, Array],
+    resolution: float,
+    max_points: Optional[int] = None,
+    block_size: int = 4096,
+) -> Tuple[Array, Array, Array]:
+    """Streaming inducing-parameter update: ingest a new data block.
+
+    Extends the net with :func:`covernet_extend` (old centers unchanged, as
+    a prefix) and MERGES the per-cluster sufficient statistics: each new
+    point is Voronoi-assigned to its nearest center of the extended net and
+    folded into that cluster's running mean/count —
+
+        counts'_j = counts_j + n_new_j
+        u'_j      = (u_j * counts_j + sum_new_j) / counts'_j
+
+    Returns ``(Z', pseudo_u', cluster_counts')`` shaped ``[M', ...]`` with
+    the original clusters in the first ``M`` slots.  This is the streaming
+    twin of :func:`covernet_update_inducing_parameters` — O(n_new) work per
+    ingest instead of a full rescan (the reference re-clusters from scratch
+    every update, optimize.py:19-38).
+
+    Semantics: exactly equal to a full recompute over all data in which OLD
+    points keep their original assignments (valid: old centers never move,
+    so old memberships stay radius-bounded by the net's coverage) and new
+    points are Voronoi-assigned over the extended net.  A full re-partition
+    may differ — points previously assigned to an old center can be closer
+    to a new one; run the full update when exact Voronoi stats matter.
+    Recorded counts are treated as true counts: a cluster carrying the
+    empty-cell sentinel (count 1, mean 0 — reference optimize.py:70) absorbs
+    one phantom zero observation into its merged mean.
+    """
+    z = jnp.asarray(z)
+    x_new = jnp.asarray(data_new[0], z.dtype)
+    y_new = jnp.asarray(data_new[1], z.dtype)
+    if y_new.ndim == 1:
+        y_new = y_new[:, None]
+    u = jnp.asarray(pseudo_u, z.dtype)
+    counts = jnp.asarray(cluster_counts, z.dtype)
+    if counts.ndim == 1:
+        counts = counts[:, None]
+    m0 = z.shape[0]
+
+    z_ext, m1 = covernet_extend(z, x_new, resolution, max_points, block_size)
+    new_sums, new_counts = _voronoi_sums_counts(x_new, y_new, z_ext)
+
+    old_sums = jnp.zeros_like(new_sums).at[:m0].set(u * counts)
+    old_counts = jnp.zeros_like(new_counts).at[:m0].set(counts)
+    total_counts = old_counts + new_counts
+    safe_counts = jnp.clip(total_counts, 1.0, None)
+    means = (old_sums + new_sums) / safe_counts
+    return z_ext, means, safe_counts
+
+
+@jax.jit
+def _voronoi_sums_counts(x: Array, y: Array, z: Array):
+    """Per-cluster y SUMS [M, P] and raw counts [M, 1] (no empty-cell
+    clipping — the streaming merge needs true additive statistics)."""
+    labels, _ = kmeans_indices_and_distances(z, x)
+    m = z.shape[0]
+    ones = jnp.ones(x.shape[0], dtype=y.dtype)
+    counts = jax.ops.segment_sum(ones, labels, num_segments=m)
+    sums = jax.ops.segment_sum(y, labels, num_segments=m)
+    return sums, counts[:, None]
+
+
 def covernet_lloyds(
     x: Array,
     z: Array,
