@@ -14,6 +14,7 @@ from cggp_tpu.training.gang import (
 from cggp_tpu.training.monitor import Monitor
 from cggp_tpu.training.optimize import (
     auto_serving_batch_size,
+    make_streaming_ingest_fn,
     create_monitor,
     make_cg_stats_callback,
     make_metrics_callback,
@@ -42,6 +43,7 @@ __all__ = [
     "create_monitor",
     "make_cg_stats_callback",
     "auto_serving_batch_size",
+    "make_streaming_ingest_fn",
     "posterior_predict_scan",
     "predict_in_batches",
     "make_metrics_callback",

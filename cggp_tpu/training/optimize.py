@@ -1243,3 +1243,57 @@ def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
     mu, var = jax.lax.map(block_predict, blocks)
     return (mu.reshape(-1, mu.shape[-1])[:n],
             var.reshape(-1, var.shape[-1])[:n])
+
+
+def make_streaming_ingest_fn(model, resolution: float,
+                             block_size: int = 4096,
+                             posterior_solver: str = "chol"):
+    """Build ``ingest(params, x_new, y_new) -> (params', posterior')`` — the
+    whole streaming-serving update as ONE jitted program (net-new, TPU-first).
+
+    Requires capacity-padded params (``init_params(capacity=...)``): the
+    inducing buffers keep a static shape, so net growth
+    (:func:`~cggp_tpu.selection.covernet.covernet_extend_update_padded`),
+    the sufficient-statistics merge, the parameter swap
+    (``assign_clusters_device``), and the serving-cache rebuild
+    (``model.posterior``) all trace ONCE — every later ingest is a single
+    device dispatch, and downstream serving programs never recompile either.
+
+    This is the production TPU answer to streaming ingestion.  The eager
+    alternative (``covernet_extend_update`` + ``posterior_extend``) saves
+    factor FLOPs with bordered algebra but pays ~15 small dispatches, which
+    through a remote-device link costs MORE than the O(M^3) rebuild it
+    avoids at M <= 8192 (chip A/B in scripts/streaming_chip.py) — use it for
+    compute-bound backends or M past the capacity a padded buffer can hold.
+
+    ``posterior_solver`` picks the cache branch at trace time ("chol" — the
+    fp32-safe default at padded capacities <= 16384 — or "cg"); "auto" is
+    rejected because its conditioning estimate cannot run under jit
+    (``CGGP.posterior`` docstring).  The capacity truncation caveat of the
+    padded update applies: watch ``mask.sum()`` for saturation.
+    """
+    if posterior_solver not in ("chol", "cg"):
+        raise ValueError(
+            "posterior_solver must be 'chol' or 'cg' for the jitted ingest "
+            "(the 'auto' conditioning estimate cannot run under jit)"
+        )
+    from cggp_tpu.selection.covernet import covernet_extend_update_padded
+
+    @jax.jit
+    def ingest(params: Dict, x_new: Array, y_new: Array):
+        if "inducing_mask" not in params:
+            raise ValueError(
+                "make_streaming_ingest_fn requires capacity-padded params "
+                "(init_params(capacity=...)) — static shapes are what make "
+                "the ingest a single compiled program"
+            )
+        z, u, counts, mask = covernet_extend_update_padded(
+            params["inducing_points"], params["pseudo_u"],
+            params["cluster_counts"], params["inducing_mask"],
+            (x_new, y_new), resolution, block_size=block_size,
+        )
+        new_params = model.assign_clusters_device(params, z, u, counts, mask)
+        post = model.posterior(new_params, solver=posterior_solver)
+        return new_params, post
+
+    return ingest

@@ -277,3 +277,115 @@ def test_streaming_pipeline_end_to_end(rng):
                                        atol=1e-7)
         lo = hi
     assert z.shape[0] > 0 and post.nu.shape[0] == z.shape[0]
+
+
+def test_covernet_extend_update_padded_matches_unpadded(rng):
+    """The fixed-capacity streaming ingest must equal the unpadded one on the
+    real prefix (same scan order, same merge), with pad-convention tails."""
+    from cggp_tpu.selection.covernet import covernet_extend_update_padded
+
+    res = 0.45
+    _, (x2, y2), (z1, u1, c1), (z2, u2, c2) = _streaming_setup(rng)
+    m1, m2 = z1.shape[0], z2.shape[0]
+    cap = m2 + 5
+
+    # Build the padded inputs from the unpadded initial state.
+    pad = cap - m1
+    far = 1.0e6 * (1.0 + jnp.arange(1, cap + 1, dtype=z1.dtype))[:, None]
+    z_p = jnp.concatenate([z1, jnp.broadcast_to(far[m1:], (pad, z1.shape[1]))])
+    u_p = jnp.concatenate([u1, jnp.zeros((pad, 1), z1.dtype)])
+    c_p = jnp.concatenate([c1, jnp.ones((pad, 1), z1.dtype)])
+    m_p = jnp.concatenate([jnp.ones((m1, 1), z1.dtype),
+                           jnp.zeros((pad, 1), z1.dtype)])
+
+    zo, uo, co, mo = covernet_extend_update_padded(
+        z_p, u_p, c_p, m_p, (x2, y2), res
+    )
+    assert int(mo.sum()) == m2
+    # Mask must stay prefix-contiguous.
+    np.testing.assert_array_equal(
+        np.asarray(mo[:, 0]), (np.arange(cap) < m2).astype(np.float64)
+    )
+    np.testing.assert_array_equal(np.asarray(zo[:m2]), np.asarray(z2))
+    np.testing.assert_allclose(np.asarray(uo[:m2]), np.asarray(u2),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(co[:m2]), np.asarray(c2),
+                               rtol=1e-12)
+    # Pad convention on the tail: u 0, counts 1.
+    np.testing.assert_array_equal(np.asarray(uo[m2:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(co[m2:]), 1.0)
+
+
+def test_streaming_ingest_fn_single_trace_and_parity(rng):
+    """The jitted ingest pipeline: one trace across ingests (static shapes),
+    and serving parity with the eager unpadded streaming path."""
+    from cggp_tpu.training.optimize import make_streaming_ingest_fn
+
+    res = 0.5
+    x0 = jnp.asarray(rng.uniform(-0.8, 0.8, (120, 2)))
+    y0 = jnp.sin(2.0 * x0[:, :1])
+    z, u, c = covernet_update_inducing_parameters((x0, y0), res, lloyds=0)
+    model = _make_model("chol")
+    cap = 64
+    params_p = model.init_params(z, pseudo_u=u, cluster_counts=c, capacity=cap)
+    params_e = model.init_params(z, pseudo_u=u, cluster_counts=c)
+
+    ingest = make_streaming_ingest_fn(model, res)
+    xq = jnp.asarray(rng.uniform(-1.8, 1.8, (23, 2)))
+
+    lo = 0.8
+    for _round in range(3):
+        hi = lo + 0.4
+        xb = jnp.asarray(rng.uniform(-hi, hi, (64, 2)))
+        yb = jnp.sin(2.0 * xb[:, :1])
+        params_p, post_p = ingest(params_p, xb, yb)
+        # Eager unpadded twin.
+        z, u, c = covernet_extend_update(z, u, c, (xb, yb), res)
+        params_e = model.assign_clusters(params_e, z, u, c)
+        post_e = model.posterior(params_e, solver="chol")
+        assert int(params_p["inducing_mask"].sum()) == z.shape[0]
+        for got, want in zip(model.posterior_predict(post_p, xq),
+                             model.posterior_predict(post_e, xq)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-8)
+        lo = hi
+
+    cache_size = getattr(ingest, "_cache_size", lambda: None)()
+    if cache_size is not None:
+        assert cache_size == 1, (
+            f"ingest retraced across same-shape ingests: {cache_size}"
+        )
+
+    # Unpadded params are rejected (the pipeline's contract is static shapes).
+    with pytest.raises(ValueError, match="capacity-padded"):
+        ingest(params_e, xq, jnp.zeros((23, 1)))
+    # And 'auto' cannot run under jit.
+    with pytest.raises(ValueError, match="auto"):
+        make_streaming_ingest_fn(model, res, posterior_solver="auto")
+
+
+def test_streaming_ingest_capacity_saturation(rng):
+    """A net outgrowing the capacity truncates (mask <= capacity), it does
+    not error — the documented jit-safe contract."""
+    from cggp_tpu.selection.covernet import covernet_extend_update_padded
+
+    res = 0.05  # tiny resolution: nearly every point wants to be a center
+    x0 = jnp.asarray(rng.uniform(-1, 1, (40, 2)))
+    y0 = jnp.sin(x0[:, :1])
+    z, u, c = covernet_update_inducing_parameters((x0, y0), 0.5, lloyds=0)
+    m0 = z.shape[0]
+    cap = m0 + 4
+    pad = cap - m0
+    far = 1.0e6 * (1.0 + jnp.arange(1, cap + 1, dtype=z.dtype))[:, None]
+    z_p = jnp.concatenate([z, jnp.broadcast_to(far[m0:], (pad, 2))])
+    u_p = jnp.concatenate([u, jnp.zeros((pad, 1), z.dtype)])
+    c_p = jnp.concatenate([c, jnp.ones((pad, 1), z.dtype)])
+    m_p = jnp.concatenate([jnp.ones((m0, 1), z.dtype),
+                           jnp.zeros((pad, 1), z.dtype)])
+    xb = jnp.asarray(rng.uniform(-1, 1, (50, 2)))
+    zo, uo, co, mo = covernet_extend_update_padded(
+        z_p, u_p, c_p, m_p, (xb, jnp.sin(xb[:, :1])), res
+    )
+    assert int(mo.sum()) == cap  # saturated, not crashed
+    # Old centers survive truncation untouched.
+    np.testing.assert_array_equal(np.asarray(zo[:m0]), np.asarray(z))
