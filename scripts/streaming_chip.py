@@ -140,5 +140,82 @@ def main() -> None:
             }), flush=True)
 
 
+def padded_pipeline() -> None:
+    """Measure the SINGLE-DISPATCH ingest pipeline (make_streaming_ingest_fn)
+    per-ingest wall at fixed capacity — the TPU-first streaming path the
+    eager extension A/B motivated.  Reports compile wall (first ingest) and
+    steady-state wall (best of 5 warm ingests, each a fresh data block, sync
+    on a scalar fetch of the new cache's nu)."""
+    import jax
+
+    enable_persistent_cache(jax, "bench-")
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.selection.covernet import covernet_update_inducing_parameters
+    from cggp_tpu.training.optimize import make_streaming_ingest_fn
+
+    caps = [2048, 8192]
+    if "--caps" in sys.argv:
+        caps = [int(v) for v in sys.argv[sys.argv.index("--caps") + 1].split(",")]
+    ingest_n = 4096
+    rng = np.random.RandomState(0)
+    dim = 3
+
+    for cap in caps:
+        model = CGGP(
+            kernel=Matern32(),
+            conjugate_gradient=ConjugateGradient(
+                1e-5, max_iterations=cap, relative_threshold=True
+            ),
+            num_data=100_000, num_probes=5, precondition="chol",
+        )
+        x0 = jnp.asarray(rng.uniform(-2, 2, (20_000, dim)), jnp.float32)
+        y0 = jnp.sin(3.0 * x0[:, :1])
+        # Resolution tuned so the initial net fills ~half the capacity.
+        res = {2048: 0.28, 8192: 0.155}.get(cap, 0.3)
+        z, u, c = covernet_update_inducing_parameters((x0, y0), res, lloyds=0)
+        if z.shape[0] > cap - 64:
+            print(json.dumps({"cap": cap, "mode": "padded_setup",
+                              "error": f"net {z.shape[0]} too close to cap"}),
+                  flush=True)
+            continue
+        params = model.init_params(z, pseudo_u=u, cluster_counts=c,
+                                   dtype=jnp.float32, capacity=cap)
+        ingest = make_streaming_ingest_fn(model, res)
+
+        def block(i):
+            xb = jnp.asarray(rng.uniform(-2.2, 2.2, (ingest_n, dim)),
+                             jnp.float32)
+            return xb, jnp.sin(3.0 * xb[:, :1])
+
+        xb, yb = block(0)
+        t0 = time.perf_counter()
+        params, post = ingest(params, xb, yb)
+        float(jnp.sum(post.nu))
+        compile_wall = time.perf_counter() - t0
+
+        walls = []
+        for i in range(1, 6):
+            xb, yb = block(i)
+            t0 = time.perf_counter()
+            params, post = ingest(params, xb, yb)
+            float(jnp.sum(post.nu))
+            walls.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "cap": cap, "mode": "padded_ingest", "ingest_n": ingest_n,
+            "m_real": int(params["inducing_mask"].sum()),
+            "m0": int(z.shape[0]),
+            "compile_wall_s": round(compile_wall, 3),
+            "warm_wall_s": round(min(walls), 5),
+            "warm_walls": [round(w, 4) for w in walls],
+        }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--padded" in sys.argv:
+        padded_pipeline()
+    else:
+        main()
