@@ -389,3 +389,48 @@ def test_streaming_ingest_capacity_saturation(rng):
     assert int(mo.sum()) == cap  # saturated, not crashed
     # Old centers survive truncation untouched.
     np.testing.assert_array_equal(np.asarray(zo[:m0]), np.asarray(z))
+
+
+def test_streaming_ingest_row_solver_family(rng):
+    """make_streaming_ingest_fn works unchanged on the masked row-solver
+    models: ImplicitCGGP (matrix-free, cg serving) and ShardedCGGP on the
+    8-way virtual mesh — serving parity with the dense padded pipeline."""
+    from cggp_tpu.models.implicit import ImplicitCGGP
+    from cggp_tpu.parallel import ShardedCGGP, make_mesh
+    from cggp_tpu.training.optimize import make_streaming_ingest_fn
+
+    res = 0.5
+    x0 = jnp.asarray(rng.uniform(-0.8, 0.8, (96, 2)))
+    y0 = jnp.sin(2.0 * x0[:, :1])
+    z, u, c = covernet_update_inducing_parameters((x0, y0), res, lloyds=0)
+    xb = jnp.asarray(rng.uniform(-1.3, 1.3, (64, 2)))
+    yb = jnp.sin(2.0 * xb[:, :1])
+    xq = jnp.asarray(rng.uniform(-1.2, 1.2, (19, 2)))
+    cap = 24  # multiple of the 8-way mesh
+
+    dense = _make_model("chol")
+    params_d = dense.init_params(z, pseudo_u=u, cluster_counts=c, capacity=cap)
+    ingest_d = make_streaming_ingest_fn(dense, res)
+    params_d, post_d = ingest_d(params_d, xb, yb)
+    mu_d, var_d = dense.posterior_predict(post_d, xq)
+    m_d = int(params_d["inducing_mask"].sum())
+
+    mesh = make_mesh(8)
+    kernel = Matern32()
+    models = [
+        ImplicitCGGP(kernel=kernel, num_data=96, num_probes=3,
+                     error_threshold=1e-14, max_cg_iterations=cap),
+        ShardedCGGP(kernel=kernel, mesh=mesh, num_data=96, num_probes=3,
+                    error_threshold=1e-14, max_cg_iterations=cap),
+    ]
+    for model in models:
+        params = model.init_params(z, pseudo_u=u, cluster_counts=c,
+                                   capacity=cap)
+        ingest = make_streaming_ingest_fn(model, res, posterior_solver="cg")
+        params, post = ingest(params, xb, yb)
+        assert int(params["inducing_mask"].sum()) == m_d
+        mu, var = model.posterior_predict(post, xq)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                                   atol=5e-6)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                                   atol=5e-6)
