@@ -558,6 +558,45 @@ def end_to_end_metrics(jax, platform: str) -> dict:
 
     loop_points_per_sec = SERVE_POINTS / _timed(_loop)
 
+    # Side measurement: the single-dispatch streaming-ingest pipeline
+    # (training/optimize.make_streaming_ingest_fn — net growth + stats merge
+    # + parameter swap + posterior-cache rebuild as ONE compiled program;
+    # docs/PERF.md round-3 streaming section).  Timed warm per 4096-point
+    # block at capacity 2048 on the same workload; never fatal to the e2e
+    # section.
+    streaming_extra = {}
+    try:
+        from cggp_tpu.training.optimize import make_streaming_ingest_fn
+
+        INGEST_CAP, INGEST_BLOCK = 2048, 4096
+        st_params = model.init_params(
+            iv, pseudo_u=u, cluster_counts=counts, capacity=INGEST_CAP,
+            dtype=jnp.float32,
+        )
+        ingest = make_streaming_ingest_fn(model, 0.35)
+        st_params, st_post = ingest(st_params, x[:INGEST_BLOCK],
+                                    y[:INGEST_BLOCK])  # compile
+        float(jnp.sum(st_post.nu))
+        walls = []
+        for i in range(1, 4):
+            lo = (i * INGEST_BLOCK) % (n_train - INGEST_BLOCK)
+            t0 = time.perf_counter()
+            st_params, st_post = ingest(
+                st_params, x[lo : lo + INGEST_BLOCK],
+                y[lo : lo + INGEST_BLOCK],
+            )
+            float(jnp.sum(st_post.nu))  # host fetch = sync
+            walls.append(time.perf_counter() - t0)
+        streaming_extra = {
+            "streaming_ingest_warm_ms": round(min(walls) * 1e3, 1),
+            "streaming_ingest_points_per_sec": round(
+                INGEST_BLOCK / min(walls), 1),
+            "streaming_ingest_capacity": INGEST_CAP,
+            "streaming_ingest_block": INGEST_BLOCK,
+        }
+    except Exception as exc:  # noqa: BLE001 — side metric, never fatal
+        streaming_extra = {"streaming_ingest_error": str(exc)[:200]}
+
     return {
         "train_steps_per_sec": round(steps_per_sec, 2),
         "serving_points_per_sec": round(points_per_sec, 1),
@@ -594,6 +633,7 @@ def end_to_end_metrics(jax, platform: str) -> dict:
         "e2e_serve_wall_s": round(serve_wall, 3),
         "e2e_selection_wall_s": round(selection_wall, 3),
         **covernet_extra,
+        **streaming_extra,
     }
 
 

@@ -333,6 +333,15 @@ def test_streaming_ingest_fn_single_trace_and_parity(rng):
     ingest = make_streaming_ingest_fn(model, res)
     xq = jnp.asarray(rng.uniform(-1.8, 1.8, (23, 2)))
 
+    # The single-trace check below reads the jitted ingest's cache-entry
+    # count, which lives in jax's GLOBAL LRU executable cache.  Under the
+    # full suite that cache already holds thousands of entries from earlier
+    # test files, and our entry can be LRU-EVICTED mid-test (observed:
+    # `_cache_size() == 0` in full-suite runs, 1 in isolation — eviction,
+    # not retracing).  Clearing makes the test hermetic: the handful of
+    # programs this test traces can never reach the eviction threshold.
+    jax.clear_caches()
+
     lo = 0.8
     for _round in range(3):
         hi = lo + 0.4
