@@ -660,10 +660,17 @@ class CGGP(ClusterGP):
             state = {
                 "chol_w": jnp.where(ok, w_ext, jnp.eye(m1, dtype=w_ext.dtype))
             }
-        elif not isinstance(state, dict) and (dm > 0 or not lam_prefix_same):
-            # Spectral ((U, ...) tuple) and identity (()) states have no
-            # border algebra — rebuild from the new system at the model's
-            # configured mode (O(M' rank^2), no O(M'^3) factor).
+        elif (
+            self.precondition is not None
+            and not isinstance(state, dict)
+            and (dm > 0 or not lam_prefix_same)
+        ):
+            # Spectral ((U, ...) tuple) states have no border algebra —
+            # rebuild from the new system at the model's configured mode
+            # (O(M' rank^2), no O(M'^3) factor).  Identity (()) states skip
+            # the branch entirely: building kmm only for
+            # _build_preconditioner to return None would waste an [M', M']
+            # buffer write per ingest.
             kmm = add_diagonal(kmm_lambda, -lam_new)
             precond = self._build_preconditioner(
                 kp, z, kmm, lam_new[:, None],
@@ -672,7 +679,7 @@ class CGGP(ClusterGP):
             state = () if precond is None else precond.state
 
         nu0 = post.nu if dm == 0 else jnp.concatenate(
-            [post.nu, jnp.zeros((dm, 1), post.nu.dtype)]
+            [post.nu, jnp.zeros((dm, post.nu.shape[1]), post.nu.dtype)]
         )
         nu = self.conjugate_gradient(
             kmm_lambda, u, initial_solution=nu0,

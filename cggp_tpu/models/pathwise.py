@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from cggp_tpu.models.clustergp import ClusterGP
 from cggp_tpu.models.base import minibatch_scale
-from cggp_tpu.ops.linalg import add_diagonal
+from cggp_tpu.ops.linalg import add_diagonal, pad_rows_to_blocks
 from cggp_tpu.ops.rff import basis_theta_parameter, basis_vectors, rff_sample
 
 Array = jnp.ndarray
@@ -81,6 +81,15 @@ def build_pathwise_posterior(
     kp = params["kernel"]
     z = params["inducing_points"]
     u = params["pseudo_u"]
+    if u.ndim != 2 or u.shape[1] != 1:
+        # The cache stores one weight row per SAMPLE ([S, M]); a multi-output
+        # pseudo_u [M, P>1] would broadcast u.T [P, M] against the [S, M]
+        # prior draws and silently mix outputs across samples. The per-call
+        # pathwise_samples path handles P>1; the cache is single-output only.
+        raise ValueError(
+            "build_pathwise_posterior supports single-output pseudo_u "
+            f"[M, 1]; got {u.shape}. Use pathwise_samples for multi-output."
+        )
     lambda_diag = model.diag_variance(params)[:, 0]
     mask_of = getattr(model, "_mask_of", None)
     mask = mask_of(params) if mask_of is not None else None
@@ -154,12 +163,8 @@ def pathwise_samples_scan(model, post: PathwisePosterior, x: Array,
     over fixed-size row blocks — the posterior_predict_scan pattern from
     training/optimize.py, applied to the solve-free sample evaluator).
     Returns [S, N, 1]."""
-    n, d = x.shape
-    batch_size = min(int(batch_size), n)
-    pad = (-n) % batch_size
-    if pad:
-        x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
-    blocks = x.reshape(-1, batch_size, d)
+    n = x.shape[0]
+    blocks = pad_rows_to_blocks(x, min(int(batch_size), n))
     out = jax.lax.map(lambda xb: pathwise_samples_at(model, post, xb), blocks)
     # [num_blocks, S, batch, 1] -> [S, N, 1]
     out = jnp.moveaxis(out, 0, 1).reshape(out.shape[1], -1, out.shape[-1])

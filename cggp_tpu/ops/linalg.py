@@ -20,6 +20,24 @@ def add_diagonal(matrix: jnp.ndarray, diagonal: jnp.ndarray) -> jnp.ndarray:
     return matrix.at[..., idx, idx].add(diagonal)
 
 
+def pad_rows_to_blocks(x: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """Reshape ``x [n, d]`` into fixed-size row blocks
+    ``[num_blocks, block_size, d]`` for a ``lax.map`` sweep, padding the
+    tail block with broadcast copies of row 0 (callers strip outputs back
+    to ``[:n]``).  Shared by the one-dispatch serving sweeps
+    (``posterior_predict_scan``, ``pathwise_samples_scan``) and the blocked
+    k-means distances so the pad-row convention cannot drift apart.
+    ``block_size`` is used as given — callers clamp/round it first (mesh
+    multiples, dataset size) — except that it is floored at 1 so an empty
+    ``x`` yields zero blocks instead of a division by zero."""
+    n, d = x.shape
+    block = max(int(block_size), 1)
+    pad = (-n) % block
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
+    return x.reshape(-1, block, d)
+
+
 def two_sum(a: jnp.ndarray, b: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Knuth's exact two-sum: a + b = s + err with s = fl(a + b)."""
     s = a + b

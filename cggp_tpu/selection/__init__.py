@@ -11,6 +11,7 @@ from cggp_tpu.selection.covertree import CoverTree
 from cggp_tpu.selection.covernet import (
     covernet_extend,
     covernet_extend_update,
+    covernet_extend_update_padded,
     covernet_lloyds,
     covernet_select,
     covernet_update_inducing_parameters,
@@ -30,6 +31,7 @@ __all__ = [
     "CoverTree",
     "covernet_extend",
     "covernet_extend_update",
+    "covernet_extend_update_padded",
     "covernet_lloyds",
     "covernet_select",
     "covernet_update_inducing_parameters",

@@ -13,6 +13,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from cggp_tpu.ops.linalg import pad_rows_to_blocks
+
 Array = jnp.ndarray
 
 
@@ -46,11 +48,7 @@ def kmeans_indices_and_distances(
         if n <= block:
             distances = distance_fn((points[:, None, :], centroids[None, :, :]))
         else:
-            pad = (-n) % block
-            pts = jnp.concatenate(
-                [points, jnp.broadcast_to(points[:1], (pad, points.shape[-1]))]
-            ) if pad else points
-            chunks = pts.reshape(-1, block, points.shape[-1])
+            chunks = pad_rows_to_blocks(points, block)
             distances = jax.lax.map(
                 lambda xb: distance_fn((xb[:, None, :], centroids[None, :, :])),
                 chunks,

@@ -22,6 +22,7 @@ from cggp_tpu.training.optimize import (
     make_adam_multi_step,
     posterior_predict_scan,
     predict_in_batches,
+    train_full_batch_adam,
     train_using_adam_and_update,
     train_using_device_lbfgs,
     train_using_lbfgs_and_update,
@@ -49,6 +50,7 @@ __all__ = [
     "make_metrics_callback",
     "make_param_callback",
     "make_adam_multi_step",
+    "train_full_batch_adam",
     "train_using_adam_and_update",
     "train_using_device_lbfgs",
     "train_using_lbfgs_and_update",

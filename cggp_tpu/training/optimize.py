@@ -28,6 +28,7 @@ import numpy as np
 import optax
 from jax.flatten_util import ravel_pytree
 
+from cggp_tpu.ops.linalg import pad_rows_to_blocks
 from cggp_tpu.training.batching import batched_indices, minibatch_iterator
 from cggp_tpu.training.monitor import Monitor
 
@@ -878,16 +879,14 @@ def auto_serving_batch_size(m: int, n: int, floor: int = 8192,
 
     Returns the largest power-of-two T with ``m * T <= block_budget``,
     clamped to ``[floor, cap]`` = [8192, 65536] (never below the proven
-    default; 65536 is the measured loop peak) and to the dataset size (no
-    point padding past n).
+    default; 65536 is the measured loop peak) and to the dataset size —
+    a batch never exceeds n, so tiny datasets serve as ONE exact-size
+    block with no phantom padding rows.
     """
     t = block_budget // max(int(m), 1)
     t = 1 << max(t.bit_length() - 1, 0)  # power-of-two floor
     t = max(floor, min(t, cap))
-    if n < t:
-        # Round n UP to a power of two so tiny datasets stay one block.
-        t = 1 << max(int(n) - 1, 1).bit_length()
-    return t
+    return min(t, max(int(n), 1))
 
 
 def _serving_system_rows(model, params: Dict, train_data) -> Optional[int]:
@@ -1205,7 +1204,7 @@ def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
             "slower on TPU — prefer predict_in_batches for this shape",
             RuntimeWarning,
         )
-    n, d = x.shape
+    n = x.shape[0]
     batch_size = min(int(batch_size), n)
     constrain_rows = lambda a: a  # noqa: E731 — identity off-mesh
     if mesh is not None:
@@ -1225,10 +1224,7 @@ def posterior_predict_scan(model, post, x: Array, batch_size: int = 8192,
             return jax.lax.with_sharding_constraint(
                 a, NamedSharding(mesh, spec))
 
-    pad = (-n) % batch_size
-    if pad:
-        x = jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad, d))])
-    blocks = x.reshape(-1, batch_size, d)
+    blocks = pad_rows_to_blocks(x, batch_size)
     if mean_only:
         mu = jax.lax.map(
             lambda xb: constrain_rows(

@@ -55,6 +55,20 @@ def test_cached_samples_equal_per_call_path(rng):
                                rtol=1e-9, atol=1e-10)
 
 
+def test_build_rejects_multioutput_pseudo_u(rng):
+    """The cache is single-output only: a [M, P>1] pseudo_u would broadcast
+    u.T [P, M] against the [S, M] prior draws and silently mix outputs
+    across samples (round-3 review finding) — reject loudly."""
+    x, y, z, u, counts = _setup(rng)
+    model = PathwiseClusterGP(SquaredExponential(), num_data=x.shape[0],
+                              num_bases=32, num_samples=3)
+    u_multi = jnp.concatenate([u, 2.0 * u], axis=1)
+    params = model.init_params(z, noise_variance=0.05, pseudo_u=u_multi,
+                               cluster_counts=counts)
+    with pytest.raises(ValueError, match="single-output"):
+        build_pathwise_posterior(model, params, jax.random.PRNGKey(0))
+
+
 def test_cg_weights_match_chol_weights(rng):
     """CGGP route: the batched CG solve at a tight threshold reproduces the
     Cholesky weights (and therefore the samples)."""

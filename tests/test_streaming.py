@@ -250,6 +250,25 @@ def test_posterior_extend_rejects_invalid_usage(rng):
         model.posterior_extend(post_pad, params2)
 
 
+def test_posterior_extend_multicolumn_nu(rng):
+    """A CG cache built from multi-column pseudo_u [M, P>1] extends with
+    growth: the warm-start padding must match nu's column count (round-3
+    review finding — zeros((dm, 1)) crashed where a rebuild worked)."""
+    _, _, (z1, u1, c1), (z2, u2, c2) = _streaming_setup(rng)
+    model = _make_model(None)
+    u1w = jnp.concatenate([u1, 2.0 * u1], axis=1)  # [M, 2]
+    u2w = jnp.concatenate([u2, 2.0 * u2], axis=1)
+    params1 = model.init_params(z1, pseudo_u=u1w, cluster_counts=c1)
+    post1 = model.posterior(params1, solver="cg")
+    assert post1.nu.shape[1] == 2
+
+    params2 = model.assign_clusters(params1, z2, u2w, c2)
+    post2 = model.posterior_extend(post1, params2)
+    ref = model.posterior(params2, solver="cg")
+    np.testing.assert_allclose(np.asarray(post2.nu), np.asarray(ref.nu),
+                               atol=5e-6)
+
+
 def test_streaming_pipeline_end_to_end(rng):
     """Three ingest rounds: net extend -> stats merge -> cache extend, each
     round's serving checked against a from-scratch rebuild."""

@@ -529,9 +529,11 @@ def test_auto_serving_batch_size():
     assert auto_serving_batch_size(4096, big) == 32768
     assert auto_serving_batch_size(16384, big) == 8192   # today's default
     assert auto_serving_batch_size(32768, big) == 8192   # floor: never below
-    # Dataset smaller than the budget batch: one power-of-two block.
-    assert auto_serving_batch_size(989, 1000) == 1024
-    assert auto_serving_batch_size(989, 1) == 2
+    # Dataset smaller than the budget batch: ONE exact-size block — the
+    # batch never exceeds n (no phantom padding rows for direct callers).
+    assert auto_serving_batch_size(989, 1000) == 1000
+    assert auto_serving_batch_size(989, 1) == 1
+    assert auto_serving_batch_size(989, 65537) == 65536  # cap still binds
 
 
 def test_predict_in_batches_auto_batch(rng):
