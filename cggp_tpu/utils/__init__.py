@@ -5,8 +5,10 @@ from cggp_tpu.utils.store import (
     flatten_params,
     load_checkpoint,
     load_config_dir,
+    load_posterior,
     save_checkpoint,
     save_config_dir,
+    save_posterior,
     unflatten_params,
 )
 
@@ -15,7 +17,9 @@ __all__ = [
     "flatten_params",
     "load_checkpoint",
     "load_config_dir",
+    "load_posterior",
     "save_checkpoint",
     "save_config_dir",
+    "save_posterior",
     "unflatten_params",
 ]

@@ -128,3 +128,105 @@ def load_checkpoint(dirpath, params_like: Dict, step: Optional[int] = None) -> D
         step = steps[-1]
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(base / str(step), params_like)
+
+
+# ---------------------------------------------------------------------------
+# Serving-cache persistence (net-new): build a posterior cache once (the
+# expensive part — factorization / CG solves / LOVE basis), persist it, and
+# serve from many processes without re-solving.  The reference has no
+# counterpart: it refactorizes inside every predict call (models.py:333-345).
+#
+# Every model family's cache is a NamedTuple pytree (CGGPPosterior,
+# IterGPRPosterior, PathwisePosterior, ...) whose leaves are arrays, nested
+# dicts (kernel_params), tuples (precond_state), Nones, and the odd static
+# scalar — so persistence is a structure-preserving encode: arrays go to
+# ``posterior.npz`` under slash-joined path names, the structure (including
+# the NamedTuple class, restored by import on load) goes to
+# ``posterior.json``.
+# ---------------------------------------------------------------------------
+
+
+def _encode_pytree(obj, path: str, arrays: Dict[str, np.ndarray]):
+    """JSON-able structure descriptor; array leaves spilled to ``arrays``."""
+    if obj is None:
+        return None
+    if isinstance(obj, (bool, int, float, str)):
+        return {"kind": "scalar", "value": obj}
+    if isinstance(obj, dict):
+        return {"kind": "dict", "items": {
+            str(k): _encode_pytree(v, f"{path}/{k}", arrays)
+            for k, v in obj.items()}}
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple
+        cls = type(obj)
+        return {"kind": "namedtuple",
+                "class": [cls.__module__, cls.__qualname__],
+                "items": {f: _encode_pytree(v, f"{path}/{f}", arrays)
+                          for f, v in zip(obj._fields, obj)}}
+    if isinstance(obj, (tuple, list)):
+        return {"kind": "tuple" if isinstance(obj, tuple) else "list",
+                "items": [_encode_pytree(v, f"{path}/{i}", arrays)
+                          for i, v in enumerate(obj)]}
+    arrays[path] = np.asarray(obj)
+    return {"kind": "array", "name": path}
+
+
+def _decode_pytree(desc, arrays):
+    if desc is None:
+        return None
+    kind = desc["kind"]
+    if kind == "scalar":
+        return desc["value"]
+    if kind == "array":
+        return jnp.asarray(arrays[desc["name"]])
+    if kind == "dict":
+        return {k: _decode_pytree(v, arrays) for k, v in desc["items"].items()}
+    if kind in ("tuple", "list"):
+        seq = [_decode_pytree(v, arrays) for v in desc["items"]]
+        return tuple(seq) if kind == "tuple" else seq
+    if kind == "namedtuple":
+        module, qualname = desc["class"]
+        if not module.startswith("cggp_tpu."):
+            # The class is imported on load; restrict to this package so a
+            # tampered sidecar cannot name arbitrary import targets.
+            raise ValueError(f"refusing to import posterior class from "
+                             f"{module!r} (not a cggp_tpu module)")
+        import importlib
+
+        cls = importlib.import_module(module)
+        for part in qualname.split("."):
+            cls = getattr(cls, part)
+        fields = {k: _decode_pytree(v, arrays) for k, v in desc["items"].items()}
+        return cls(**fields)
+    raise ValueError(f"unknown descriptor kind: {kind!r}")
+
+
+def save_posterior(dirpath, post) -> None:
+    """Write a serving cache to ``{dirpath}/posterior.{npz,json}``.
+
+    ``post`` is any model family's posterior NamedTuple
+    (:meth:`CGGP.posterior`, :meth:`IterGPR.posterior`,
+    :func:`build_pathwise_posterior`, ...).  Load with
+    :func:`load_posterior`; the round trip is exact (dtypes preserved), so
+    a serving process can skip the cache build entirely.
+    """
+    dirpath = Path(dirpath)
+    dirpath.mkdir(parents=True, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    desc = _encode_pytree(post, "post", arrays)
+    if not (isinstance(desc, dict) and desc["kind"] == "namedtuple"):
+        raise TypeError(
+            f"save_posterior expects a posterior NamedTuple, got {type(post)}"
+        )
+    np.savez(str(dirpath / "posterior.npz"), **arrays)
+    with open(dirpath / "posterior.json", "w") as fh:
+        json.dump(desc, fh, indent=2)
+
+
+def load_posterior(dirpath):
+    """Read back the serving cache written by :func:`save_posterior`."""
+    dirpath = Path(dirpath)
+    with open(dirpath / "posterior.json") as fh:
+        desc = json.load(fh)
+    with np.load(str(dirpath / "posterior.npz")) as npz:
+        arrays = {k: npz[k] for k in npz.files}
+    return _decode_pytree(desc, arrays)

@@ -549,3 +549,71 @@ def test_predict_in_batches_auto_resolves_conditioning_eagerly(rng, monkeypatch)
         mu, var = opt.predict_in_batches(model, params, x, batch_size=64)
     assert solvers_used == ["cg"], solvers_used
     assert np.isfinite(np.asarray(mu)).all() and np.isfinite(np.asarray(var)).all()
+
+
+def test_posterior_cache_save_load_roundtrip(rng, tmp_path):
+    """save_posterior/load_posterior: a persisted serving cache serves
+    EXACTLY like the in-memory one — the serving process skips the build
+    (factorization / CG solves) entirely.  Covers the cg cache (dict
+    preconditioner state + [M, M] system), the chol cache (factor-only,
+    kmm_lambda=None), and the LOVE cache; plus the pathwise sample cache
+    (nested kernel_params dict through the generic encode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import (
+        CGGP, PathwiseClusterGP, build_pathwise_posterior, pathwise_samples_at,
+    )
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32, SquaredExponential
+    from cggp_tpu.utils import load_posterior, save_posterior
+
+    n, m = 120, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])), jnp.float32)
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-10, relative_threshold=True),
+        num_data=n, num_probes=3, precondition="chol",
+    )
+    params = model.init_params(x[:m], pseudo_u=y[:m],
+                               cluster_counts=jnp.ones((m, 1), x.dtype))
+    xq = x[:40]
+    for solver in ("cg", "chol", "lanczos"):
+        post = model.posterior(params, solver=solver)
+        d = tmp_path / solver
+        save_posterior(d, post)
+        loaded = load_posterior(d)
+        assert type(loaded) is type(post)
+        for a, b in zip(jax.tree_util.tree_leaves(post),
+                        jax.tree_util.tree_leaves(loaded)):
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for got, want in zip(model.posterior_predict(loaded, xq),
+                             model.posterior_predict(post, xq)):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    pw = PathwiseClusterGP(SquaredExponential(), num_data=n, num_bases=16,
+                           num_samples=3)
+    pp = pw.init_params(x[:m], noise_variance=0.05, pseudo_u=y[:m],
+                        cluster_counts=jnp.ones((m, 1), x.dtype))
+    ppost = build_pathwise_posterior(pw, pp, jax.random.PRNGKey(0),
+                                     num_samples=3)
+    save_posterior(tmp_path / "pw", ppost)
+    ploaded = load_posterior(tmp_path / "pw")
+    np.testing.assert_array_equal(
+        np.asarray(pathwise_samples_at(pw, ploaded, xq)),
+        np.asarray(pathwise_samples_at(pw, ppost, xq)))
+
+    # Tampered sidecar: the loader refuses to import outside the package.
+    import json as _json
+    bad = tmp_path / "bad"
+    save_posterior(bad, ppost)
+    desc = _json.loads((bad / "posterior.json").read_text())
+    desc["class"] = ["os.path", "join"]
+    (bad / "posterior.json").write_text(_json.dumps(desc))
+    with pytest.raises(ValueError, match="cggp_tpu"):
+        load_posterior(bad)
+
+    with pytest.raises(TypeError, match="NamedTuple"):
+        save_posterior(tmp_path / "notpost", {"nu": y[:m]})
