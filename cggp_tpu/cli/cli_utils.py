@@ -600,7 +600,8 @@ def create_model_and_update_fn(
 
 def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
                           mean_only: bool = False,
-                          posterior_solver: str = "auto", mesh=None):
+                          posterior_solver: str = "auto", mesh=None,
+                          posterior=None):
     """Posterior (mean, var) over ``x`` as numpy, on the fastest serving path.
 
     Routes through ``predict_in_batches``, so every model family serves
@@ -620,6 +621,7 @@ def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
         model, params, x, batch_size=batch_size,
         train_data=train_data if needs_data else None,
         mean_only=mean_only, posterior_solver=posterior_solver, mesh=mesh,
+        posterior=posterior,
     )
     return np.asarray(mean), None if var is None else np.asarray(var)
 

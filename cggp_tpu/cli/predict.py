@@ -43,12 +43,17 @@ from cggp_tpu.utils import load_config_dir
                    "non-finite factor. lanczos = LOVE-style rank-k cache "
                    "(matrix-free models, e.g. cdgp-implicit: solve-free "
                    "per-batch variance, conservative over-estimates).")
+@click.option("--posterior-dir", type=LogdirPath(), default=None,
+              help="Persist/reuse the serving cache: loads "
+                   "posterior.{npz,json} from this dir if present (the "
+                   "build — factorization / CG solves — is skipped), else "
+                   "builds once and saves it there for later processes.")
 @click.option("--num-devices", type=int, default=None,
               help="Serve data-parallel: query rows of each batch sharded "
                    "over an N-device mesh, the posterior cache replicated "
                    "(single-device-style models only).")
 def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
-         mean_only, serving_solver, num_devices):
+         mean_only, serving_solver, posterior_dir, num_devices):
     flat, info = load_config_dir(config_dir)
     dataset_name = info.get("dataset_name", info.get("dataset"))
     seed = int(info.get("seed", 0))
@@ -153,10 +158,37 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
         mesh = make_mesh(num_devices)
         click.echo(f"data-parallel serving over {num_devices} devices")
 
+    post = None
+    if posterior_dir is not None:
+        from cggp_tpu.utils import load_posterior, save_posterior
+
+        if Path(posterior_dir, "posterior.json").exists():
+            post = load_posterior(posterior_dir)
+            click.echo(f"serving cache loaded from {posterior_dir} "
+                       "(build skipped)")
+        elif hasattr(model, "posterior"):
+            import inspect as _inspect
+
+            sig = _inspect.signature(model.posterior).parameters
+            solver = serving_solver
+            if solver == "auto" and hasattr(model, "resolve_serving_solver"):
+                solver = model.resolve_serving_solver(params)
+            kwargs = {"solver": solver} if "solver" in sig else {}
+            post = model.posterior(params, dataset.train, **kwargs) \
+                if "data" in sig else model.posterior(params, **kwargs)
+            save_posterior(posterior_dir, post)
+            click.echo(f"serving cache built and saved to {posterior_dir}")
+        else:
+            click.echo(
+                f"WARNING: {model_class} has no posterior cache; "
+                "--posterior-dir ignored", err=True,
+            )
+
     for split_name, split in (("train", dataset.train), ("test", dataset.test)):
         mean, var = dump_posterior_arrays(
             model, params, dataset.train, split[0], test_batch_size,
             mean_only=mean_only, posterior_solver=serving_solver, mesh=mesh,
+            posterior=post,
         )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
         if var is not None:

@@ -906,7 +906,7 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
                        mean_only: bool = False, use_posterior: bool = True,
                        posterior_solver: str = "auto", mesh=None,
-                       scan: object = "auto"):
+                       scan: object = "auto", posterior=None):
     """Full-dataset posterior (mean, var), asynchronously pipelined (net-new).
 
     One jitted predict per fixed-size batch, dispatched back-to-back with NO
@@ -959,6 +959,13 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
     sharding-constrained inside the ``lax.map`` body so the data-parallel
     sweep is one dispatch too; any scan build failure falls back to the
     mesh dispatch loop.
+
+    ``posterior`` (net-new, round 3): a prebuilt serving cache — e.g. one
+    persisted with :func:`cggp_tpu.utils.save_posterior` and read back with
+    ``load_posterior`` — serves directly, skipping the per-params cache
+    build (the factorization / CG solves).  Routing still applies: the
+    cache's own solver fields pick the scan/loop path, and a corrupt
+    Cholesky factor fails loudly instead of serving NaNs.
     """
     if mesh is not None:
         if not use_posterior:
@@ -1013,6 +1020,12 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
             "scan=True needs the posterior-cache path (use_posterior=True, "
             "a posterior()-capable model, matching train_data)"
         )
+    if posterior is not None and not posterior_capable:
+        raise ValueError(
+            "posterior= injection needs the posterior-cache path "
+            "(use_posterior=True, a posterior()-capable model, matching "
+            "train_data)"
+        )
 
     if posterior_capable:
         # Resolve "auto" EAGERLY before jitting: inside jit the system
@@ -1021,7 +1034,20 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
         # extremal Ritz values) only exists out here (round-3 review
         # finding: the production serving path never ran it).
         requested_solver = posterior_solver
-        if posterior_solver == "auto" and _posterior_takes_solver(model):
+        if posterior is not None:
+            # Serve from a prebuilt cache (e.g. load_posterior): the build
+            # — the expensive factorization/solve — is skipped entirely;
+            # routing (scan vs loop, probe guards) keys off the cache's own
+            # solver fields.  A corrupt loaded chol factor fails loudly via
+            # the finite-factor guard below (requested_solver is concrete).
+            posterior_solver = (
+                "chol" if getattr(posterior, "chol", None) is not None
+                else "lanczos"
+                if getattr(posterior, "lanczos_r", None) is not None
+                else "cg"
+            )
+            requested_solver = posterior_solver
+        elif posterior_solver == "auto" and _posterior_takes_solver(model):
             resolver = getattr(model, "resolve_serving_solver", None)
             if resolver is not None:
                 posterior_solver = resolver(params)
@@ -1032,8 +1058,11 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
         build, post_predict, post_mean = _cached_posterior_jits(
             model, posterior_solver, mesh
         )
-        post = build(params, train_data) if _posterior_takes_data(model) \
-            else build(params)
+        if posterior is not None:
+            post = posterior
+        else:
+            post = build(params, train_data) if _posterior_takes_data(model) \
+                else build(params)
         # auto/chol guard: a raw Cholesky of an ill-conditioned Kmm+Lambda
         # NaNs silently (exactly the regime CGGP's preconditioned CG exists
         # for).  One [M] host check per cache build (not per batch); on a

@@ -108,6 +108,25 @@ def test_predict_from_config_dir(runner, tmp_path):
     _run(runner, ["predict", "-c", str(logdir), "-l", str(out), "-mc", "cdgp"])
     assert (out / "test_mean.npy").exists()
 
+    # --posterior-dir: first call builds + saves the serving cache, second
+    # call loads it (build skipped) and must dump identical arrays.
+    pdir = tmp_path / "cache"
+    out2 = tmp_path / "pred2"
+    out2.mkdir()
+    r1 = _run(runner, ["predict", "-c", str(logdir), "-l", str(out2),
+                       "-mc", "cdgp", "--posterior-dir", str(pdir)])
+    assert "built and saved" in r1.output
+    assert (pdir / "posterior.json").exists()
+    out3 = tmp_path / "pred3"
+    out3.mkdir()
+    r2 = _run(runner, ["predict", "-c", str(logdir), "-l", str(out3),
+                       "-mc", "cdgp", "--posterior-dir", str(pdir)])
+    assert "build skipped" in r2.output
+    np.testing.assert_array_equal(np.load(out2 / "test_mean.npy"),
+                                  np.load(out3 / "test_mean.npy"))
+    np.testing.assert_array_equal(np.load(out / "test_mean.npy"),
+                                  np.load(out2 / "test_mean.npy"))
+
 
 def test_uci_csv_aggregation(runner, tmp_path):
     # Two seeds of the same config, one per estimator: the aggregation must

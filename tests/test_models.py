@@ -605,6 +605,17 @@ def test_posterior_cache_save_load_roundtrip(rng, tmp_path):
         np.asarray(pathwise_samples_at(pw, ploaded, xq)),
         np.asarray(pathwise_samples_at(pw, ppost, xq)))
 
+    # predict_in_batches(posterior=...): the injected cache serves through
+    # the production router (scan/loop) with the build skipped.
+    from cggp_tpu.training.optimize import predict_in_batches
+
+    post_c = load_posterior(tmp_path / "chol")
+    mu_i, var_i = predict_in_batches(model, params, xq, batch_size=16,
+                                     posterior=post_c)
+    mu_r, var_r = model.posterior_predict(post_c, xq)
+    np.testing.assert_allclose(np.asarray(mu_i), np.asarray(mu_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_r), atol=1e-6)
+
     # Tampered sidecar: the loader refuses to import outside the package.
     import json as _json
     bad = tmp_path / "bad"
