@@ -23,6 +23,20 @@ from cggp_tpu.cli.cli_utils import (
 from cggp_tpu.utils import load_config_dir
 
 
+def _posterior_finite(post) -> bool:
+    """True iff every inexact array leaf of the serving cache is finite."""
+    import jax
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(post):
+        arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.inexact) and not bool(
+            jnp.isfinite(arr).all()
+        ):
+            return False
+    return True
+
+
 @click.command("predict")
 @click.option("-c", "--config-dir", type=LogdirPath(mkdir=False), required=True)
 @click.option("-l", "--logdir", type=LogdirPath(), default=LogdirPath.default_logdir)
@@ -160,9 +174,33 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
 
     post = None
     if posterior_dir is not None:
-        from cggp_tpu.utils import load_posterior, save_posterior
+        from cggp_tpu.utils import (
+            load_posterior, posterior_fingerprint, save_posterior,
+        )
 
+        fingerprint = posterior_fingerprint(model_class, params)
+        meta_path = Path(posterior_dir, "cache_meta.json")
         if Path(posterior_dir, "posterior.json").exists():
+            # Refuse a cache built for different params/config: a
+            # shape-compatible stale cache (e.g. after retraining) would
+            # silently serve wrong posteriors.
+            import json as _json
+
+            if meta_path.exists():
+                meta = _json.loads(meta_path.read_text())
+                if meta.get("fingerprint") != fingerprint:
+                    raise click.ClickException(
+                        f"serving cache at {posterior_dir} was built for a "
+                        f"different model/params (fingerprint "
+                        f"{meta.get('fingerprint')} != {fingerprint}); "
+                        f"delete the directory to rebuild")
+            else:
+                click.echo(
+                    f"WARNING: serving cache at {posterior_dir} has no "
+                    "cache_meta.json fingerprint; cannot verify it matches "
+                    "this config — delete the directory to rebuild safely.",
+                    err=True,
+                )
             post = load_posterior(posterior_dir)
             click.echo(f"serving cache loaded from {posterior_dir} "
                        "(build skipped)")
@@ -174,9 +212,33 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
             if solver == "auto" and hasattr(model, "resolve_serving_solver"):
                 solver = model.resolve_serving_solver(params)
             kwargs = {"solver": solver} if "solver" in sig else {}
-            post = model.posterior(params, dataset.train, **kwargs) \
-                if "data" in sig else model.posterior(params, **kwargs)
+
+            def _build(kw):
+                return model.posterior(params, dataset.train, **kw) \
+                    if "data" in sig else model.posterior(params, **kw)
+
+            post = _build(kwargs)
+            # Persisting a non-finite factor (ill-conditioned chol) would
+            # poison this and every later run of the directory; apply the
+            # same CG fallback the auto serving path uses BEFORE saving.
+            if not _posterior_finite(post):
+                if serving_solver == "auto" and kwargs.get("solver") == "chol":
+                    click.echo(
+                        "WARNING: auto-resolved chol cache is non-finite "
+                        "(ill-conditioned system); falling back to the CG "
+                        "cache.", err=True)
+                    kwargs["solver"] = "cg"
+                    post = _build(kwargs)
+                if not _posterior_finite(post):
+                    raise click.ClickException(
+                        f"{kwargs.get('solver', serving_solver)} serving "
+                        "cache is non-finite; not saving. Try "
+                        "--serving-solver cg.")
             save_posterior(posterior_dir, post)
+            import json as _json
+
+            meta_path.write_text(_json.dumps({"fingerprint": fingerprint,
+                                              "model_class": model_class}))
             click.echo(f"serving cache built and saved to {posterior_dir}")
         else:
             click.echo(

@@ -6,6 +6,7 @@ from cggp_tpu.utils.store import (
     load_checkpoint,
     load_config_dir,
     load_posterior,
+    posterior_fingerprint,
     save_checkpoint,
     save_config_dir,
     save_posterior,
@@ -18,6 +19,7 @@ __all__ = [
     "load_checkpoint",
     "load_config_dir",
     "load_posterior",
+    "posterior_fingerprint",
     "save_checkpoint",
     "save_config_dir",
     "save_posterior",

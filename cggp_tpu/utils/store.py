@@ -177,7 +177,18 @@ def _decode_pytree(desc, arrays):
     if kind == "scalar":
         return desc["value"]
     if kind == "array":
-        return jnp.asarray(arrays[desc["name"]])
+        saved = arrays[desc["name"]]
+        out = jnp.asarray(saved)
+        if out.dtype != saved.dtype:
+            # jnp.asarray silently downcasts 64-bit leaves when
+            # jax_enable_x64 is off in the loading process, which would break
+            # the documented exact round trip without any signal.
+            raise ValueError(
+                f"posterior leaf {desc['name']!r} was saved as {saved.dtype} "
+                f"but loads as {out.dtype}; enable jax_enable_x64 in the "
+                f"loading process (caches must be loaded under the same x64 "
+                f"setting they were saved with)")
+        return out
     if kind == "dict":
         return {k: _decode_pytree(v, arrays) for k, v in desc["items"].items()}
     if kind in ("tuple", "list"):
@@ -195,6 +206,17 @@ def _decode_pytree(desc, arrays):
         cls = importlib.import_module(module)
         for part in qualname.split("."):
             cls = getattr(cls, part)
+        # The module-prefix check above only constrains the import target;
+        # the getattr walk could still escape the package through the
+        # module's own imports (e.g. qualname "subprocess.check_output").
+        # Require the RESOLVED object to be a NamedTuple class defined in
+        # this package before calling it.
+        if not (isinstance(cls, type) and issubclass(cls, tuple)
+                and hasattr(cls, "_fields")
+                and cls.__module__.startswith("cggp_tpu.")):
+            raise ValueError(
+                f"refusing to instantiate {module}.{qualname}: not a "
+                f"NamedTuple class defined in cggp_tpu")
         fields = {k: _decode_pytree(v, arrays) for k, v in desc["items"].items()}
         return cls(**fields)
     raise ValueError(f"unknown descriptor kind: {kind!r}")
@@ -220,6 +242,25 @@ def save_posterior(dirpath, post) -> None:
     np.savez(str(dirpath / "posterior.npz"), **arrays)
     with open(dirpath / "posterior.json", "w") as fh:
         json.dump(desc, fh, indent=2)
+
+
+def posterior_fingerprint(model_class: str, params: Dict) -> str:
+    """Stable identity of (model class, trained params) for cache validation.
+
+    Stored next to a persisted serving cache so a later process can detect
+    that the cache was built for different parameters (e.g. after
+    retraining) instead of silently serving a stale shape-compatible one.
+    """
+    import hashlib
+
+    h = hashlib.sha256(model_class.encode())
+    flat = flatten_params(params)
+    for name in sorted(flat):
+        arr = flat[name]
+        h.update(name.encode())
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()[:16]
 
 
 def load_posterior(dirpath):

@@ -127,6 +127,26 @@ def test_predict_from_config_dir(runner, tmp_path):
     np.testing.assert_array_equal(np.load(out / "test_mean.npy"),
                                   np.load(out2 / "test_mean.npy"))
 
+    # Stale-cache guard: the cache carries a fingerprint of (model class,
+    # params); pointing --posterior-dir at a cache built for DIFFERENT
+    # trained params must refuse instead of silently serving stale numbers.
+    assert (pdir / "cache_meta.json").exists()
+    logdir_b = tmp_path / "geo_b"
+    _run(runner, [
+        "geospatial", "-d", "synthetic1d", "-mc", "cdgp", "-l", str(logdir_b),
+        "-s", "1", "kmeans", "-m", "8",
+        "train-adam", "-n", "2", "-b", "64", "--no-tensorboard",
+    ])
+    out4 = tmp_path / "pred4"
+    out4.mkdir()
+    r3 = runner.invoke(
+        cli,
+        ["predict", "-c", str(logdir_b), "-l", str(out4), "-mc", "cdgp",
+         "--posterior-dir", str(pdir)],
+    )
+    assert r3.exit_code != 0
+    assert "fingerprint" in r3.output
+
 
 def test_uci_csv_aggregation(runner, tmp_path):
     # Two seeds of the same config, one per estimator: the aggregation must

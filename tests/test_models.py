@@ -626,5 +626,20 @@ def test_posterior_cache_save_load_roundtrip(rng, tmp_path):
     with pytest.raises(ValueError, match="cggp_tpu"):
         load_posterior(bad)
 
+    # Escape via the qualname getattr walk: the module prefix passes but the
+    # resolved object reaches outside the package through the module's own
+    # imports (cli.sweep imports subprocess) — must be refused BEFORE any
+    # call, by the resolved-class NamedTuple check.
+    desc["class"] = ["cggp_tpu.cli.sweep", "subprocess.check_output"]
+    (bad / "posterior.json").write_text(_json.dumps(desc))
+    with pytest.raises(ValueError, match="NamedTuple"):
+        load_posterior(bad)
+
+    # In-package but not a NamedTuple class (a function): also refused.
+    desc["class"] = ["cggp_tpu.utils.store", "load_posterior"]
+    (bad / "posterior.json").write_text(_json.dumps(desc))
+    with pytest.raises(ValueError, match="NamedTuple"):
+        load_posterior(bad)
+
     with pytest.raises(TypeError, match="NamedTuple"):
         save_posterior(tmp_path / "notpost", {"nu": y[:m]})
