@@ -258,6 +258,18 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                 f"{params['inducing_points'].shape[0]} (block {block}); "
                 "no [M, M] Gram is ever built"
             )
+        if precondition == "auto" and hasattr(model, "resolve_precondition"):
+            # Conditioning-based resolution (Lanczos kappa estimate), done
+            # eagerly here so every downstream closure (loss, metrics,
+            # cg-stats) compiles the concrete branch; inside jit "auto"
+            # could only fall back to the size rule.
+            import dataclasses as _dc
+
+            resolved = model.resolve_precondition(params)
+            model = _dc.replace(model, precondition=resolved)
+            info["precondition_resolved"] = resolved
+            click.echo(f"precondition auto -> {resolved} "
+                       "(Lanczos conditioning estimate)")
     if resume_from is not None:
         from pathlib import Path as _Path
 

@@ -32,6 +32,7 @@ Net-new vs the reference:
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -998,6 +999,54 @@ class ConjugateGradient:
         self.matvec_impl = matvec_impl
         self.relative_threshold = relative_threshold
 
+    # Off-diagonal bf16 rounding unit: the diag-split matvec keeps the
+    # diagonal fp32, so the perturbation scale is eps_bf16 * max|K_offdiag|.
+    _BF16_EPS = 2.0 ** -8
+
+    def check_bf16_envelope(self, matrix: Array) -> str:
+        """Eager envelope check for the mixed-precision impls (round-4).
+
+        The bf16 matvec's off-diagonal rounding perturbs the system by
+        ~``eps_bf16 * max|K_offdiag|``; once that reaches ``lambda_min`` the
+        refinement loop stalls — finite and safe, but a silent 0x win
+        (measured: healthy at the bench shape, lambda >= 0.05; stalling at
+        the covertree-training shape, lambda ~ 2e-4 — docs/PERF.md).
+        Returns the impl to ACTUALLY use: the configured one inside the
+        envelope, ``"xla_high"`` (with a RuntimeWarning) outside it.
+        Estimates ``lambda_min`` with a ~64-matvec Lanczos pass, so call it
+        once per system, not per hot-loop solve; under ``jit`` the matrix is
+        a tracer, no data-dependent static choice exists, and the configured
+        impl is returned unchecked.
+        """
+        if self.matvec_impl not in ("bf16_ir", "bf16_ru"):
+            return self.matvec_impl
+        if isinstance(matrix, jax.core.Tracer):
+            return self.matvec_impl
+        from cggp_tpu.ops.logdet import lanczos_extremal_eigs
+
+        n = matrix.shape[-1]
+        eig_min, _eig_max = lanczos_extremal_eigs(
+            jax.lax.stop_gradient(matrix), jax.random.PRNGKey(0),
+            num_iters=min(64, n),
+        )
+        idx = jnp.arange(n)
+        offdiag_scale = float(jnp.max(jnp.abs(
+            matrix - jnp.zeros_like(matrix).at[idx, idx].set(matrix[idx, idx])
+        )))
+        perturbation = self._BF16_EPS * offdiag_scale
+        if perturbation >= float(eig_min):
+            warnings.warn(
+                f"matvec_impl={self.matvec_impl!r} is outside its "
+                f"convergence envelope for this system (bf16 perturbation "
+                f"~{perturbation:.2e} >= estimated lambda_min "
+                f"{float(eig_min):.2e}): the mixed-precision loop would "
+                f"stall below fp32 accuracy. Falling back to 'xla_high' "
+                f"for this solve.",
+                RuntimeWarning,
+            )
+            return "xla_high"
+        return self.matvec_impl
+
     def solve_with_stats(
         self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None,
         preconditioner: Optional[CGPreconditioner] = None,
@@ -1025,7 +1074,9 @@ class ConjugateGradient:
             max_iterations=max_iterations,
             max_steps_cycle=max_steps_cycle,
             dot=self.dot,
-            matvec_impl=self.matvec_impl,
+            # Eager calls route out-of-envelope bf16 solves to xla_high with
+            # a warning; under jit this passes matvec_impl through unchanged.
+            matvec_impl=self.check_bf16_envelope(matrix),
             relative_threshold=self.relative_threshold,
         )
         return solution.T, stats

@@ -593,6 +593,74 @@ def test_mixed_precision_solvers_reach_fp32_thresholds(rng):
         assert float(stats.error.max()) <= 1e-10, (impl, stats)
 
 
+def test_bf16_envelope_guard_routes_out_of_envelope_solves(rng):
+    """check_bf16_envelope (round-4): a bf16_ir/ru facade solve on a system
+    OUTSIDE the measured mixed-precision envelope (lambda_min ~ 2e-4, the
+    covertree-training regime where the refinement stalls) warns and routes
+    to xla_high; a bench-regime system (lambda >= 0.05) stays on the
+    configured bf16 impl; under jit the tracer passes through unchecked."""
+    import warnings as _warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+
+    n = 256
+    kernel = Matern32()
+    kp = kernel.init_params(1.0, np.ones(2), dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    gram = kernel.K(kp, z)
+    rhs = jnp.asarray(rng.standard_normal((n, 3)), jnp.float32)
+
+    # Covertree-training shape: Lambda ~ 2e-4 -> eps_bf16 * max|K_offdiag|
+    # (~3.9e-3) dominates lambda_min.
+    a_ill = gram + 2e-4 * jnp.eye(n, dtype=jnp.float32)
+    # Bench shape: Lambda in [0.05, 0.5] keeps lambda_min >= 0.05.
+    lam = jnp.asarray(rng.uniform(0.05, 0.5, (n,)), jnp.float32)
+    a_ok = gram + jnp.diag(lam)
+
+    for impl in ("bf16_ir", "bf16_ru"):
+        # kappa ~ 1e7 at Lambda=2e-4: unpreconditioned fp32 CG needs well
+        # over n rounding-perturbed iterations to dig the residual down.
+        solver = ConjugateGradient(1e-5, max_iterations=4000,
+                                   relative_threshold=True, matvec_impl=impl)
+        with pytest.warns(RuntimeWarning, match="envelope"):
+            assert solver.check_bf16_envelope(a_ill) == "xla_high"
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # in-envelope must NOT warn
+            assert solver.check_bf16_envelope(a_ok) == impl
+
+        # The facade applies the guard: the out-of-envelope solve warns and
+        # makes real fp32 progress (kappa ~ 1e4/2e-4 is too steep to fully
+        # converge in n unpreconditioned iterations, but the relative
+        # residual must land far below the ~1e-2 bf16 stall floor the guard
+        # exists to avoid).
+        with pytest.warns(RuntimeWarning, match="envelope"):
+            sol, _stats = solver.solve_with_stats(a_ill, rhs)
+        rel_res = float(
+            jnp.linalg.norm(a_ill @ sol - rhs) / jnp.linalg.norm(rhs))
+        # fp32 rounding floors around ~4e-3 at this kappa without a
+        # preconditioner; the routing claim is that the solve digs well
+        # under the bf16 stall floor (~1e-2 relative, docs/PERF.md).
+        assert rel_res < 8e-3, rel_res
+
+        # Under jit the matrix is a tracer: configured impl passes through.
+        traced = {}
+
+        @jax.jit
+        def probe(mat):
+            traced["impl"] = solver.check_bf16_envelope(mat)
+            return mat
+
+        probe(a_ill)
+        assert traced["impl"] == impl
+
+    # Non-bf16 impls skip the estimate entirely.
+    assert ConjugateGradient(1e-5).check_bf16_envelope(a_ill) == "xla"
+
+
 def test_xla_high_matvec_solves_and_differentiates(rng):
     """matvec_impl="xla_high" (bf16x3 MXU emulation — half of HIGHEST's six
     passes) must match the fp32 path through the façade, value AND gradient.

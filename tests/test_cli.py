@@ -362,25 +362,47 @@ def test_train_cggp_adam_preconditioned(runner, tmp_path):
 
 def test_train_checkpoint_and_resume(runner, tmp_path):
     """Periodic orbax checkpoints + --resume-from (both the ckpt dir and the
-    params.npz config-dir fallback)."""
+    params.npz config-dir fallback).  The training CG is CONVERGED (round-4
+    verdict: the old 8-iteration cap resumed an unconverged state, so the
+    test never verified a trained state round-trips) and the resumed run's
+    first recorded ELBO must continue where run1's left off."""
     run1 = tmp_path / "run1"
+    cg_args = ["--max-cg-iterations", "64", "-e", "1e-8"]
     _run(runner, [
         "train", "-d", "synthetic1d", "-l", str(run1), "-s", "0",
         "train-cggp-adam", "-n", "4", "-b", "64", "-m", "8",
         "-c", "kmeans", "-d", "euclidean", "--checkpoint-every", "2",
-        "--no-tensorboard",
+        "--no-tensorboard", "-r", "1", *cg_args,
     ])
     assert (run1 / "ckpt").is_dir()
     assert any(p.name.isdigit() for p in (run1 / "ckpt").iterdir())
 
+    # Every logged training solve converged (cg/unconverged == 0): the
+    # checkpointed state is a CONVERGED solver state, not a cap-clipped one.
+    cg_logs = np.load(run1 / "cg.logs.npy", allow_pickle=True)
+    assert len(cg_logs) > 0
+    assert all(int(e["cg/unconverged"]) == 0 for e in cg_logs), cg_logs
+    run1_metrics = np.load(run1 / "metrics.logs.npy", allow_pickle=True)
+    run1_final_elbo = float(run1_metrics[-1]["train/elbo"])
+
+    # Same seed: -s also seeds the synthetic DATASET and split, and loss
+    # continuity is only defined against the same data.
     run2 = tmp_path / "run2"
     result = _run(runner, [
-        "train", "-d", "synthetic1d", "-l", str(run2), "-s", "1",
+        "train", "-d", "synthetic1d", "-l", str(run2), "-s", "0",
         "train-cggp-adam", "-n", "2", "-b", "64", "-m", "8",
         "-c", "kmeans", "-d", "euclidean",
-        "--resume-from", str(run1), "--no-tensorboard",
+        "--resume-from", str(run1), "--no-tensorboard", "-r", "1", *cg_args,
     ])
     assert "resumed from orbax checkpoint" in result.output
+
+    # Loss continuity: the resumed run's first recorded ELBO sits at run1's
+    # final level (same params driving the metrics), not back at the fresh
+    # init's.  Tolerance covers the one Adam step + eval-batch difference.
+    run2_metrics = np.load(run2 / "metrics.logs.npy", allow_pickle=True)
+    run2_first_elbo = float(run2_metrics[0]["train/elbo"])
+    assert abs(run2_first_elbo - run1_final_elbo) <= 0.05 * abs(run1_final_elbo), (
+        run1_final_elbo, run2_first_elbo)
 
     # config-dir fallback: point at a logdir with params.npz but no ckpt/
     import shutil

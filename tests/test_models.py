@@ -322,6 +322,60 @@ def test_precondition_auto_picks_by_m(rng, monkeypatch):
         float(explicit.elbo(params, (x, y), key)), rtol=1e-12)
 
 
+def test_training_precondition_auto_resolves_by_conditioning(rng):
+    """Eager training-side auto (round-4): resolve_precondition uses the
+    Lanczos conditioning estimate, not size alone — an ill-conditioned
+    M=2048 system (near-duplicate centers, tiny Lambda: kappa >> 1/eps_f32)
+    routes to pivchol below the size cap, a well-conditioned M=8192 system
+    keeps the exact factor, and above the cap the compiler/HBM guard picks
+    pivchol without estimating."""
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+
+    def make(z, counts_val, lengthscale):
+        m = z.shape[0]
+        model = CGGP(
+            kernel=SquaredExponential(),
+            conjugate_gradient=ConjugateGradient(1e-6, max_iterations=32),
+            num_data=10_000, precondition="auto", precond_rank=16,
+        )
+        params = model.init_params(
+            jnp.asarray(z, jnp.float32),
+            lengthscales=jnp.full((z.shape[-1],), lengthscale, jnp.float32),
+            cluster_counts=jnp.full((m, 1), counts_val, jnp.float32),
+            dtype=jnp.float32,
+        )
+        return model, params
+
+    # Ill-conditioned, M=2048 (below the size cap): 1024 base points each
+    # duplicated at 1e-4 separation, long lengthscale (Kmm rows nearly
+    # collinear), counts 1e6 => Lambda = 1e-7.  kappa ~ 1e9+.
+    base = rng.uniform(-1, 1, (1024, 2))
+    z_ill = np.concatenate([base, base + 1e-4], axis=0)
+    model, params = make(z_ill, 1e6, 10.0)
+    assert model.resolve_precondition(params) == "pivchol"
+
+    # Well-conditioned, M=8192 (at the cap): spread points, short
+    # lengthscale (Kmm ~ I), counts 1 => Lambda = 0.1.  kappa ~ 10.
+    z_ok = rng.uniform(-100, 100, (8192, 2))
+    model, params = make(z_ok, 1.0, 0.05)
+    assert model.resolve_precondition(params) == "chol"
+
+    # Above the cap: guard short-circuits (no estimate) to pivchol.
+    z_big = rng.uniform(-100, 100, (8320, 2))
+    model, params = make(z_big, 1.0, 0.05)
+    assert model.resolve_precondition(params) == "pivchol"
+
+    # Explicit modes pass through untouched.
+    explicit = CGGP(
+        kernel=SquaredExponential(),
+        conjugate_gradient=ConjugateGradient(1e-6), num_data=10,
+        precondition="chol",
+    )
+    assert explicit.resolve_precondition(params) == "chol"
+
+
 def test_trainable_pseudo_u_mask():
     """Net-new free-variational mode: trainable_pseudo_u frees the cluster
     means only (counts stay fixed — they must remain positive)."""
