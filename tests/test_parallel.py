@@ -796,3 +796,67 @@ def test_sharded_lanczos_serving_matches_cg(mesh, rng):
     np.testing.assert_allclose(np.asarray(mu_lz), np.asarray(mu_cg), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(var_lz), np.asarray(var_cg),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_cg_config5_shape_m8192(mesh, rng):
+    """BASELINE config 5 at its REAL inducing shape: the psum-blocked
+    M-sharded CG on an [8192, 8192] covertree-conditioned system over the
+    8-way mesh matches the dense single-device solver (round-4 verdict: the
+    dryrun exercised only toy M; this pins the flagship M=8192 shape), and
+    one ShardedCGGP training step at M=8192 produces a finite loss and
+    finite masked gradients.  fp32 keeps the Gram panels at chip-realistic
+    precision and CPU-mesh runtime bounded."""
+    m, d = 8192, 3
+    kernel = Matern32()
+    kp = kernel.init_params(variance=1.0, lengthscales=np.full(d, 0.5),
+                            dtype=jnp.float32)
+    # Minimum-separation centers (the covertree guarantee config 5 relies
+    # on): a jittered 0.2-spaced grid.  Random-uniform 8192 points in this
+    # box have near-duplicate pairs — the ill-conditioned case the paper's
+    # selection exists to PREVENT, and fp32 CG rightly cannot dig there.
+    axes = [np.arange(21) * 0.2 - 2.0] + [np.arange(20) * 0.2 - 2.0] * (d - 1)
+    g = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, d)[:m]
+    assert g.shape[0] == m
+    z = jnp.asarray(g + rng.uniform(-0.05, 0.05, g.shape), jnp.float32)
+    lam = jnp.asarray(rng.uniform(0.1, 0.5, (m,)), jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((2, m)), jnp.float32)
+
+    solve = make_sharded_cg(kernel, mesh, 1e-10, 300, relative_threshold=True)
+    solution, stats = solve(kp, z, lam, rhs)
+    assert bool(stats.converged)
+
+    dense_sol, dense_stats = conjugate_gradient(
+        add_diagonal(kernel.K(kp, z), lam), rhs, jnp.zeros_like(rhs),
+        1e-10, max_iterations=300, max_steps_cycle=301,
+        relative_threshold=True,
+    )
+    assert bool(dense_stats.converged)
+    np.testing.assert_allclose(np.asarray(solution), np.asarray(dense_sol),
+                               rtol=2e-3, atol=2e-3)
+
+    # One training step of the config-5 model itself at the real M: the
+    # mesh-sharded fused ELBO (KL solve + probe trace + batch terms)
+    # compiles, executes, and yields finite loss + finite trainable grads.
+    n = 1_000_000  # num_data scale constant of config 5 (batch is small)
+    model = ShardedCGGP(
+        kernel=kernel, mesh=mesh, num_data=n, num_probes=1,
+        error_threshold=1e-3, max_cg_iterations=8,
+        relative_threshold=True, precondition="pivchol", precond_rank=32,
+    )
+    counts = jnp.asarray(rng.integers(1, 200, (m, 1)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((m, 1)), jnp.float32)
+    params = model.init_params(z, pseudo_u=u, cluster_counts=counts,
+                               dtype=jnp.float32)
+    assert params["inducing_points"].shape[0] == m  # 8192 % 8 == 0: no pads
+    batch = (jnp.asarray(rng.uniform(-2, 2, (64, d)), jnp.float32),
+             jnp.asarray(rng.standard_normal((64, 1)), jnp.float32))
+
+    loss, grads = jax.jit(jax.value_and_grad(
+        lambda p, b, k: model.training_loss(p, b, k)
+    ))(params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    mask = model.trainable_mask(params)
+    for g, m_ in zip(jax.tree_util.tree_leaves(grads),
+                     jax.tree_util.tree_leaves(mask)):
+        if m_:
+            assert np.isfinite(np.asarray(g)).all()
