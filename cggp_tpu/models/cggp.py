@@ -367,11 +367,11 @@ class CGGP(ClusterGP):
             if mask is not None:
                 probes = probes * mask[:, None]
             if self.fuse_kl_solves:
-                # One batched solve for [u | probes]: [M, P+1] RHS.
+                # One batched solve for [u | probes] (u may be multi-output).
                 rhs = jnp.concatenate([u, probes], axis=-1)
                 solved = cg(kmm_lambda, rhs, preconditioner=precond)
-                kmm_lambda_inv_u = solved[:, :1]
-                kmm_lambda_inv_probes = solved[:, 1:]
+                kmm_lambda_inv_u = solved[:, : u.shape[-1]]
+                kmm_lambda_inv_probes = solved[:, u.shape[-1] :]
             else:
                 kmm_lambda_inv_u = cg(kmm_lambda, u, preconditioner=precond)
                 kmm_lambda_inv_probes = cg(kmm_lambda, probes, preconditioner=precond)
@@ -422,8 +422,12 @@ class CGGP(ClusterGP):
         precond = self._build_preconditioner(kp, z, kmm, var, jax.random.PRNGKey(0))
         rhs = jnp.concatenate([u, kmn], axis=-1)
         solved = cg(kmm_lambda, rhs, preconditioner=precond)
-        kmm_lambda_inv_u = solved[:, :1]
-        kmm_lambda_inv_kmn = solved[:, 1:]
+        # Slice by u's width: multi-output pseudo_u [M, P>1] contributes P
+        # columns to the fused block (a fixed :1 slice silently misaligned
+        # every downstream column at P>1 — round-4 multi-output support).
+        p_out = u.shape[-1]
+        kmm_lambda_inv_u = solved[:, :p_out]
+        kmm_lambda_inv_kmn = solved[:, p_out:]
 
         if full_cov:
             knn = self.kernel.K(kp, x_new)
@@ -866,10 +870,14 @@ class CGGP(ClusterGP):
         p = self.num_probes
         rhs = jnp.concatenate([u, probes, logdet_probes, kmn], axis=-1)
         solved = cg(kmm_lambda, rhs, preconditioner=precond)
-        inv_u = solved[:, :1]
-        inv_probes = solved[:, 1 : 1 + p]
-        inv_logdet_probes = solved[:, 1 + p : 1 + p + logdet_probes.shape[-1]]
-        inv_kmn = solved[:, 1 + p + logdet_probes.shape[-1] :]
+        # Offsets by u's width: multi-output pseudo_u [M, P>1] contributes P
+        # columns to the fused block (round-4 multi-output support).
+        p_out = u.shape[-1]
+        inv_u = solved[:, :p_out]
+        inv_probes = solved[:, p_out : p_out + p]
+        inv_logdet_probes = solved[
+            :, p_out + p : p_out + p + logdet_probes.shape[-1]]
+        inv_kmn = solved[:, p_out + p + logdet_probes.shape[-1] :]
 
         # -- KL (models.py:293-322 semantics) --
         kmm_probes = kmm @ probes

@@ -299,19 +299,20 @@ class RowSolveCGGP(ClusterGP):
         mask_row = jax.lax.stop_gradient(params["inducing_mask"])[:, 0][None, :]  # [1, M]
         mask = mask_row[0]
         probes = rademacher(key_probes, (self.num_probes, m), dtype) * mask_row  # rows
-        rhs = jnp.concatenate([u.T, probes], axis=0)  # [(1+P), M]
+        rhs = jnp.concatenate([u.T, probes], axis=0)  # [(P_out+P), M]
         solved, _stats = self._solve(
             kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask
         )
-        nu = solved[:1]  # [1, M] row
-        solved_probes = solved[1:]
+        p_out = u.shape[-1]  # multi-output pseudo_u contributes P_out rows
+        nu = solved[:p_out]
+        solved_probes = solved[p_out:]
 
         # One matvec launch for [nu | probes]: the Gram row-block build
         # dominates the matvec, so fusing halves the KL's build cost.
         kmm_rows = self._matvec(
             kp, z, zeros_lam, mask, jnp.concatenate([nu, probes], axis=0)
         )
-        kmm_nu, kmm_probes = kmm_rows[:1], kmm_rows[1:]
+        kmm_nu, kmm_probes = kmm_rows[:p_out], kmm_rows[p_out:]
         quad = jnp.sum(kmm_nu * nu)
         trace = jnp.sum(solved_probes * kmm_probes) / jnp.asarray(
             self.num_probes, dtype=dtype
@@ -340,12 +341,13 @@ class RowSolveCGGP(ClusterGP):
 
         mask = jax.lax.stop_gradient(params["inducing_mask"])[:, 0]
         kmn = self.kernel.K(kp, x_new, z) * mask[None, :]  # [T, M] rows (replicated)
-        rhs = jnp.concatenate([u.T, kmn], axis=0)  # [(1+T), M]
+        rhs = jnp.concatenate([u.T, kmn], axis=0)  # [(P_out+T), M]
         solved, _ = self._solve(
             kp, z, lam, rhs, self._precond_state(kp, z, lam, mask), mask
         )
-        inv_u = solved[:1]  # [1, M]
-        inv_kmn = solved[1:]  # [T, M]
+        p_out = u.shape[-1]  # multi-output pseudo_u contributes P_out rows
+        inv_u = solved[:p_out]
+        inv_kmn = solved[p_out:]  # [T, M]
 
         if full_cov:
             # Dense-twin layout (models/cggp.py: knn - Kmn^T A^{-1} Kmn);
@@ -356,7 +358,7 @@ class RowSolveCGGP(ClusterGP):
         else:
             knn = self.kernel.K_diag(kp, x_new)
             fvar = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
-        fmu = (kmn @ inv_u.T)  # [T, 1]
+        fmu = (kmn @ inv_u.T)  # [T, P_out]
         return fmu, fvar
 
     def elbo(self, params: Dict, data: Tuple[Array, Array],
@@ -398,10 +400,13 @@ class RowSolveCGGP(ClusterGP):
         precond = (self._precond_state(kp, z, lam, mask)
                    if precond_override is None else precond_override)
         solved, _stats = self._solve(kp, z, lam, rhs, precond, mask)
-        nu = solved[:1]
-        solved_probes = solved[1 : 1 + p]
-        solved_logdet = solved[1 + p : 1 + p + n_ld]
-        inv_kmn = solved[1 + p + n_ld :]
+        # Offsets by u's width: multi-output pseudo_u [M, P>1] contributes
+        # P rows to the fused block (round-4 multi-output support).
+        p_out = u.shape[-1]
+        nu = solved[:p_out]
+        solved_probes = solved[p_out : p_out + p]
+        solved_logdet = solved[p_out + p : p_out + p + n_ld]
+        inv_kmn = solved[p_out + p + n_ld :]
 
         # -- KL --
         kmm_nu = self._matvec(kp, z, zeros_lam, mask, nu)

@@ -1,0 +1,302 @@
+#!/usr/bin/env python
+"""BASELINE config-5 scale demonstration on the real chip (round-4 verdict
+items 2 and 7).
+
+Section 1 — config 5, single-chip leg: CDGP at N_train ~= 1M synthetic 3-D,
+M=8192 inducing, fp32, chol-preconditioned fused training (the same
+production configuration bench.py measures at m=989) and cached-chol
+serving over the full 1M-point set.  The 8-chip sharded leg of config 5 is
+covered by the psum-blocked mesh machinery
+(tests/test_parallel.py::test_sharded_cg_config5_shape_m8192 pins the real
+M=8192 shape; __graft_entry__.dryrun_multichip executes the sharded train
+step); this script supplies the missing SCALE artifact on one chip.
+
+Section 2 — IterGPR (exact GP, matrix-free) at N=262,144: extends the
+N=65,536 chip table (docs/PERF.md round-3 itergpr section) by 4x — MLL
+value+grad wall, posterior alpha solve, LOVE cache build, and mean/LOVE
+variance serving rates.
+
+Writes one JSON object per section to logs/config5_chip.json and prints a
+markdown table for docs/PERF.md.  CPU smoke: --tiny.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def section_config5(tiny: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cggp_tpu.data import synthetic
+    from cggp_tpu.models import CGGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.selection.update import labels_update_inducing_parameters
+    from cggp_tpu.training.batching import minibatch_index_iterator
+    from cggp_tpu.training.optimize import (
+        make_adam_multi_step,
+        posterior_predict_scan,
+    )
+
+    if tiny:
+        N_RAW, M, BATCH, K = 3000, 64, 256, 3
+    else:
+        # synthetic() returns the 0.67 train split: 1.5M raw -> ~1.005M train.
+        N_RAW, M, BATCH, K = 1_500_000, 8192, 2048, 25
+    train, _ = synthetic(n=N_RAW, dim=3, seed=0)
+    x = jnp.asarray(train[0], jnp.float32)
+    y = jnp.asarray(train[1], jnp.float32)
+    n_train = int(x.shape[0])
+
+    # M=8192 centers: random subset + device Voronoi counts (config 5 fixes
+    # M, not the selection strategy; the covertree/covernet path is the
+    # bench e2e's identity).  Counts make Lambda = sigma^2/counts realistic.
+    rng = np.random.RandomState(0)
+    centers = x[jnp.asarray(rng.choice(n_train, M, replace=False))]
+    t0 = time.perf_counter()
+    iv, u, counts = labels_update_inducing_parameters((x, y), centers)
+    float(jnp.sum(u))
+    selection_wall = time.perf_counter() - t0
+
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(
+            1e-5, max_iterations=min(M, 512), relative_threshold=True,
+            matvec_impl="xla_high",
+        ),
+        num_data=n_train, num_probes=5,
+        precondition="chol",
+    )
+    params = model.init_params(iv, pseudo_u=u, cluster_counts=counts,
+                               dtype=jnp.float32)
+
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    multi_step = make_adam_multi_step(
+        lambda p, b, k: model.training_loss(p, b, k), optimizer, (x, y),
+        trainable_mask=model.trainable_mask(params),
+    )
+    chunks = minibatch_index_iterator(jax.random.PRNGKey(1), n_train, BATCH, K)
+    key = jax.random.PRNGKey(2)
+
+    t0 = time.perf_counter()
+    params, opt_state, losses = multi_step(params, opt_state, next(chunks), key)
+    float(losses[-1])
+    compile_plus_first = time.perf_counter() - t0
+
+    n_windows, chunks_per_window = (2, 2) if tiny else (3, 2)
+    walls = []
+    step_i = 0
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(chunks_per_window):
+            key = jax.random.fold_in(key, step_i)
+            step_i += 1
+            params, opt_state, losses = multi_step(
+                params, opt_state, next(chunks), key)
+        final_loss = float(losses[-1])
+        walls.append(time.perf_counter() - t0)
+    steps_per_sec = chunks_per_window * K / min(walls)
+    if not np.isfinite(final_loss):
+        raise RuntimeError(f"non-finite loss: {final_loss}")
+
+    # Serving: one-time chol cache, then the one-dispatch scan over the
+    # full training set (~1M points), mean+var and mean-only.
+    SERVE_BATCH = min(8192, n_train)
+    build_post = jax.jit(model.posterior, static_argnames="solver")
+
+    @jax.jit
+    def serve_scan(post, xq):
+        mu, var = posterior_predict_scan(model, post, xq, SERVE_BATCH)
+        return jnp.sum(mu) + jnp.sum(var)
+
+    @jax.jit
+    def serve_scan_mean(post, xq):
+        mu, _ = posterior_predict_scan(model, post, xq, SERVE_BATCH,
+                                       mean_only=True)
+        return jnp.sum(mu)
+
+    serve_points = (n_train // SERVE_BATCH) * SERVE_BATCH
+    xq = x[:serve_points]
+    post = build_post(params, solver="chol")
+    float(serve_scan(post, xq))  # compile
+    float(serve_scan_mean(post, xq))
+
+    def timed(fn, repeats=2):
+        ws = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            post = build_post(params, solver="chol")
+            float(fn(post))
+            ws.append(time.perf_counter() - t0)
+        return min(ws)
+
+    serve_wall = timed(lambda p: serve_scan(p, xq))
+    mean_wall = timed(lambda p: serve_scan_mean(p, xq))
+
+    return {
+        "section": "config5_single_chip",
+        "n_train": n_train, "m": M, "batch": BATCH, "steps_per_call": K,
+        "dtype": "float32", "precondition": "chol",
+        "matvec_impl": "xla_high", "cg_threshold": "1e-5 relative",
+        "selection": "random-subset + device Voronoi counts",
+        "selection_wall_s": round(selection_wall, 3),
+        "compile_plus_first_chunk_s": round(compile_plus_first, 1),
+        "train_steps_per_sec": round(steps_per_sec, 2),
+        "final_loss": round(final_loss, 2),
+        "serve_points": serve_points,
+        "serving_points_per_sec": round(serve_points / serve_wall, 1),
+        "serving_mean_only_points_per_sec": round(serve_points / mean_wall, 1),
+        "serve_wall_s": round(serve_wall, 3),
+    }
+
+
+def section_itergpr_262k(tiny: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cggp_tpu.data import synthetic
+    from cggp_tpu.models import IterGPR
+    from cggp_tpu.ops.kernels import Matern32
+
+    if tiny:
+        N, BLOCK, RANK = 2048, 512, 16
+    else:
+        N, BLOCK, RANK = 262_144, 4096, 128
+    raw = int(N / 0.67) + 4
+    train, _ = synthetic(n=raw, dim=3, seed=0)
+    x = jnp.asarray(train[0][:N], jnp.float32)
+    y = jnp.asarray(train[1][:N], jnp.float32)
+    assert x.shape[0] == N
+
+    model = IterGPR(
+        kernel=Matern32(), error_threshold=1e-5, max_cg_iterations=512,
+        num_probes=8, precondition="pivchol", precond_rank=256,
+        relative_threshold=True, block=BLOCK, serving_lanczos_rank=RANK,
+    )
+    params = model.init_params(input_dim=3, dtype=jnp.float32)
+
+    mll_grad = jax.jit(jax.value_and_grad(
+        lambda p, k: model.log_marginal_likelihood(p, (x, y), k)))
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    val, grads = mll_grad(params, key)
+    float(val)
+    compile_plus_first = time.perf_counter() - t0
+    walls = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        val, grads = mll_grad(params, jax.random.fold_in(key, i))
+        float(val)
+        walls.append(time.perf_counter() - t0)
+    mll_wall = min(walls)
+    if not np.isfinite(float(val)):
+        raise RuntimeError(f"non-finite MLL: {val}")
+
+    build_cg = jax.jit(model.posterior, static_argnames="solver")
+    t0 = time.perf_counter()
+    post = build_cg(params, (x, y), solver="cg")
+    float(jnp.sum(post.alpha))
+    alpha_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    post_love = build_cg(params, (x, y), solver="lanczos")
+    float(jnp.sum(post_love.lanczos_r))
+    love_build_wall = time.perf_counter() - t0
+
+    SERVE_BATCH = min(8192, N)
+    xq = x[:SERVE_BATCH]
+
+    @jax.jit
+    def mean_batch(post, xb):
+        return jnp.sum(model.posterior_mean(post, xb))
+
+    @jax.jit
+    def love_batch(post, xb):
+        mu, var = model.posterior_predict(post, xb)
+        return jnp.sum(mu) + jnp.sum(var)
+
+    float(mean_batch(post, xq))
+    float(love_batch(post_love, xq))
+
+    def rate(fn, post):
+        ws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(post, xq))
+            ws.append(time.perf_counter() - t0)
+        return SERVE_BATCH / min(ws)
+
+    return {
+        "section": "itergpr_262k",
+        "n": N, "block": BLOCK, "dtype": "float32",
+        "precondition": "pivchol-256", "cg_threshold": "1e-5 relative",
+        "love_rank": RANK,
+        "compile_plus_first_mll_s": round(compile_plus_first, 1),
+        "mll_value_grad_wall_s": round(mll_wall, 2),
+        "mll_value": round(float(val), 1),
+        "alpha_solve_wall_s": round(alpha_wall, 2),
+        "love_build_wall_s": round(love_build_wall, 2),
+        "mean_serving_points_per_sec": round(rate(mean_batch, post), 1),
+        "love_variance_serving_points_per_sec": round(
+            rate(love_batch, post_love), 1),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true",
+                        help="CPU smoke run (structure check)")
+    parser.add_argument("--section", choices=["config5", "itergpr"],
+                        default=None, help="run one section only")
+    args = parser.parse_args()
+
+    import jax
+
+    from cggp_tpu.utils import cache
+
+    cache.enable_bench_cache(jax)
+    print(f"devices: {jax.devices()}", flush=True)
+
+    results = []
+    sections = {
+        "config5": section_config5,
+        "itergpr": section_itergpr_262k,
+    }
+    for name, fn in sections.items():
+        if args.section and name != args.section:
+            continue
+        try:
+            t0 = time.perf_counter()
+            out = fn(args.tiny)
+            out["section_wall_s"] = round(time.perf_counter() - t0, 1)
+            results.append(out)
+        except Exception as exc:  # noqa: BLE001 — capture partial evidence
+            results.append({"section": name, "error": repr(exc)[:500]})
+        print(json.dumps(results[-1]), flush=True)
+
+    os.makedirs(os.path.join(REPO, "logs"), exist_ok=True)
+    with open(os.path.join(REPO, "logs", "config5_chip.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
+
+    for out in results:
+        print(f"\n### {out.get('section')}")
+        for k, v in out.items():
+            if k != "section":
+                print(f"| {k} | {v} |")
+
+
+if __name__ == "__main__":
+    main()

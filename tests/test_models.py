@@ -697,3 +697,94 @@ def test_posterior_cache_save_load_roundtrip(rng, tmp_path):
 
     with pytest.raises(TypeError, match="NamedTuple"):
         save_posterior(tmp_path / "notpost", {"nu": y[:m]})
+
+
+def test_multi_output_serving_and_elbo(rng, tmp_path):
+    """Multi-output (P>1) support across the serving caches (round-4
+    verdict item 9): fused predict_f/elbo slice the solved block by
+    pseudo_u's width (a fixed :1 slice silently misaligned every column at
+    P>1), every CGGP cache serves [T, P] means that match the dense
+    Cholesky ClusterGP twin column-for-column, and the caches persist
+    through save/load_posterior.  Variance stays [T, 1] — shared-kernel
+    models have one predictive variance per point (the dense twin's
+    convention)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import CGGP, ClusterGP
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.utils import load_posterior, save_posterior
+
+    n, m, p_out = 96, 12, 3
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((n, p_out)), jnp.float32)
+    u = jnp.asarray(rng.standard_normal((m, p_out)), jnp.float32)
+    counts = jnp.asarray(rng.integers(1, 6, (m, 1)), jnp.float32)
+    xq = x[:20]
+
+    model = CGGP(
+        kernel=Matern32(),
+        conjugate_gradient=ConjugateGradient(1e-12, relative_threshold=True),
+        num_data=n, num_probes=3, precondition="chol",
+    )
+    params = model.init_params(x[:m], pseudo_u=u, cluster_counts=counts)
+    dense = ClusterGP(kernel=Matern32(), num_data=n)
+    dparams = dense.init_params(x[:m], pseudo_u=u, cluster_counts=counts)
+
+    mu_ref, var_ref = dense.predict_f(dparams, xq)
+    assert mu_ref.shape == (20, p_out) and var_ref.shape == (20, 1)
+
+    mu, var = model.predict_f(params, xq)
+    assert mu.shape == (20, p_out) and var.shape == (20, 1)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # Fused ELBO runs (and differentiates) at P>1.
+    loss, grads = jax.value_and_grad(
+        lambda p: model.training_loss(p, (x, y), jax.random.PRNGKey(0))
+    )(params)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(np.asarray(grads["kernel"]["lengthscales"])).all()
+
+    # Every serving cache: [T, P] means matching the dense twin; exact
+    # save/load round trip.
+    for solver in ("cg", "chol", "lanczos"):
+        post = model.posterior(params, solver=solver)
+        pmu, pvar = model.posterior_predict(post, xq)
+        assert pmu.shape == (20, p_out), solver
+        np.testing.assert_allclose(np.asarray(pmu), np.asarray(mu_ref),
+                                   rtol=1e-4, atol=1e-5, err_msg=solver)
+        if solver != "lanczos":  # LOVE variance is a conservative estimate
+            np.testing.assert_allclose(np.asarray(pvar), np.asarray(var_ref),
+                                       rtol=1e-4, atol=1e-5, err_msg=solver)
+        d = tmp_path / f"mo_{solver}"
+        save_posterior(d, post)
+        loaded = load_posterior(d)
+        np.testing.assert_array_equal(
+            np.asarray(model.posterior_predict(loaded, xq)[0]),
+            np.asarray(pmu))
+
+    # Matrix-free family (ImplicitCGGP): fused elbo + posterior at P>1.
+    from cggp_tpu.models import ImplicitCGGP
+
+    imp = ImplicitCGGP(
+        kernel=Matern32(), num_data=n, num_probes=3, block=8,
+        error_threshold=1e-12, relative_threshold=True,
+        max_cg_iterations=64,
+    )
+    ip = imp.init_params(x[:m], pseudo_u=u, cluster_counts=counts)
+    mask = np.asarray(ip["inducing_mask"])[:, 0] > 0.5
+    iloss = float(imp.training_loss(ip, (x, y), jax.random.PRNGKey(0)))
+    assert np.isfinite(iloss)
+    imu, ivar = imp.predict_f(ip, xq)
+    assert imu.shape == (20, p_out)
+    np.testing.assert_allclose(np.asarray(imu), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-5)
+    ipost = imp.posterior(ip, solver="cg")
+    pmu2, _ = imp.posterior_predict(ipost, xq)
+    np.testing.assert_allclose(np.asarray(pmu2), np.asarray(mu_ref),
+                               rtol=1e-4, atol=1e-5)
+    del mask
