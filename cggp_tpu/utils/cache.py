@@ -22,6 +22,20 @@ import os
 
 
 def cpu_fingerprint() -> str:
+    # Per-BOOT keying (round 4): round 3's entries were rejected on a later
+    # boot of a host with IDENTICAL cpuinfo model+flags lines — XLA's
+    # synthesized feature set (+prefer-no-scatter/-gather) differed anyway,
+    # and every lookup paid the silent-recompile poisoning this module
+    # documents.  cpuinfo alone is provably not a sufficient key; the boot
+    # id scopes the cache to the one environment whose feature synthesis is
+    # known-consistent.  (The committed TPU bench cache is unaffected:
+    # TPU executables are target-keyed, verified valid across rounds.)
+    boot = ""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             content = f.read()
@@ -30,15 +44,14 @@ def cpu_fingerprint() -> str:
             if line.startswith(("model name", "flags"))
         ][:2]
         if lines:
-            # NOTE: byte-identical to the original line-iteration form so
-            # existing per-host cache dirs stay valid.
-            return hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
+            return hashlib.sha256(
+                (boot + "".join(lines)).encode()).hexdigest()[:12]
         if content.strip():
             # Non-x86 cpuinfo (aarch64 etc. use "Features"/"CPU part"): hash
             # the whole file — hashing an empty parse would collapse every
             # such host onto ONE cache dir, recreating the cross-host
             # poisoning this module exists to prevent.
-            return hashlib.sha256(content.encode()).hexdigest()[:12]
+            return hashlib.sha256((boot + content).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform

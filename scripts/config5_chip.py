@@ -53,7 +53,12 @@ def section_config5(tiny: bool) -> dict:
         N_RAW, M, BATCH, K = 3000, 64, 256, 3
     else:
         # synthetic() returns the 0.67 train split: 1.5M raw -> ~1.005M train.
-        N_RAW, M, BATCH, K = 1_500_000, 8192, 2048, 25
+        # K and the preconditioner are overridable: the first attempt
+        # (K=25, chol) crashed the REMOTE COMPILER (tpu_compile_helper exit
+        # 1 — the same compiler fragility the M=16384 serving probe hit).
+        N_RAW, M, BATCH = 1_500_000, 8192, 2048
+        K = int(os.environ.get("CONFIG5_K", 10))
+    precondition = os.environ.get("CONFIG5_PRECOND", "chol")
     train, _ = synthetic(n=N_RAW, dim=3, seed=0)
     x = jnp.asarray(train[0], jnp.float32)
     y = jnp.asarray(train[1], jnp.float32)
@@ -76,7 +81,8 @@ def section_config5(tiny: bool) -> dict:
             matvec_impl="xla_high",
         ),
         num_data=n_train, num_probes=5,
-        precondition="chol",
+        precondition=precondition,
+        precond_rank=256,
     )
     params = model.init_params(iv, pseudo_u=u, cluster_counts=counts,
                                dtype=jnp.float32)
@@ -148,7 +154,7 @@ def section_config5(tiny: bool) -> dict:
     return {
         "section": "config5_single_chip",
         "n_train": n_train, "m": M, "batch": BATCH, "steps_per_call": K,
-        "dtype": "float32", "precondition": "chol",
+        "dtype": "float32", "precondition": precondition,
         "matvec_impl": "xla_high", "cg_threshold": "1e-5 relative",
         "selection": "random-subset + device Voronoi counts",
         "selection_wall_s": round(selection_wall, 3),
@@ -174,7 +180,11 @@ def section_itergpr_262k(tiny: bool) -> dict:
     if tiny:
         N, BLOCK, RANK = 2048, 512, 16
     else:
-        N, BLOCK, RANK = 262_144, 4096, 128
+        # Overridable for HBM bisection: the [BLOCK, N] panel plus XLA
+        # transients crashed the worker at 262k/4096 on first attempt.
+        N = int(os.environ.get("ITERGPR_N", 262_144))
+        BLOCK = int(os.environ.get("ITERGPR_BLOCK", 2048))
+        RANK = 128
     raw = int(N / 0.67) + 4
     train, _ = synthetic(n=raw, dim=3, seed=0)
     x = jnp.asarray(train[0][:N], jnp.float32)
@@ -191,10 +201,12 @@ def section_itergpr_262k(tiny: bool) -> dict:
     mll_grad = jax.jit(jax.value_and_grad(
         lambda p, k: model.log_marginal_likelihood(p, (x, y), k)))
     key = jax.random.PRNGKey(0)
+    print(f"itergpr: starting MLL compile (N={N}, block={BLOCK})", flush=True)
     t0 = time.perf_counter()
     val, grads = mll_grad(params, key)
     float(val)
     compile_plus_first = time.perf_counter() - t0
+    print(f"itergpr: MLL ok in {compile_plus_first:.1f}s", flush=True)
     walls = []
     for i in range(2):
         t0 = time.perf_counter()
@@ -210,11 +222,13 @@ def section_itergpr_262k(tiny: bool) -> dict:
     post = build_cg(params, (x, y), solver="cg")
     float(jnp.sum(post.alpha))
     alpha_wall = time.perf_counter() - t0
+    print(f"itergpr: alpha solve ok in {alpha_wall:.1f}s", flush=True)
 
     t0 = time.perf_counter()
     post_love = build_cg(params, (x, y), solver="lanczos")
     float(jnp.sum(post_love.lanczos_r))
     love_build_wall = time.perf_counter() - t0
+    print(f"itergpr: LOVE build ok in {love_build_wall:.1f}s", flush=True)
 
     SERVE_BATCH = min(8192, N)
     xq = x[:SERVE_BATCH]
