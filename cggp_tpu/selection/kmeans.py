@@ -28,34 +28,45 @@ def _pairwise_euclid(points: Array, centroids: Array) -> Array:
     return jnp.sqrt(d2)
 
 
+def _block_indices_and_distances(
+    xb: Array, centroids: Array, distance_fn: Optional[Callable]
+) -> Tuple[Array, Array]:
+    if distance_fn is None:
+        d = _pairwise_euclid(xb, centroids)
+    else:
+        # distance_fn takes an (x, y) tuple and broadcasts on leading axes
+        # (the covariance/correlation distances materialise a [B, K, D]
+        # intermediate on it).
+        d = distance_fn((xb[:, None, :], centroids[None, :, :]))
+    indices = jnp.argmin(d, axis=-1)
+    chosen = jnp.take_along_axis(d, indices[:, None], axis=-1)[:, 0]
+    return indices, chosen
+
+
 def kmeans_indices_and_distances(
     centroids: Array,
     points: Array,
     distance_fn: Optional[Callable] = None,
 ) -> Tuple[Array, Array]:
-    """Nearest-centroid labels and distances (reference selection.py:14-32)."""
-    if distance_fn is None:
-        distances = _pairwise_euclid(points, centroids)
-    else:
-        # distance_fn takes an (x, y) tuple and broadcasts on leading axes.
-        # The broadcast materialises an [N, K, D] intermediate (the
-        # covariance/correlation distances compute (x - y)/ell on it), which
-        # OOMs at dataset scale (N~1.6M, K~1024, D~11 fp64 ~ 140 GB) —
-        # evaluate in row blocks via lax.map so the live intermediate stays
-        # [BLOCK, K, D].
-        n = points.shape[0]
-        block = 16_384
-        if n <= block:
-            distances = distance_fn((points[:, None, :], centroids[None, :, :]))
-        else:
-            chunks = pad_rows_to_blocks(points, block)
-            distances = jax.lax.map(
-                lambda xb: distance_fn((xb[:, None, :], centroids[None, :, :])),
-                chunks,
-            ).reshape(-1, centroids.shape[0])[:n]
-    indices = jnp.argmin(distances, axis=-1)
-    chosen = jnp.take_along_axis(distances, indices[:, None], axis=-1)[:, 0]
-    return indices, chosen
+    """Nearest-centroid labels and distances (reference selection.py:14-32).
+
+    Blocked: the argmin reduces PER ROW BLOCK inside a ``lax.map``, so only
+    the [N] label/distance outputs are ever materialised.  The previous
+    full [N, K] distance buffer crashed the remote compiler at config-5
+    scale (N=1M x M=8192 fp32 = 33.6 GB); the [N, K, D] broadcast of the
+    kernel-metric distances OOMed even earlier (N~1.6M, K~1024, D~11 fp64
+    ~ 140 GB).  The live intermediate is now one [BLOCK, K(, D)] panel.
+    """
+    n = points.shape[0]
+    block = 16_384
+    if n <= block:
+        return _block_indices_and_distances(points, centroids, distance_fn)
+    chunks = pad_rows_to_blocks(points, block)
+    indices, chosen = jax.lax.map(
+        lambda xb: _block_indices_and_distances(xb, centroids, distance_fn),
+        chunks,
+    )
+    return indices.reshape(-1)[:n], chosen.reshape(-1)[:n]
 
 
 def kmeans_lloyd(
