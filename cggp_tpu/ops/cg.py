@@ -1089,3 +1089,69 @@ class ConjugateGradient:
             matrix, rhs, initial_solution, preconditioner=preconditioner
         )
         return solution
+
+    def solve_chunked(
+        self, matrix: Array, rhs: Array,
+        chunk_iterations: int = 64,
+        max_chunks: int = 64,
+        preconditioner: Optional[CGPreconditioner] = None,
+    ) -> Tuple[Array, CGStats]:
+        """Host-driven restarted CG: bounded-iteration device dispatches.
+
+        Round-4 discovery (docs/PERF.md): this tunnel environment kills any
+        SINGLE device program past ~60 s of execution (measured: a 49.6 s
+        dense solve completes, a ~72 s one crashes the worker) — so a large
+        solve must not run as one ``lax.while_loop`` program.  This method
+        runs eager chunks of ``chunk_iterations`` CG iterations, each
+        re-anchored on the TRUE residual ``b - A v`` (the same reliability
+        argument as ``max_steps_cycle`` restarts: the restart loses Krylov
+        momentum — expect more total iterations near tight tolerances —
+        but every chunk's stop rule tests the exact residual, so a
+        CONVERGED result is as accurate as the single-program solve).
+
+        Host-driven by design: call it OUTSIDE jit.  Stats aggregate
+        across chunks (``steps`` = total iterations run).  Pick
+        ``chunk_iterations`` so one chunk's wall stays well under the
+        watchdog (e.g. at N=262k matrix-free, ~3 s/iteration => 8-16).
+        """
+        column_rhs = rhs
+        solution = jnp.zeros_like(column_rhs)
+        # Column convention like __call__: per-column squared-residual
+        # target, matching cg_loop's relative rule.
+        b_norm2 = 0.5 * jnp.sum(jnp.square(column_rhs), axis=0)
+        threshold = jnp.asarray(self.error_threshold, column_rhs.dtype)
+        if self.relative_threshold:
+            target = threshold * b_norm2
+        else:
+            target = jnp.broadcast_to(threshold, b_norm2.shape)
+
+        # The chunk solves the CORRECTION system to an absolute per-call
+        # threshold = the tightest remaining column target (conservative;
+        # the outer true-residual test is what decides convergence).  Fixed
+        # across chunks so the chunk program compiles ONCE.
+        chunk_solver = ConjugateGradient(
+            float(jnp.min(target)),
+            preconditioner=preconditioner or self.preconditioner,
+            max_iterations=chunk_iterations,
+            dot=self.dot, matvec_impl=self.matvec_impl,
+            relative_threshold=False,
+        )
+        hi = jax.lax.Precision.HIGHEST
+        total_steps = 0
+        err = b_norm2
+        for _ in range(max_chunks):
+            residual = column_rhs - jnp.matmul(matrix, solution, precision=hi)
+            err = 0.5 * jnp.sum(jnp.square(residual), axis=0)
+            if bool(jnp.all(err <= target)):  # host sync per dispatch
+                break
+            delta, stats = chunk_solver.solve_with_stats(matrix, residual)
+            solution = solution + delta
+            total_steps += int(stats.steps)
+        converged = bool(jnp.all(err <= target))
+        # error follows the internal row convention ([rhs, 1] — one row per
+        # RHS column of the user's column-major rhs), like solve_with_stats.
+        return solution, CGStats(
+            steps=jnp.asarray(total_steps),
+            error=err[:, None],
+            converged=jnp.asarray(converged),
+        )

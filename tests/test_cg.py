@@ -880,3 +880,50 @@ def test_bf16_variants_stay_finite_below_their_envelope(rng):
             assert bool(stats.converged)
             sol_ref = sol
     assert sol_ref is not None
+
+
+def test_solve_chunked_matches_single_program_solve(rng):
+    """solve_chunked (round-4): host-driven restarted CG in bounded
+    dispatches — the watchdog-safe route for solves whose single program
+    would exceed the tunnel's ~60 s execution limit (docs/PERF.md).  Each
+    chunk re-anchors on the TRUE residual, so the converged result matches
+    the one-program facade solve and the dense oracle; stats aggregate
+    total iterations and report real convergence."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import Matern32
+
+    n, m = 200, 3
+    kernel = Matern32()
+    kp = kernel.init_params(1.0, np.ones(2), dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    a = kernel.K(kp, z) + jnp.diag(
+        jnp.asarray(rng.uniform(0.1, 0.5, (n,)), jnp.float32))
+    rhs = jnp.asarray(rng.standard_normal((n, m)), jnp.float32)
+
+    for relative in (True, False):
+        solver = ConjugateGradient(1e-9 if relative else 1e-6,
+                                   max_iterations=n,
+                                   relative_threshold=relative)
+        expected, ref_stats = solver.solve_with_stats(a, rhs)
+        assert bool(ref_stats.converged)
+
+        # Tiny chunks (8 iterations per dispatch) still converge.
+        chunked, stats = solver.solve_chunked(a, rhs, chunk_iterations=8,
+                                              max_chunks=128)
+        assert bool(stats.converged), relative
+        assert int(stats.steps) > 8  # genuinely ran multiple chunks
+        assert stats.error.shape == (m, 1)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(expected),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(jnp.linalg.solve(a, rhs)),
+            rtol=2e-3, atol=2e-4)
+
+    # An impossible budget reports converged=False honestly.
+    tight = ConjugateGradient(1e-12, max_iterations=n,
+                              relative_threshold=True)
+    _, bad_stats = tight.solve_chunked(a, rhs, chunk_iterations=2,
+                                       max_chunks=2)
+    assert not bool(bad_stats.converged)
