@@ -456,7 +456,7 @@ def end_to_end_metrics(jax, platform: str, emit=None) -> dict:
         )
     elif not fresh_sel and os.path.exists(sel_cache):
         with np.load(sel_cache) as data:
-            if all(int(data[k]) == v for k, v in sel_meta.items()):
+            if all(float(data[k]) == v for k, v in sel_meta.items()):
                 iv = jnp.asarray(data["iv"])
                 u = jnp.asarray(data["u"])
                 counts = jnp.asarray(data["counts"])
