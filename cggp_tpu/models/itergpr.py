@@ -268,6 +268,111 @@ class IterGPR:
     def maximum_log_likelihood_objective(self, params, data, key=None, probes=None):
         return self.log_marginal_likelihood(params, data, key=key, probes=probes)
 
+    def log_marginal_likelihood_chunked(
+        self, params: Dict, data: Tuple[Array, Array],
+        key: Optional[jax.Array] = None, probes: Optional[Array] = None,
+        chunk_iterations: int = 8, max_chunks: int = 64,
+    ) -> Tuple[Array, Dict, Dict]:
+        """MLL value + gradient with NO device program longer than ~one
+        matvec — the watchdog-safe exact-GP training path (round 4).
+
+        The single-program :meth:`log_marginal_likelihood` runs the whole
+        fused CG inside one ``jit``; past N~131k on a dispatch-limited
+        runtime (measured ~60 s per-program kill, docs/PERF.md) that
+        program cannot execute.  This variant assembles the SAME value and
+        gradient from bounded dispatches:
+
+        - ``alpha`` and the Hutchinson probe solves run as host-driven
+          restarted CG (``chunk_iterations`` per dispatch, each re-anchored
+          on the true residual — the ``ConjugateGradient.solve_chunked``
+          pattern applied to the panel matvec);
+        - the gradient is the exact same estimator the fused path's custom
+          VJPs produce: ``dMLL = -0.5(-alpha^T dK alpha
+          + mean_p s_p^T dK p)``, evaluated as ONE ``jax.grad`` of a
+          single-matvec surrogate with ``alpha``/``s_p`` held constant.
+
+        Value follows the reference's zero-logdet convention
+        (models.py:21-48): gradients exact, reported values omit the
+        log-det term (the SLQ value needs its own single-program Lanczos —
+        out of the dispatch budget at the N this method exists for).
+
+        Eager only (host loop; call OUTSIDE jit).  Returns
+        ``(value, grads, info)`` with ``info = {"chunks", "converged",
+        "rel_residual"}``.
+        """
+        x, y = data
+        n = x.shape[0]
+        kp = params["kernel"]
+        x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
+        n_pad = x_pad.shape[0]
+        q = y_rows.shape[0]
+        if probes is None:
+            if key is None:
+                raise ValueError(
+                    "log_marginal_likelihood_chunked requires a PRNG key "
+                    "(or explicit probes) for the log-det gradient")
+            probes = rademacher(key, (self.num_probes, n_pad), x.dtype)
+        elif probes.shape[-1] != n_pad:
+            probes = jnp.concatenate(
+                [probes, jnp.zeros((probes.shape[0], n_pad - probes.shape[-1]),
+                                   x.dtype)], axis=-1)
+        probes = probes * mask[None, :]
+        num_probes = probes.shape[0]
+
+        chunk_model = dataclasses.replace(
+            self, max_cg_iterations=chunk_iterations)
+        solve_chunk = jax.jit(chunk_model._solve)
+        matvec = jax.jit(self._matvec)
+        state = jax.jit(self._precond_state)(kp, x_pad, lam, mask)
+
+        rhs = jnp.concatenate([y_rows, probes], axis=0)
+        # Per-row targets: cg_loop's rule on 0.5||r||^2.
+        b_norm2 = 0.5 * jnp.sum(jnp.square(rhs), axis=-1)
+        threshold = jnp.asarray(self.error_threshold, rhs.dtype)
+        target = threshold * b_norm2 if self.relative_threshold else (
+            jnp.broadcast_to(threshold, b_norm2.shape))
+
+        v = jnp.zeros_like(rhs)
+        chunks = 0
+        err = b_norm2
+        for _ in range(max_chunks):
+            residual = rhs - matvec(kp, x_pad, lam, mask, v)
+            err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
+            if bool(jnp.all(err <= target)):  # host sync bounds the dispatch
+                break
+            dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
+            v = v + dv
+            chunks += 1
+        converged = bool(jnp.all(err <= target))
+
+        alpha = jax.lax.stop_gradient(v[:q])
+        solved_probes = jax.lax.stop_gradient(v[q:])
+        quad = float(jnp.sum(alpha * y_rows))
+        value = jnp.asarray(
+            -0.5 * (quad + n * math.log(2.0 * math.pi)), x.dtype)
+
+        # One-matvec surrogate whose jax.grad IS the fused path's gradient:
+        # rows [alpha | probes], cotangent weights [-alpha | s_p / P].
+        rows = jnp.concatenate([alpha, solved_probes], axis=0)
+        weights = jnp.concatenate(
+            [-alpha, probes / jnp.asarray(num_probes, x.dtype)], axis=0)
+
+        def surrogate(kpd: Dict, likd: Dict) -> Array:
+            noise = self.likelihood.variance(likd)
+            lam_full = jnp.where(mask > 0, noise, jnp.ones((), x.dtype))
+            out = self._matvec(kpd, x_pad, lam_full, mask, rows)
+            return -0.5 * jnp.sum(weights * out)
+
+        g_kp, g_lik = jax.jit(jax.grad(surrogate, argnums=(0, 1)))(
+            kp, params["likelihood"])
+        grads = {"kernel": g_kp, "likelihood": g_lik}
+        info = {
+            "chunks": chunks, "converged": converged,
+            "rel_residual": float(jnp.max(
+                jnp.sqrt(err / jnp.maximum(b_norm2, 1e-30)))),
+        }
+        return value, grads, info
+
     def training_loss(self, params: Dict, data: Tuple[Array, Array],
                       key: Optional[jax.Array] = None,
                       probes: Optional[Array] = None) -> Array:

@@ -435,12 +435,67 @@ def section_itergpr_chunked(tiny: bool) -> dict:
     }
 
 
+def section_itergpr_mll_chunked(tiny: bool) -> dict:
+    """Exact-GP TRAINING step beyond the watchdog: one
+    ``log_marginal_likelihood_chunked`` value+grad at N=262,144 — every
+    dispatch bounded (~8 CG iterations or one matvec).  Tolerance 1e-4
+    relative on 0.5||r||^2 (~1e-2 residual norm): optimizer-grade gradients
+    (CG gradient error ~ residual), not serving-grade solves."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.data import synthetic
+    from cggp_tpu.models import IterGPR
+    from cggp_tpu.ops.kernels import Matern32
+
+    if tiny:
+        N, BLOCK, CHUNK = 2048, 512, 8
+    else:
+        N = int(os.environ.get("ITERGPR_N", 262_144))
+        BLOCK = int(os.environ.get("ITERGPR_BLOCK", 4096))
+        CHUNK = int(os.environ.get("ITERGPR_CHUNK", 8))
+    thresh = float(os.environ.get("ITERGPR_MLL_THRESHOLD", "1e-4"))
+    raw = int(N / 0.67) + 4
+    train, _ = synthetic(n=raw, dim=3, seed=0)
+    x = jnp.asarray(train[0][:N], jnp.float32)
+    y = jnp.asarray(train[1][:N], jnp.float32)
+
+    model = IterGPR(
+        kernel=Matern32(), error_threshold=thresh, max_cg_iterations=CHUNK,
+        num_probes=8, precondition="pivchol", precond_rank=256,
+        relative_threshold=True, block=BLOCK, logdet_variant="zero",
+    )
+    params = model.init_params(input_dim=3, dtype=jnp.float32)
+
+    t0 = time.perf_counter()
+    value, grads, info = model.log_marginal_likelihood_chunked(
+        params, (x, y), key=jax.random.PRNGKey(0),
+        chunk_iterations=CHUNK, max_chunks=64,
+    )
+    wall = time.perf_counter() - t0
+    flat = jax.tree_util.tree_leaves(grads)
+    gnorm = float(jnp.sqrt(sum(jnp.sum(jnp.square(g)) for g in flat)))
+    return {
+        "section": "itergpr_mll_chunked",
+        "n": N, "block": BLOCK, "chunk_iters": CHUNK,
+        "threshold": f"{thresh} relative", "dtype": "float32",
+        "mll_value": round(float(value), 1),
+        "mll_wall_s": round(wall, 1),
+        "solve_chunks": info["chunks"],
+        "converged": info["converged"],
+        "rel_residual": round(info["rel_residual"], 6),
+        "grad_norm": round(gnorm, 4),
+        "grad_finite": bool(jnp.isfinite(gnorm)),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true",
                         help="CPU smoke run (structure check)")
     parser.add_argument("--section",
-                        choices=["config5", "itergpr", "itergpr-chunked"],
+                        choices=["config5", "itergpr", "itergpr-chunked",
+                 "itergpr-mll-chunked"],
                         default=None, help="run one section only")
     args = parser.parse_args()
 
@@ -456,6 +511,7 @@ def main() -> None:
         "config5": section_config5,
         "itergpr": section_itergpr_262k,
         "itergpr-chunked": section_itergpr_chunked,
+        "itergpr-mll-chunked": section_itergpr_mll_chunked,
     }
     for name, fn in sections.items():
         if args.section and name != args.section:

@@ -518,3 +518,54 @@ def test_dense_cggp_lanczos_serving(rng):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_lz),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_mll_value_and_grad_match_fused_path(rng):
+    """log_marginal_likelihood_chunked (round-4, watchdog-safe exact-GP
+    training): with the SAME probes, the chunked-dispatch value and
+    gradient must match the single-program zero-logdet path — the chunked
+    solves re-anchor on the true residual, and the surrogate's jax.grad is
+    algebraically the fused path's custom-VJP estimator."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import IterGPR
+    from cggp_tpu.ops.kernels import Matern32
+
+    n = 96
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+    y = jnp.asarray(np.sin(2 * np.asarray(x[:, :1])).astype(np.float32)
+                    + 0.1 * rng.standard_normal((n, 1)).astype(np.float32))
+
+    # 1e-9 on 0.5||r||^2 (relative): the chunked path re-anchors on the
+    # TRUE residual, whose fp32 floor sits near 1e-11 relative — a 1e-12
+    # target is only "reachable" by the fused loop's optimistic recurrence
+    # residual.
+    model = IterGPR(
+        kernel=Matern32(), error_threshold=1e-9, max_cg_iterations=400,
+        num_probes=6, precondition="pivchol", precond_rank=16,
+        relative_threshold=True, block=32, logdet_variant="zero",
+    )
+    params = model.init_params(input_dim=2, dtype=jnp.float32)
+    probes = jnp.asarray(
+        rng.choice([-1.0, 1.0], size=(6, n)).astype(np.float32))
+
+    ref_val, ref_grads = jax.jit(jax.value_and_grad(
+        lambda p: model.log_marginal_likelihood(p, (x, y), probes=probes)
+    ))(params)
+
+    val, grads, info = model.log_marginal_likelihood_chunked(
+        params, (x, y), probes=probes, chunk_iterations=7, max_chunks=100)
+    assert info["converged"], info
+    assert info["chunks"] > 1  # genuinely multi-dispatch
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    for section in ("kernel", "likelihood"):
+        for name, want in ref_grads[section].items():
+            np.testing.assert_allclose(
+                np.asarray(grads[section][name]), np.asarray(want),
+                rtol=2e-3, atol=1e-5, err_msg=f"{section}/{name}")
+
+    # Starved budget reports honestly.
+    _, _, bad = model.log_marginal_likelihood_chunked(
+        params, (x, y), probes=probes, chunk_iterations=2, max_chunks=2)
+    assert not bad["converged"]
