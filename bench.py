@@ -455,13 +455,21 @@ def end_to_end_metrics(jax, platform: str, emit=None) -> dict:
             (x, y), spatial_resolution=0.35, max_points=2048
         )
     elif not fresh_sel and os.path.exists(sel_cache):
-        with np.load(sel_cache) as data:
-            if all(float(data[k]) == v for k, v in sel_meta.items()):
-                iv = jnp.asarray(data["iv"])
-                u = jnp.asarray(data["u"])
-                counts = jnp.asarray(data["counts"])
-                selection_source = "cached"
-                selection_build_wall = float(data["build_wall_s"])
+        # A stale/partial artifact must degrade to a fresh build, never
+        # kill the e2e child (the fields below gate on their own presence).
+        try:
+            with np.load(sel_cache) as data:
+                want = set(sel_meta) | {"iv", "u", "counts", "build_wall_s"}
+                if want <= set(data.files) and all(
+                    float(data[k]) == v for k, v in sel_meta.items()
+                ):
+                    iv = jnp.asarray(data["iv"])
+                    u = jnp.asarray(data["u"])
+                    counts = jnp.asarray(data["counts"])
+                    selection_source = "cached"
+                    selection_build_wall = float(data["build_wall_s"])
+        except (OSError, ValueError):
+            iv = None
     if iv is None:
         iv, u, counts = covertree_update_inducing_parameters(
             (xh, yh), spatial_resolution=0.35

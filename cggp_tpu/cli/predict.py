@@ -178,7 +178,13 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
             load_posterior, posterior_fingerprint, save_posterior,
         )
 
-        fingerprint = posterior_fingerprint(model_class, params)
+        # Fold the dataset identity in: data-built posteriors (GPR/SGPR/
+        # IterGPR alpha caches) are stale across datasets even with
+        # identical hyperparameters.
+        xtr = np.asarray(dataset.train[0])
+        fingerprint = posterior_fingerprint(
+            model_class, params,
+            extra=f"{dataset_name}|{seed}|{xtr.shape}")
         meta_path = Path(posterior_dir, "cache_meta.json")
         if Path(posterior_dir, "posterior.json").exists():
             # Refuse a cache built for different params/config: a

@@ -258,18 +258,6 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
                 f"{params['inducing_points'].shape[0]} (block {block}); "
                 "no [M, M] Gram is ever built"
             )
-        if precondition == "auto" and hasattr(model, "resolve_precondition"):
-            # Conditioning-based resolution (Lanczos kappa estimate), done
-            # eagerly here so every downstream closure (loss, metrics,
-            # cg-stats) compiles the concrete branch; inside jit "auto"
-            # could only fall back to the size rule.
-            import dataclasses as _dc
-
-            resolved = model.resolve_precondition(params)
-            model = _dc.replace(model, precondition=resolved)
-            info["precondition_resolved"] = resolved
-            click.echo(f"precondition auto -> {resolved} "
-                       "(Lanczos conditioning estimate)")
     if resume_from is not None:
         from pathlib import Path as _Path
 
@@ -283,6 +271,22 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             flat, _info = load_config_dir(resume_from)
             params = assign_flat(params, flat)
             click.echo(f"resumed from config dir {resume_from}")
+
+    if precondition == "auto" and hasattr(model, "resolve_precondition"):
+        # Conditioning-based resolution (Lanczos kappa estimate), done
+        # eagerly so every downstream closure (loss, metrics, cg-stats)
+        # compiles the concrete branch; inside jit "auto" could only fall
+        # back to the size rule.  AFTER --resume-from: the estimate must
+        # measure the RESUMED system (trained lengthscales can be
+        # ill-conditioned where the fresh init is benign), not the
+        # random-init one.
+        import dataclasses as _dc
+
+        resolved = model.resolve_precondition(params)
+        model = _dc.replace(model, precondition=resolved)
+        info["precondition_resolved"] = resolved
+        click.echo(f"precondition auto -> {resolved} "
+                   "(Lanczos conditioning estimate)")
 
     clustering_kwargs = {}
     if clustering_type in ("kmeans",):

@@ -36,6 +36,7 @@ contract the matrix-free CGGP models use).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, NamedTuple, Optional, Tuple
 
@@ -55,6 +56,27 @@ from cggp_tpu.ops.kernels import Kernel
 from cggp_tpu.ops.logdet import rademacher, slq_value_rows
 
 Array = jnp.ndarray
+
+
+@functools.lru_cache(maxsize=64)
+def _chunked_mll_parts(model: "IterGPR", chunk_iterations: int):
+    """Per-(model, chunk) cached jitted programs for the chunked MLL path
+    (models are frozen, hashable dataclasses): a training loop calling
+    ``log_marginal_likelihood_chunked`` every step must reuse ONE set of
+    compiled programs, not retrace the N-scale panel scans per step."""
+    chunk_model = dataclasses.replace(model, max_cg_iterations=chunk_iterations)
+    solve_chunk = jax.jit(chunk_model._solve)
+    matvec = jax.jit(model._matvec)
+    precond_fn = jax.jit(model._precond_state)
+
+    def surrogate(kpd, likd, x_pad, mask, rows, weights):
+        noise = model.likelihood.variance(likd)
+        lam_full = jnp.where(mask > 0, noise, jnp.ones((), rows.dtype))
+        out = model._matvec(kpd, x_pad, lam_full, mask, rows)
+        return -0.5 * jnp.sum(weights * out)
+
+    grad_fn = jax.jit(jax.grad(surrogate, argnums=(0, 1)))
+    return solve_chunk, matvec, precond_fn, grad_fn
 
 
 @dataclasses.dataclass(frozen=True)
@@ -319,11 +341,9 @@ class IterGPR:
         probes = probes * mask[None, :]
         num_probes = probes.shape[0]
 
-        chunk_model = dataclasses.replace(
-            self, max_cg_iterations=chunk_iterations)
-        solve_chunk = jax.jit(chunk_model._solve)
-        matvec = jax.jit(self._matvec)
-        state = jax.jit(self._precond_state)(kp, x_pad, lam, mask)
+        solve_chunk, matvec, precond_fn, grad_fn = _chunked_mll_parts(
+            self, chunk_iterations)
+        state = precond_fn(kp, x_pad, lam, mask)
 
         rhs = jnp.concatenate([y_rows, probes], axis=0)
         # Per-row targets: cg_loop's rule on 0.5||r||^2.
@@ -343,6 +363,11 @@ class IterGPR:
             dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
             v = v + dv
             chunks += 1
+        else:
+            # Exhausted AFTER a correction: re-measure so a solve that
+            # converges on its last allowed chunk is not misreported.
+            residual = rhs - matvec(kp, x_pad, lam, mask, v)
+            err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
         converged = bool(jnp.all(err <= target))
 
         alpha = jax.lax.stop_gradient(v[:q])
@@ -356,15 +381,8 @@ class IterGPR:
         rows = jnp.concatenate([alpha, solved_probes], axis=0)
         weights = jnp.concatenate(
             [-alpha, probes / jnp.asarray(num_probes, x.dtype)], axis=0)
-
-        def surrogate(kpd: Dict, likd: Dict) -> Array:
-            noise = self.likelihood.variance(likd)
-            lam_full = jnp.where(mask > 0, noise, jnp.ones((), x.dtype))
-            out = self._matvec(kpd, x_pad, lam_full, mask, rows)
-            return -0.5 * jnp.sum(weights * out)
-
-        g_kp, g_lik = jax.jit(jax.grad(surrogate, argnums=(0, 1)))(
-            kp, params["likelihood"])
+        g_kp, g_lik = grad_fn(kp, params["likelihood"], x_pad, mask,
+                              rows, weights)
         grads = {"kernel": g_kp, "likelihood": g_lik}
         info = {
             "chunks": chunks, "converged": converged,

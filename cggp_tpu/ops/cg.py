@@ -1022,6 +1022,13 @@ class ConjugateGradient:
             return self.matvec_impl
         if isinstance(matrix, jax.core.Tracer):
             return self.matvec_impl
+        # Last-call memo: repeated eager solves against the SAME matrix
+        # object (e.g. solve_chunked's per-chunk dispatches) must not pay
+        # the Lanczos estimate again — the verdict for a fixed matrix never
+        # changes.
+        memo = getattr(self, "_bf16_memo", None)
+        if memo is not None and memo[0] is matrix:
+            return memo[1]
         from cggp_tpu.ops.logdet import lanczos_extremal_eigs
 
         n = matrix.shape[-1]
@@ -1044,8 +1051,11 @@ class ConjugateGradient:
                 f"for this solve.",
                 RuntimeWarning,
             )
-            return "xla_high"
-        return self.matvec_impl
+            resolved = "xla_high"
+        else:
+            resolved = self.matvec_impl
+        self._bf16_memo = (matrix, resolved)
+        return resolved
 
     def solve_with_stats(
         self, matrix: Array, rhs: Array, initial_solution: Optional[Array] = None,
@@ -1133,7 +1143,10 @@ class ConjugateGradient:
             float(jnp.min(target)),
             preconditioner=preconditioner or self.preconditioner,
             max_iterations=chunk_iterations,
-            dot=self.dot, matvec_impl=self.matvec_impl,
+            dot=self.dot,
+            # Resolve the bf16 envelope ONCE for the whole chunk loop (the
+            # matrix is fixed; the per-solve memo would also catch this).
+            matvec_impl=self.check_bf16_envelope(matrix),
             relative_threshold=False,
         )
         hi = jax.lax.Precision.HIGHEST
@@ -1147,6 +1160,12 @@ class ConjugateGradient:
             delta, stats = chunk_solver.solve_with_stats(matrix, residual)
             solution = solution + delta
             total_steps += int(stats.steps)
+        else:
+            # Loop exhausted AFTER a correction: err is one chunk stale —
+            # a solve that converges on its last allowed chunk must not be
+            # reported unconverged with the pre-update residual.
+            residual = column_rhs - jnp.matmul(matrix, solution, precision=hi)
+            err = 0.5 * jnp.sum(jnp.square(residual), axis=0)
         converged = bool(jnp.all(err <= target))
         # error follows the internal row convention ([rhs, 1] — one row per
         # RHS column of the user's column-major rhs), like solve_with_stats.

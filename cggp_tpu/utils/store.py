@@ -244,16 +244,22 @@ def save_posterior(dirpath, post) -> None:
         json.dump(desc, fh, indent=2)
 
 
-def posterior_fingerprint(model_class: str, params: Dict) -> str:
-    """Stable identity of (model class, trained params) for cache validation.
+def posterior_fingerprint(model_class: str, params: Dict,
+                          extra: str = "") -> str:
+    """Stable identity of (model class, trained params[, data identity]) for
+    cache validation.
 
     Stored next to a persisted serving cache so a later process can detect
     that the cache was built for different parameters (e.g. after
     retraining) instead of silently serving a stale shape-compatible one.
+    ``extra`` folds in anything else the cache depends on — e.g. the
+    dataset identity for models whose posterior is built from training data
+    (GPR/SGPR/IterGPR: ``alpha = (K(X_A) + s^2 I)^{-1} y_A`` served against
+    dataset B is exactly the silent staleness this guard exists for).
     """
     import hashlib
 
-    h = hashlib.sha256(model_class.encode())
+    h = hashlib.sha256(f"{model_class}|{extra}".encode())
     flat = flatten_params(params)
     for name in sorted(flat):
         arr = flat[name]
