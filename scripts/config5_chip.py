@@ -59,7 +59,8 @@ def section_config5(tiny: bool) -> dict:
         N_RAW, M, BATCH = 1_500_000, 8192, 2048
         K = int(os.environ.get("CONFIG5_K", 10))
     precondition = os.environ.get("CONFIG5_PRECOND", "chol")
-    train, _ = synthetic(n=N_RAW, dim=3, seed=0)
+    extra_steps = int(os.environ.get("CONFIG5_EXTRA_STEPS", "0"))
+    train, test = synthetic(n=N_RAW, dim=3, seed=0)
     x = jnp.asarray(train[0], jnp.float32)
     y = jnp.asarray(train[1], jnp.float32)
     n_train = int(x.shape[0])
@@ -172,6 +173,17 @@ def section_config5(tiny: bool) -> dict:
     steps_per_sec = chunks_per_window * K / min(walls)
     if not np.isfinite(final_loss):
         raise RuntimeError(f"non-finite loss: {final_loss}")
+    steps_run = (1 + n_windows * chunks_per_window) * K
+    # Optional longer soak for the quality claim (CONFIG5_EXTRA_STEPS).
+    for _ in range(extra_steps // K):
+        key = jax.random.fold_in(key, step_i)
+        step_i += 1
+        params, opt_state, losses = multi_step(params, opt_state,
+                                               next(chunks), key)
+        steps_run += K
+    final_loss = float(losses[-1])
+    print(f"config5: {steps_run} total steps, loss {final_loss:.1f}",
+          flush=True)
 
     # Serving: one-time chol cache, then mean+var over the full ~1M-point
     # training set.  At M=8192 the full-set variance sweep CANNOT be one
@@ -228,7 +240,28 @@ def section_config5(tiny: bool) -> dict:
     serve_wall = timed(loop)
     mean_wall = timed(lambda p: serve_scan_mean(p, xq))
 
+    # Quality at scale: held-out RMSE/NLPD from the trained posterior
+    # (synthetic noise sigma=0.1 bounds the achievable RMSE from below).
+    xt = jnp.asarray(test[0], jnp.float32)
+    yt = np.asarray(test[1], np.float32)
+    post = build_post(params, solver="chol")
+    eval_batch = min(LOOP_BATCH, int(xt.shape[0]))
+    mus, varis = [], []
+    for i in range(0, (xt.shape[0] // eval_batch) * eval_batch, eval_batch):
+        mu, var = jax.jit(model.posterior_predict)(post, xt[i:i + eval_batch])
+        mus.append(np.asarray(mu)); varis.append(np.asarray(var))
+    mu = np.concatenate(mus); var = np.concatenate(varis)
+    yt = yt[: mu.shape[0]]
+    noise = float(model.likelihood.variance(params["likelihood"]))
+    rmse = float(np.sqrt(np.mean((mu - yt) ** 2)))
+    tot = var + noise
+    nlpd = float(np.mean(0.5 * (np.log(2 * np.pi * tot)
+                                + (yt - mu) ** 2 / tot)))
+
     return {
+        "test_rmse": round(rmse, 5),
+        "test_nlpd": round(nlpd, 5),
+        "steps_run": steps_run,
         "section": "config5_single_chip",
         "n_train": n_train, "m": M, "batch": BATCH, "steps_per_call": K,
         "train_mode": "per_step_dispatch" if scanfree else f"scan_{K}",
