@@ -569,3 +569,42 @@ def test_chunked_mll_value_and_grad_match_fused_path(rng):
     _, _, bad = model.log_marginal_likelihood_chunked(
         params, (x, y), probes=probes, chunk_iterations=2, max_chunks=2)
     assert not bad["converged"]
+
+
+def test_sharded_chunked_mll_matches_fused(rng, mesh):
+    """Multi-chip chunked exact-GP training (round-4): the chunked MLL
+    inherits through ShardedIterGPR's psum-blocked hooks unchanged — with
+    shared probes its value and gradient match the single-program sharded
+    path on the 8-way mesh (every dispatch bounded: a chunk-capped sharded
+    CG or one sharded matvec)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.parallel import ShardedIterGPR
+    from cggp_tpu.ops.kernels import Matern32
+
+    n = 72
+    x, y = _data(rng, n)
+    model = ShardedIterGPR(
+        kernel=Matern32(), mesh=mesh,
+        error_threshold=1e-10, max_cg_iterations=300,
+        relative_threshold=True, precondition="pivchol", precond_rank=8,
+        num_probes=4, logdet_variant="zero",
+    )
+    params = model.init_params(x.shape[-1], noise_variance=0.1, dtype=x.dtype)
+    probes = jnp.asarray(rng.choice([-1.0, 1.0], size=(4, n)), x.dtype)
+
+    ref_val, ref_grads = jax.jit(jax.value_and_grad(
+        lambda p: model.log_marginal_likelihood(p, (x, y), probes=probes)
+    ))(params)
+
+    val, grads, info = model.log_marginal_likelihood_chunked(
+        params, (x, y), probes=probes, chunk_iterations=6, max_chunks=100)
+    assert info["converged"], info
+    assert info["chunks"] > 1
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    for section in ("kernel", "likelihood"):
+        for name, want in ref_grads[section].items():
+            np.testing.assert_allclose(
+                np.asarray(grads[section][name]), np.asarray(want),
+                rtol=2e-4, atol=1e-8, err_msg=f"{section}/{name}")
