@@ -240,6 +240,41 @@ def section_config5(tiny: bool) -> dict:
     serve_wall = timed(loop)
     mean_wall = timed(lambda p: serve_scan_mean(p, xq))
 
+    # LOVE serving leg: rank-k Lanczos variance cache — per-batch variance
+    # is two skinny matmuls (NO triangular solves), so the full 1M-point
+    # mean+var sweep fits ONE lax.map dispatch even at M=8192 (the chol
+    # loop above is triangular-solve bound AND compile-fragile at wide
+    # RHS).  Variances are conservative over-estimates converging with the
+    # rank (docs/PERF.md LOVE sections); never picked by "auto".
+    love_extra = {}
+    try:
+        t0 = time.perf_counter()
+        post_love = build_post(params, solver="lanczos")
+        float(jnp.sum(post_love.lanczos_r))
+        love_build = time.perf_counter() - t0
+
+        @jax.jit
+        def serve_scan_love(post, xq):
+            mu, var = posterior_predict_scan(model, post, xq, SERVE_BATCH)
+            return jnp.sum(mu) + jnp.sum(var)
+
+        xq_scan = x[: (n_train // SERVE_BATCH) * SERVE_BATCH]
+        float(serve_scan_love(post_love, xq_scan))  # compile
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(serve_scan_love(post_love, xq_scan))
+            walls.append(time.perf_counter() - t0)
+        love_extra = {
+            "love_build_wall_s": round(love_build, 2),
+            "love_rank": int(model.serving_lanczos_rank),
+            "serving_love_scan_points_per_sec": round(
+                xq_scan.shape[0] / min(walls), 1),
+        }
+        print(f"config5: LOVE scan {love_extra}", flush=True)
+    except Exception as exc:  # noqa: BLE001 — side metric, never fatal
+        love_extra = {"love_error": repr(exc)[:200]}
+
     # Quality at scale: held-out RMSE/NLPD from the trained posterior
     # (synthetic noise sigma=0.1 bounds the achievable RMSE from below).
     xt = jnp.asarray(test[0], jnp.float32)
@@ -278,6 +313,7 @@ def section_config5(tiny: bool) -> dict:
         "serving_points_per_sec": round(serve_points / serve_wall, 1),
         "serving_mean_only_points_per_sec": round(serve_points / mean_wall, 1),
         "serve_wall_s": round(serve_wall, 3),
+        **love_extra,
     }
 
 
