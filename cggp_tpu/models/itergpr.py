@@ -294,6 +294,7 @@ class IterGPR:
         self, params: Dict, data: Tuple[Array, Array],
         key: Optional[jax.Array] = None, probes: Optional[Array] = None,
         chunk_iterations: int = 8, max_chunks: int = 64,
+        logdet_value: Optional[str] = None,
     ) -> Tuple[Array, Dict, Dict]:
         """MLL value + gradient with NO device program longer than ~one
         matvec — the watchdog-safe exact-GP training path (round 4).
@@ -313,10 +314,13 @@ class IterGPR:
           + mean_p s_p^T dK p)``, evaluated as ONE ``jax.grad`` of a
           single-matvec surrogate with ``alpha``/``s_p`` held constant.
 
-        Value follows the reference's zero-logdet convention
-        (models.py:21-48): gradients exact, reported values omit the
-        log-det term (the SLQ value needs its own single-program Lanczos —
-        out of the dispatch budget at the N this method exists for).
+        ``logdet_value`` (default: the model's ``logdet_variant``):
+        ``"zero"`` reports the reference's value-free convention
+        (models.py:21-48, gradients exact either way); ``"slq"`` adds the
+        true log-det VALUE via HOST-CHUNKED stochastic Lanczos quadrature
+        (one bounded matvec dispatch per Lanczos step,
+        ops/logdet.slq_value_rows_chunked) — meaningful LMLs with no
+        single-program Lanczos.
 
         Eager only (host loop; call OUTSIDE jit).  Returns
         ``(value, grads, info)`` with ``info = {"chunks", "converged",
@@ -373,8 +377,17 @@ class IterGPR:
         alpha = jax.lax.stop_gradient(v[:q])
         solved_probes = jax.lax.stop_gradient(v[q:])
         quad = float(jnp.sum(alpha * y_rows))
+        logdet = 0.0
+        variant = self.logdet_variant if logdet_value is None else logdet_value
+        if variant == "slq":
+            from cggp_tpu.ops.logdet import slq_value_rows_chunked
+
+            logdet = float(slq_value_rows_chunked(
+                lambda rows: matvec(kp, x_pad, lam, mask, rows), probes,
+                self.slq_lanczos_iters,
+            ))
         value = jnp.asarray(
-            -0.5 * (quad + n * math.log(2.0 * math.pi)), x.dtype)
+            -0.5 * (quad + logdet + n * math.log(2.0 * math.pi)), x.dtype)
 
         # One-matvec surrogate whose jax.grad IS the fused path's gradient:
         # rows [alpha | probes], cotangent weights [-alpha | s_p / P].
@@ -428,6 +441,56 @@ class IterGPR:
             lanczos_r = lanczos_quad_cache_rows(
                 lambda rows: self._matvec(kp, x_pad, lam, mask, rows),
                 start, rank,
+            )
+        return IterGPRPosterior(
+            kernel_params=kp, x_train=x_pad, lam=lam, mask=mask,
+            alpha=alpha, precond_state=state, lanczos_r=lanczos_r,
+        )
+
+    def posterior_chunked(self, params: Dict, data: Tuple[Array, Array],
+                          solver: str = "cg", chunk_iterations: int = 8,
+                          max_chunks: int = 64) -> "IterGPRPosterior":
+        """Dispatch-bounded :meth:`posterior` (round-4 watchdog rule): the
+        alpha solve runs as host-driven restarted CG chunks and the LOVE
+        cache (``solver="lanczos"``) as host-chunked Lanczos — no device
+        program exceeds ~one matvec or ``chunk_iterations`` CG iterations.
+        The returned cache is the SAME ``IterGPRPosterior`` pytree and
+        serves through the unchanged ``posterior_predict``/``posterior_mean``
+        machinery.  Eager only.
+        """
+        if solver not in ("auto", "cg", "lanczos"):
+            raise ValueError(f"unknown posterior solver: {solver!r}")
+        x, y = data
+        kp = params["kernel"]
+        x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
+        solve_chunk, matvec, precond_fn, _ = _chunked_mll_parts(
+            self, chunk_iterations)
+        state = precond_fn(kp, x_pad, lam, mask)
+
+        b_norm2 = 0.5 * jnp.sum(jnp.square(y_rows), axis=-1)
+        threshold = jnp.asarray(self.error_threshold, y_rows.dtype)
+        target = threshold * b_norm2 if self.relative_threshold else (
+            jnp.broadcast_to(threshold, b_norm2.shape))
+        alpha = jnp.zeros_like(y_rows)
+        for _ in range(max_chunks):
+            residual = y_rows - matvec(kp, x_pad, lam, mask, alpha)
+            err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
+            if bool(jnp.all(err <= target)):
+                break
+            dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
+            alpha = alpha + dv
+
+        lanczos_r = None
+        if solver == "lanczos":
+            from cggp_tpu.ops.logdet import (
+                lanczos_quad_cache_rows_chunked,
+                love_seed_row,
+            )
+
+            start = love_seed_row(y_rows[:1], mask[None, :])
+            rank = min(int(self.serving_lanczos_rank), int(x_pad.shape[0]))
+            lanczos_r = lanczos_quad_cache_rows_chunked(
+                lambda rows: matvec(kp, x_pad, lam, mask, rows), start, rank,
             )
         return IterGPRPosterior(
             kernel_params=kp, x_train=x_pad, lam=lam, mask=mask,

@@ -485,6 +485,83 @@ def lanczos_tridiag_rows(matvec_rows, v0_rows: Array, num_iters: int,
     return alphas, betas[:-1]
 
 
+@jax.jit
+def _lanczos_orth_step(basis, alphas, betas, w, i):
+    """One Lanczos orthogonalisation step of the host-chunked recurrence —
+    module-level so jit caching survives across calls (the per-host compile
+    cache keys on source location; a per-call closure would retrace every
+    posterior build)."""
+    v = basis[i]
+    alpha = jnp.sum(w * v, axis=-1)
+    w = w - alpha[:, None] * v
+    for _ in range(2):
+        coef = jnp.einsum("kpm,pm->kp", basis[:-1], w)
+        w = w - jnp.einsum("kp,kpm->pm", coef, basis[:-1])
+    beta = jnp.linalg.norm(w, axis=-1)
+    safe = jnp.where(beta > 0, beta, 1.0)
+    v_next = jnp.where((beta > 0)[:, None], w / safe[:, None],
+                       jnp.zeros_like(w))
+    return (basis.at[i + 1].set(v_next),
+            alphas.at[i].set(alpha), betas.at[i].set(beta))
+
+
+@jax.jit
+def _lanczos_row_at(basis, i):
+    return basis[i]
+
+
+def lanczos_tridiag_rows_chunked(matvec_rows, v0_rows: Array,
+                                 num_iters: int,
+                                 return_basis: bool = False):
+    """Host-driven twin of :func:`lanczos_tridiag_rows`: ONE bounded device
+    dispatch per Lanczos iteration (the matvec) plus a small fixed-shape
+    orthogonalisation program — for dispatch-limited runtimes where the
+    whole ``num_iters``-step scan would exceed the per-program execution
+    budget (docs/PERF.md round-4: ~60 s watchdog; a 128-step LOVE build at
+    N=262k measures minutes as one program).
+
+    The recurrence, full reorthogonalisation (against the zero-padded full
+    basis, twice), and early-termination handling are IDENTICAL to the
+    scanned version, so the tridiagonals match it to floating-point noise.
+    Eager only (host loop; call OUTSIDE jit, with ``matvec_rows`` already
+    jitted).
+    """
+    p, m = v0_rows.shape
+    dtype = v0_rows.dtype
+    norms = jnp.linalg.norm(v0_rows, axis=-1, keepdims=True)
+    v0 = v0_rows / jnp.where(norms > 0, norms, 1.0)
+    basis = jnp.zeros((num_iters + 1, p, m), dtype=dtype).at[0].set(v0)
+    alphas = jnp.zeros((num_iters, p), dtype=dtype)
+    betas = jnp.zeros((num_iters, p), dtype=dtype)
+
+    for i in range(num_iters):
+        w = matvec_rows(_lanczos_row_at(basis, jnp.asarray(i)))  # bounded
+        basis, alphas, betas = _lanczos_orth_step(
+            basis, alphas, betas, w, jnp.asarray(i))
+    if return_basis:
+        return alphas, betas[:-1], basis[:-1]
+    return alphas, betas[:-1]
+
+
+def slq_value_rows_chunked(matvec_rows, probes_rows: Array,
+                           lanczos_iters: int) -> Array:
+    """Host-chunked :func:`slq_value_rows`: the same Gauss-quadrature logdet
+    VALUE with one bounded dispatch per Lanczos step."""
+    alphas, betas = lanczos_tridiag_rows_chunked(
+        matvec_rows, probes_rows, lanczos_iters)
+    return _slq_from_tridiag(alphas, betas, probes_rows)
+
+
+def lanczos_quad_cache_rows_chunked(matvec_rows, start_row: Array,
+                                    rank: int) -> Array:
+    """Host-chunked :func:`lanczos_quad_cache_rows`: the same LOVE serving
+    cache with one bounded dispatch per Lanczos step — the rank-k build at
+    N beyond the single-program ceiling."""
+    alphas, betas, basis = lanczos_tridiag_rows_chunked(
+        matvec_rows, start_row, rank, return_basis=True)
+    return _love_cache_from_tridiag(alphas, betas, basis)
+
+
 def love_seed_row(u_row: Array, mask_row: Optional[Array] = None) -> Array:
     """Krylov seed for the LOVE serving cache (single source of truth for
     the zero-seed guard — previously hand-copied across the dense,
@@ -541,6 +618,13 @@ def lanczos_quad_cache_rows(matvec_rows, start_row: Array, rank: int) -> Array:
     alphas, betas, basis = lanczos_tridiag_rows(
         matvec_rows, start_row, rank, return_basis=True
     )
+    return _love_cache_from_tridiag(alphas, betas, basis)
+
+
+def _love_cache_from_tridiag(alphas: Array, betas: Array,
+                             basis: Array) -> Array:
+    """``R = L_T^{-1} Q`` from a single-seed Lanczos decomposition (shared
+    by the one-program and host-chunked builders)."""
     a, b = alphas[:, 0], betas[:, 0]
     q = basis[:, 0, :]  # [k, M]
     dtype = q.dtype
@@ -572,8 +656,15 @@ def slq_value_rows(matvec_rows, probes_rows: Array, lanczos_iters: int) -> Array
     the Krylov space of a masked probe never leaves the real coordinates
     because pad rows/columns are decoupled.
     """
-    dtype = probes_rows.dtype
     alphas, betas = lanczos_tridiag_rows(matvec_rows, probes_rows, lanczos_iters)
+    return _slq_from_tridiag(alphas, betas, probes_rows)
+
+
+def _slq_from_tridiag(alphas: Array, betas: Array,
+                      probes_rows: Array) -> Array:
+    """Gauss-quadrature logdet from per-probe Lanczos tridiagonals (shared
+    by the one-program and host-chunked SLQ paths)."""
+    dtype = probes_rows.dtype
 
     def one_probe(a, b):  # a [k], b [k-1]
         t = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)

@@ -608,3 +608,68 @@ def test_sharded_chunked_mll_matches_fused(rng, mesh):
             np.testing.assert_allclose(
                 np.asarray(grads[section][name]), np.asarray(want),
                 rtol=2e-4, atol=1e-8, err_msg=f"{section}/{name}")
+
+
+def test_chunked_mll_slq_value_matches_dense(rng):
+    """log_marginal_likelihood_chunked(logdet_value="slq") (round-4): the
+    host-chunked SLQ adds the TRUE log-det value to the dispatch-bounded
+    MLL.  With scaled-identity probes and full-depth Lanczos the quadrature
+    is exact, so the chunked value must equal the dense GPR's MLL — the
+    same oracle the fused path is pinned to."""
+    n = 64
+    x, y = _data(rng, n)
+    dense, model = _models(
+        SquaredExponential(), n, precondition="pivchol", precond_rank=12,
+        error_threshold=1e-12, block=32)
+    params = model.init_params(input_dim=2, dtype=x.dtype)
+    probes = _exact_probes(n, x.dtype)
+
+    want = dense.log_marginal_likelihood(params, (x, y))
+    val, grads, info = model.log_marginal_likelihood_chunked(
+        params, (x, y), probes=probes, chunk_iterations=9, max_chunks=200,
+        logdet_value="slq")
+    assert info["converged"], info
+    np.testing.assert_allclose(float(val), float(want), rtol=1e-8)
+
+    # The explicit override beats the model default: "zero" drops the
+    # log-det term only (difference is exactly 0.5 * logdet).
+    val0, _, _ = model.log_marginal_likelihood_chunked(
+        params, (x, y), probes=probes, chunk_iterations=9, max_chunks=200,
+        logdet_value="zero")
+    kmat = np.asarray(model.kernel.K(params["kernel"], x))
+    noise = float(model.likelihood.variance(params["likelihood"]))
+    logdet = np.linalg.slogdet(kmat + noise * np.eye(n))[1]
+    np.testing.assert_allclose(float(val0) - float(val), 0.5 * logdet,
+                               rtol=1e-6)
+
+
+def test_posterior_chunked_matches_posterior(rng):
+    """posterior_chunked (round-4 watchdog rule) builds the SAME serving
+    cache as the one-program posterior: alpha to solver precision, and the
+    lanczos LOVE cache serves identical mean/variance batches."""
+    n = 72
+    x, y = _data(rng, n)
+    _, model = _models(
+        Matern32(), n, precondition="pivchol", precond_rank=16,
+        error_threshold=1e-20, block=32, serving_lanczos_rank=n)
+    params = model.init_params(input_dim=2, dtype=x.dtype)
+    x_new = jnp.asarray(rng.uniform(-1.5, 1.5, size=(17, 2)), x.dtype)
+
+    for solver in ("cg", "lanczos"):
+        ref = model.posterior(params, (x, y), solver=solver)
+        got = model.posterior_chunked(params, (x, y), solver=solver,
+                                      chunk_iterations=7, max_chunks=100)
+        # Both solves stop at 0.5||r||^2 <= 1e-20; two solutions that deep
+        # can still differ by ~||r||/lambda_min — compare at that level.
+        np.testing.assert_allclose(np.asarray(got.alpha),
+                                   np.asarray(ref.alpha),
+                                   rtol=1e-6, atol=1e-8)
+        mu_ref, var_ref = model.posterior_predict(ref, x_new)
+        mu_got, var_got = model.posterior_predict(got, x_new)
+        np.testing.assert_allclose(np.asarray(mu_got), np.asarray(mu_ref),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var_got), np.asarray(var_ref),
+                                   rtol=1e-6, atol=1e-9)
+
+    with pytest.raises(ValueError, match="posterior solver"):
+        model.posterior_chunked(params, (x, y), solver="qr")

@@ -137,3 +137,71 @@ def test_lanczos_extremal_eigs_matches_dense(rng):
     cond_est = float(hi) / float(lo)
     cond = dense[-1] / dense[0]
     assert cond / 2 <= cond_est <= cond * 1.05
+
+
+def test_lanczos_chunked_matches_scanned(rng):
+    """Host-chunked Lanczos (round-4 dispatch-bounded twin) reproduces the
+    scanned recurrence — tridiagonals AND basis — to floating-point noise,
+    including past an early termination (full-depth run on a small N)."""
+    from cggp_tpu.ops.logdet import (
+        lanczos_tridiag_rows,
+        lanczos_tridiag_rows_chunked,
+    )
+
+    n, p = 48, 3
+    a_np = rng.normal(size=(n, n))
+    a = jnp.asarray(a_np @ a_np.T + n * np.eye(n))
+    probes = jnp.asarray(rng.choice([-1.0, 1.0], size=(p, n)))
+    matvec = jax.jit(lambda rows: rows @ a)
+
+    # Early-termination regime: num_iters > n forces beta -> 0 paddings.
+    for k in (12, n + 4):
+        al_s, be_s, b_s = lanczos_tridiag_rows(
+            matvec, probes, k, return_basis=True)
+        al_c, be_c, b_c = lanczos_tridiag_rows_chunked(
+            matvec, probes, k, return_basis=True)
+        np.testing.assert_allclose(np.asarray(al_c), np.asarray(al_s),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(be_c), np.asarray(be_s),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(b_c), np.asarray(b_s),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_slq_value_rows_chunked_matches(rng):
+    """slq_value_rows_chunked == slq_value_rows on the same probes, and at
+    full depth with scaled-identity probes == the exact logdet."""
+    from cggp_tpu.ops.logdet import slq_value_rows, slq_value_rows_chunked
+
+    n = 40
+    a_np = rng.normal(size=(n, n))
+    a = jnp.asarray(a_np @ a_np.T + n * np.eye(n))
+    matvec = jax.jit(lambda rows: rows @ a)
+
+    probes = jnp.sqrt(jnp.asarray(float(n))) * jnp.eye(n)
+    got = slq_value_rows_chunked(matvec, probes, n)
+    want = slq_value_rows(matvec, probes, n)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-9)
+    exact = float(np.linalg.slogdet(np.asarray(a))[1])
+    np.testing.assert_allclose(float(got), exact, rtol=1e-6)
+
+
+def test_lanczos_quad_cache_rows_chunked_matches(rng):
+    """The host-chunked LOVE cache build equals the one-program build."""
+    from cggp_tpu.ops.logdet import (
+        lanczos_quad_cache_rows,
+        lanczos_quad_cache_rows_chunked,
+        love_seed_row,
+    )
+
+    n = 56
+    a_np = rng.normal(size=(n, n))
+    a = jnp.asarray(a_np @ a_np.T + n * np.eye(n))
+    matvec = jax.jit(lambda rows: rows @ a)
+    start = love_seed_row(jnp.asarray(rng.normal(size=(1, n))))
+
+    for rank in (16, n):
+        got = lanczos_quad_cache_rows_chunked(matvec, start, rank)
+        want = lanczos_quad_cache_rows(matvec, start, rank)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-9, atol=1e-10)
