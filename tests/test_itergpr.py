@@ -673,3 +673,45 @@ def test_posterior_chunked_matches_posterior(rng):
 
     with pytest.raises(ValueError, match="posterior solver"):
         model.posterior_chunked(params, (x, y), solver="qr")
+
+
+def test_sharded_chunked_slq_and_posterior(rng, mesh):
+    """The round-4 dispatch-bounded surface composes with the mesh: on an
+    8-way ShardedIterGPR, the chunked MLL with the host-chunked SLQ value
+    matches the dense GPR's MLL (exact probes, full depth), and
+    posterior_chunked (cg AND lanczos) serves the dense posterior — every
+    device program a bounded sharded matvec or chunk-capped sharded CG."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.parallel import ShardedIterGPR
+    from cggp_tpu.ops.kernels import Matern32
+
+    n = 64
+    x, y = _data(rng, n)
+    dense = GPR(kernel=Matern32())
+    model = ShardedIterGPR(
+        kernel=Matern32(), mesh=mesh,
+        error_threshold=1e-16, max_cg_iterations=400,
+        relative_threshold=True, precondition="pivchol", precond_rank=12,
+        slq_lanczos_iters=n, serving_lanczos_rank=n,
+    )
+    params = model.init_params(x.shape[-1], noise_variance=0.1, dtype=x.dtype)
+    probes = _exact_probes(n, x.dtype)
+
+    want = float(dense.log_marginal_likelihood(params, (x, y)))
+    val, _grads, info = model.log_marginal_likelihood_chunked(
+        params, (x, y), probes=probes, chunk_iterations=6, max_chunks=200,
+        logdet_value="slq")
+    assert info["converged"], info
+    np.testing.assert_allclose(float(val), want, rtol=1e-7)
+
+    xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(19, x.shape[-1])), x.dtype)
+    mu_d, var_d = dense.predict_f(params, (x, y), xq)
+    for solver in ("cg", "lanczos"):
+        post = model.posterior_chunked(params, (x, y), solver=solver,
+                                       chunk_iterations=6, max_chunks=200)
+        mu, var = model.posterior_predict(post, xq)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_d),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
+                                   rtol=1e-5, atol=1e-7)
