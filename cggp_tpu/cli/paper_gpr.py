@@ -67,6 +67,14 @@ SIZE_LIMIT = 10000  # reference paper_cli_gpr.py:61
 @click.option("--block", type=int, default=4096,
               help="Iterative-GPR Gram panel height (peak memory one "
                    "[block, N] panel).")
+@click.option("--chunk-iterations", type=int, default=0,
+              help="> 0: dispatch-bounded exact-GP training (requires "
+                   "--iterative and -o adam) — every objective evaluation "
+                   "runs as restarted-CG chunks of this many iterations "
+                   "(IterGPR.log_marginal_likelihood_chunked), so no device "
+                   "program scales with the CG iteration count.  For "
+                   "runtimes with per-program execution budgets "
+                   "(docs/PERF.md round-4: ~60 s watchdog at N>=262k).")
 @click.pass_context
 def main(
     ctx: click.Context,
@@ -85,6 +93,7 @@ def main(
     num_probes: int,
     cg_threshold: float,
     block: int,
+    chunk_iterations: int,
 ):
     """Reference paper_cli_gpr.py:29-134."""
     if precision == np.float64:
@@ -126,6 +135,12 @@ def main(
     # The iterative objective draws log-det probes from a key.  L-BFGS paths
     # need a DETERMINISTIC loss, so they fix the probe key for the whole run;
     # Adam re-draws per step (the standard stochastic-trace training setup).
+    if chunk_iterations > 0 and not (iterative and optimizer == "adam"):
+        raise click.UsageError(
+            "--chunk-iterations requires --iterative and -o adam (the "
+            "dispatch-bounded objective is stochastic; Adam is its "
+            "optimizer)")
+
     fixed_key = jax.random.PRNGKey(seed)
     if iterative:
         det_loss = lambda p: model.training_loss(p, train_slice, key=fixed_key)
@@ -133,7 +148,23 @@ def main(
         det_loss = lambda p: model.training_loss(p, train_slice)
 
     monitor = Monitor(str(logdir), use_tensorboard=tensorboard)
-    if optimizer == "adam":
+    if optimizer == "adam" and chunk_iterations > 0:
+        from cggp_tpu.training.optimize import train_chunked_adam
+
+        def chunked_vg(p, k):
+            # Zero-logdet VALUE convention during training (gradients are
+            # exact either way; the per-step host-chunked SLQ would cost
+            # slq_lanczos_iters extra dispatches for a monitor-only number).
+            # Final metrics below report the true LML via logdet_value="slq".
+            return model.log_marginal_likelihood_chunked(
+                p, train_slice, key=k, chunk_iterations=chunk_iterations,
+                logdet_value="zero")
+
+        params = train_chunked_adam(
+            params, chunked_vg, iterations=num_iterations,
+            learning_rate=learning_rate, key=fixed_key, monitor=monitor,
+        )
+    elif optimizer == "adam":
         from cggp_tpu.training.optimize import train_full_batch_adam
 
         if iterative:
@@ -164,7 +195,7 @@ def main(
 
     metrics = _gpr_metrics(model, params, train_slice, test_data,
                            test_batch_size or test_data[0].shape[0],
-                           key=fixed_key)
+                           key=fixed_key, chunk_iterations=chunk_iterations)
     click.echo(json.dumps(metrics, indent=2))
 
     save_config_dir(logdir, params, info)
@@ -190,7 +221,7 @@ def jax_array(dtype):
 
 
 def _gpr_metrics(model, params, train_data, test_data, batch_size: int,
-                 key=None):
+                 key=None, chunk_iterations: int = 0):
     """Batched exact-GPR test RMSE/NLPD + train LML (the reference reuses
     make_metrics_callback; GPR's predict needs the train data, so it gets its
     own small evaluator here).  Serves through the posterior cache: ONE
@@ -202,7 +233,14 @@ def _gpr_metrics(model, params, train_data, test_data, batch_size: int,
 
     x_test, y_test = test_data
     n = x_test.shape[0]
-    post = jax.jit(model.posterior)(params, train_data)
+    if chunk_iterations > 0:
+        # Dispatch-bounded serving + LML to match the training budget: the
+        # one-program alpha solve / SLQ would be the only unbounded
+        # programs left in the run.
+        post = model.posterior_chunked(
+            params, train_data, chunk_iterations=chunk_iterations)
+    else:
+        post = jax.jit(model.posterior)(params, train_data)
 
     @jax.jit
     def batch_stats(post, xb, yb):
@@ -215,7 +253,12 @@ def _gpr_metrics(model, params, train_data, test_data, batch_size: int,
         se, lpd = batch_stats(post, x_test[idx], y_test[idx])
         se_total += float(se)
         lpd_total += float(lpd)
-    if "key" in inspect.signature(model.log_marginal_likelihood).parameters:
+    if chunk_iterations > 0:
+        lml_val, _grads, _info = model.log_marginal_likelihood_chunked(
+            params, train_data, key=key, chunk_iterations=chunk_iterations,
+            logdet_value="slq")
+        lml = float(lml_val)
+    elif "key" in inspect.signature(model.log_marginal_likelihood).parameters:
         lml = float(model.log_marginal_likelihood(params, train_data, key=key))
     else:
         lml = float(model.log_marginal_likelihood(params, train_data))

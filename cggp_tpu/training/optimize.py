@@ -399,6 +399,73 @@ def train_full_batch_adam(
     return params
 
 
+def train_chunked_adam(
+    params: Dict,
+    value_grad_fn: Callable[[Dict, jax.Array], Tuple[Array, Dict, Dict]],
+    iterations: int,
+    learning_rate: float = 0.05,
+    key: Optional[jax.Array] = None,
+    monitor: Optional[Monitor] = None,
+    trainable_mask: Optional[Dict] = None,
+) -> Dict:
+    """Host-loop Adam over a dispatch-bounded MLL evaluator (round-4).
+
+    The twin of :func:`train_full_batch_adam` for runtimes with a
+    per-program execution budget (docs/PERF.md round-4: ~60 s watchdog):
+    ``value_grad_fn(params, key) -> (mll_value, mll_grads, info)`` runs
+    EAGERLY as a host loop of bounded device dispatches —
+    ``IterGPR.log_marginal_likelihood_chunked`` is the canonical evaluator
+    — so no single program scales with the CG iteration count.  Only the
+    optimizer update is jitted (one tiny param-shaped program, compiled
+    once).  The evaluator returns the *marginal likelihood* and its
+    gradients; the trainer ASCENDS it (negates into Adam's descent).
+
+    Steps whose ``info["converged"]`` is false are counted and reported via
+    a single RuntimeWarning at the end — matching the CG-stats callback's
+    honesty contract (an unconverged chunk budget biases the gradient
+    silently otherwise).
+    """
+    optimizer = optax.adam(learning_rate)
+    opt_state = optimizer.init(params)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    mask = (
+        None if trainable_mask is None
+        else _expand_trainable_mask(trainable_mask, params)
+    )
+
+    @jax.jit
+    def apply(p, s, mll_grads):
+        grads = jax.tree_util.tree_map(lambda g: -g, mll_grads)
+        if mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.where(m, g, 0.0), grads, mask
+            )
+        updates, s = optimizer.update(grads, s)
+        return optax.apply_updates(p, updates), s
+
+    unconverged = 0
+    for i in range(int(iterations)):
+        key, sub = jax.random.split(key)
+        value, grads, info = value_grad_fn(params, sub)
+        if not info.get("converged", True):
+            unconverged += 1
+        params, opt_state = apply(params, opt_state, grads)
+        if monitor is not None:
+            monitor.add_scalar("train/loss", -float(value), i)
+            monitor(i, params)
+    if monitor is not None:
+        monitor.flush()
+    if unconverged:
+        warnings.warn(
+            f"train_chunked_adam: {unconverged}/{int(iterations)} steps hit "
+            "the chunk budget unconverged — raise max_chunks/chunk_iterations "
+            "or loosen the CG target",
+            RuntimeWarning,
+        )
+    return params
+
+
 def train_using_lbfgs_and_update(
     params: Dict,
     loss_fn: Callable[[Dict], Array],

@@ -864,3 +864,54 @@ def test_auto_chol_serving_falls_back_on_program_failure(rng):
     with pytest.raises(RuntimeError, match="synthetic chol-program"):
         predict_in_batches(boom, params, x, batch_size=32,
                            posterior_solver="chol")
+
+
+def test_train_chunked_adam_improves_true_mll(rng):
+    """train_chunked_adam (round-4 dispatch-bounded exact-GP trainer): Adam
+    over log_marginal_likelihood_chunked must IMPROVE the true marginal
+    likelihood (dense-GPR oracle), and the unconverged-budget warning fires
+    when the chunk budget is starved."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from cggp_tpu.models import GPR, IterGPR
+    from cggp_tpu.ops.kernels import Matern32
+    from cggp_tpu.training.optimize import train_chunked_adam
+
+    n = 48
+    x = jnp.asarray(rng.uniform(-1.5, 1.5, size=(n, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x).sum(-1, keepdims=True))
+                    + 0.1 * rng.normal(size=(n, 1)))
+    dense = GPR(kernel=Matern32())
+    model = IterGPR(
+        kernel=Matern32(), error_threshold=1e-10, max_cg_iterations=6,
+        relative_threshold=True, precondition="pivchol", precond_rank=8,
+        num_probes=4, block=24,
+    )
+    params = model.init_params(input_dim=2, dtype=x.dtype)
+    before = float(dense.log_marginal_likelihood(params, (x, y)))
+
+    def vg(p, k):
+        return model.log_marginal_likelihood_chunked(
+            p, (x, y), key=k, chunk_iterations=6, max_chunks=100,
+            logdet_value="zero")
+
+    trained = train_chunked_adam(
+        params, vg, iterations=20, learning_rate=0.1,
+        key=jax.random.PRNGKey(0))
+    after = float(dense.log_marginal_likelihood(trained, (x, y)))
+    assert after > before, (before, after)
+
+    # Starved chunk budget -> one honest RuntimeWarning at the end.
+    def vg_starved(p, k):
+        return model.log_marginal_likelihood_chunked(
+            p, (x, y), key=k, chunk_iterations=2, max_chunks=1,
+            logdet_value="zero")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        train_chunked_adam(params, vg_starved, iterations=2,
+                           learning_rate=0.1, key=jax.random.PRNGKey(0))
+    assert any("unconverged" in str(w.message) for w in caught)
