@@ -256,6 +256,16 @@ def create_model(
         params = model.init_params(
             iv, noise_variance=noise_variance, dtype=dtype, **kernel_init
         )
+    elif model_name == "gpr":
+        # Data-bound exact-GP serving (net-new): lets the predict driver
+        # dump mu/var from a `gpr` config dir; num_inducing_points ignored.
+        return create_gpr_model(data, kernel_fn, dtype=dtype)
+    elif model_name == "gpr-iter":
+        return create_itergpr_model(
+            data, kernel_fn, dtype=dtype, cg_threshold=error_threshold,
+            **{k: v for k, v in model_kwargs.items()
+               if k in ("num_probes", "block")},
+        )
     else:
         raise ValueError(f"Unknown model {model_name!r}")
     return model, params

@@ -128,6 +128,9 @@ def main(
         "test_size": int(test_data[0].shape[0]),
         "input_dimension": int(train_data[0].shape[-1]),
         "model_class": "gpr-iter" if iterative else "gpr",
+        # predict serves at the run's precision (predict.py reads this;
+        # without it an fp64-trained config silently downcast on assign).
+        "precision": precision_names[precision],
     }
     click.echo(f"-> {json.dumps(info, indent=2)}")
     click.echo("=== Start training ===")

@@ -66,8 +66,14 @@ def _posterior_finite(post) -> bool:
               help="Serve data-parallel: query rows of each batch sharded "
                    "over an N-device mesh, the posterior cache replicated "
                    "(single-device-style models only).")
+@click.option("--chunk-iterations", type=int, default=0,
+              help="> 0: build the serving cache in dispatch-bounded "
+                   "restarted-CG chunks (models exposing posterior_chunked, "
+                   "e.g. gpr-iter) — for runtimes with per-program "
+                   "execution budgets at large N (docs/PERF.md round-4).")
 def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
-         mean_only, serving_solver, posterior_dir, num_devices):
+         mean_only, serving_solver, posterior_dir, num_devices,
+         chunk_iterations):
     flat, info = load_config_dir(config_dir)
     dataset_name = info.get("dataset_name", info.get("dataset"))
     seed = int(info.get("seed", 0))
@@ -173,6 +179,20 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
         click.echo(f"data-parallel serving over {num_devices} devices")
 
     post = None
+    _cache_on_disk = (posterior_dir is not None
+                      and Path(posterior_dir, "posterior.json").exists())
+    if chunk_iterations > 0 and not _cache_on_disk:
+        if not hasattr(model, "posterior_chunked"):
+            raise click.ClickException(
+                f"{model_class} has no dispatch-bounded posterior build; "
+                "drop --chunk-iterations")
+        solver = serving_solver if serving_solver != "chol" else "cg"
+        post = model.posterior_chunked(
+            params, dataset.train, solver=solver,
+            chunk_iterations=chunk_iterations)
+        click.echo(
+            f"serving cache built in bounded chunks (<= {chunk_iterations} "
+            f"CG iterations / one matvec per dispatch, solver {solver})")
     if posterior_dir is not None:
         from cggp_tpu.utils import (
             load_posterior, posterior_fingerprint, save_posterior,
@@ -210,6 +230,17 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
             post = load_posterior(posterior_dir)
             click.echo(f"serving cache loaded from {posterior_dir} "
                        "(build skipped)")
+        elif post is not None:
+            # Already built above in bounded chunks; just persist it.
+            if not _posterior_finite(post):
+                raise click.ClickException(
+                    "chunk-built serving cache is non-finite; not saving.")
+            save_posterior(posterior_dir, post)
+            import json as _json
+
+            meta_path.write_text(_json.dumps({"fingerprint": fingerprint,
+                                              "model_class": model_class}))
+            click.echo(f"serving cache built and saved to {posterior_dir}")
         elif hasattr(model, "posterior"):
             import inspect as _inspect
 

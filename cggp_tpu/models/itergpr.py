@@ -178,7 +178,17 @@ class IterGPR:
         ``lam = sigma^2`` on real rows (differentiable w.r.t. the noise
         parameter) and 1 on pads; pad kernel rows/columns are masked to zero,
         so pads are exactly decoupled in every solve/matvec/probe.
+
+        Inputs are coerced to device arrays: the EAGER callers (the
+        chunked MLL/posterior family) would otherwise thread raw numpy
+        through — re-uploading x per bounded dispatch and leaking a
+        host-dtype ``x_train`` into persisted serving caches (a float64
+        numpy x in an fp32 process produced a mixed-dtype posterior.npz
+        that failed the x64 round-trip guard on reload).
         """
+        x = jnp.asarray(x)
+        if y is not None:
+            y = jnp.asarray(y)
         n = x.shape[0]
         noise = self.likelihood.variance(params["likelihood"])
         lam = noise * jnp.ones((n,), dtype=x.dtype)

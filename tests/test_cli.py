@@ -687,3 +687,52 @@ def test_gpr_iterative_chunked_training(runner, tmp_path):
         "--chunk-iterations", "4",
     ])
     assert bad.exit_code != 0
+
+
+def test_gpr_iter_predict_workflow(runner, tmp_path):
+    """The reference predict_mu_var workflow for the exact-GP family
+    (net-new): gpr --iterative trains + saves a config dir; predict
+    -mc gpr-iter rebuilds, serves mu/var for train and test splits, and
+    persists/reuses the posterior cache — including the dispatch-bounded
+    --chunk-iterations build."""
+    gpr_dir = tmp_path / "gpr"
+    _run(runner, [
+        "gpr", "-d", "synthetic1d", "-n", "4", "-l", str(gpr_dir),
+        "-k", "matern32", "-s", "0", "--no-tensorboard",
+        "--iterative", "-o", "adam", "--block", "64", "--num-probes", "4",
+    ])
+
+    pred_dir = tmp_path / "pred"
+    cache_dir = tmp_path / "cache"
+    result = _run(runner, [
+        "predict", "-c", str(gpr_dir), "-l", str(pred_dir),
+        "-mc", "gpr-iter", "-tb", "128", "-e", "1e-14",
+        "--posterior-dir", str(cache_dir),
+        "--chunk-iterations", "6",
+    ])
+    assert "bounded chunks" in result.output
+    assert "saved to" in result.output
+    test_mean = np.load(pred_dir / "test_mean.npy")
+    test_var = np.load(pred_dir / "test_variances.npy")
+    assert np.all(np.isfinite(test_mean)) and np.all(test_var > 0)
+
+    # Second run reuses the persisted cache (no rebuild) and reproduces the
+    # dumped posterior bit-for-bit.
+    pred2 = tmp_path / "pred2"
+    result2 = _run(runner, [
+        "predict", "-c", str(gpr_dir), "-l", str(pred2),
+        "-mc", "gpr-iter", "-tb", "128", "-e", "1e-14",
+        "--posterior-dir", str(cache_dir),
+        "--chunk-iterations", "6",
+    ])
+    assert "build skipped" in result2.output
+    np.testing.assert_array_equal(np.load(pred2 / "test_mean.npy"), test_mean)
+
+    # Dense-GPR serving from the same config dir.
+    pred3 = tmp_path / "pred3"
+    _run(runner, [
+        "predict", "-c", str(gpr_dir), "-l", str(pred3),
+        "-mc", "gpr", "-tb", "128",
+    ])
+    dense_mean = np.load(pred3 / "test_mean.npy")
+    np.testing.assert_allclose(dense_mean, test_mean, rtol=1e-5, atol=1e-7)

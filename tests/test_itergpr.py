@@ -715,3 +715,23 @@ def test_sharded_chunked_slq_and_posterior(rng, mesh):
                                    rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(np.asarray(var), np.asarray(var_d),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_padded_system_coerces_host_arrays(rng):
+    """Eager chunked paths fed raw numpy must still produce device-array
+    caches: a float64 numpy x in an fp32 process previously leaked into
+    posterior.npz as a mixed-dtype cache that failed the x64 round-trip
+    guard on reload (found driving predict --chunk-iterations)."""
+    import numpy as _np
+
+    n = 40
+    x_np = _np.asarray(rng.uniform(-1, 1, (n, 2)))
+    y_np = _np.asarray(rng.normal(size=(n, 1)))
+    model = IterGPR(kernel=Matern32(), error_threshold=1e-10,
+                    max_cg_iterations=6, relative_threshold=True,
+                    precondition=None, block=16)
+    params = model.init_params(input_dim=2)
+    post = model.posterior_chunked(params, (x_np, y_np),
+                                   chunk_iterations=6, max_chunks=50)
+    for leaf in jax.tree_util.tree_leaves(post):
+        assert isinstance(leaf, jax.Array), type(leaf)
