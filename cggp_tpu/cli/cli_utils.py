@@ -259,10 +259,16 @@ def create_model(
     elif model_name == "gpr":
         # Data-bound exact-GP serving (net-new): lets the predict driver
         # dump mu/var from a `gpr` config dir; num_inducing_points ignored.
-        return create_gpr_model(data, kernel_fn, dtype=dtype)
+        # positive_minimum must match the TRAINING bijector (info.json
+        # records it) — a different lower bound re-transforms every
+        # unconstrained leaf to shifted values on assignment.
+        return create_gpr_model(
+            data, kernel_fn, dtype=dtype,
+            positive_minimum=model_kwargs.get("positive_minimum"))
     elif model_name == "gpr-iter":
         return create_itergpr_model(
             data, kernel_fn, dtype=dtype, cg_threshold=error_threshold,
+            positive_minimum=model_kwargs.get("positive_minimum"),
             **{k: v for k, v in model_kwargs.items()
                if k in ("num_probes", "block")},
         )
@@ -611,7 +617,7 @@ def create_model_and_update_fn(
 def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
                           mean_only: bool = False,
                           posterior_solver: str = "auto", mesh=None,
-                          posterior=None):
+                          posterior=None, chunk_iterations: int = 0):
     """Posterior (mean, var) over ``x`` as numpy, on the fastest serving path.
 
     Routes through ``predict_in_batches``, so every model family serves
@@ -631,7 +637,7 @@ def dump_posterior_arrays(model, params, train_data, x, batch_size: int,
         model, params, x, batch_size=batch_size,
         train_data=train_data if needs_data else None,
         mean_only=mean_only, posterior_solver=posterior_solver, mesh=mesh,
-        posterior=posterior,
+        posterior=posterior, chunk_iterations=chunk_iterations,
     )
     return np.asarray(mean), None if var is None else np.asarray(var)
 

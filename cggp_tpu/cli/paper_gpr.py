@@ -129,8 +129,15 @@ def main(
         "input_dimension": int(train_data[0].shape[-1]),
         "model_class": "gpr-iter" if iterative else "gpr",
         # predict serves at the run's precision (predict.py reads this;
-        # without it an fp64-trained config silently downcast on assign).
+        # without it an fp64-trained config silently downcast on assign)
+        # and rebuilds with the SAME bijector lower bound / solver shape —
+        # a different positive_minimum re-transforms every unconstrained
+        # leaf to shifted values on assignment.
         "precision": precision_names[precision],
+        "positive_minimum": positive_minimum,
+        "num_probes": num_probes,
+        "block": block,
+        "cg_threshold": cg_threshold,
     }
     click.echo(f"-> {json.dumps(info, indent=2)}")
     click.echo("=== Start training ===")
@@ -238,18 +245,26 @@ def _gpr_metrics(model, params, train_data, test_data, batch_size: int,
     n = x_test.shape[0]
     if chunk_iterations > 0:
         # Dispatch-bounded serving + LML to match the training budget: the
-        # one-program alpha solve / SLQ would be the only unbounded
-        # programs left in the run.
+        # one-program alpha solve / SLQ / per-batch variance CG would be
+        # the only unbounded programs left in the run.
         post = model.posterior_chunked(
             params, train_data, chunk_iterations=chunk_iterations)
+
+        def batch_stats(post, xb, yb):  # eager: chunked per-batch solves
+            mu, var = model.posterior_predict_chunked(
+                post, xb, chunk_iterations=chunk_iterations)
+            lpd = model.likelihood.predict_log_density(
+                params["likelihood"], mu, var, yb)
+            return jnp.sum(jnp.square(yb - mu)), jnp.sum(lpd)
     else:
         post = jax.jit(model.posterior)(params, train_data)
 
-    @jax.jit
-    def batch_stats(post, xb, yb):
-        mu, var = model.posterior_predict(post, xb)
-        lpd = model.likelihood.predict_log_density(params["likelihood"], mu, var, yb)
-        return jnp.sum(jnp.square(yb - mu)), jnp.sum(lpd)
+        @jax.jit
+        def batch_stats(post, xb, yb):
+            mu, var = model.posterior_predict(post, xb)
+            lpd = model.likelihood.predict_log_density(
+                params["likelihood"], mu, var, yb)
+            return jnp.sum(jnp.square(yb - mu)), jnp.sum(lpd)
 
     se_total, lpd_total = 0.0, 0.0
     for idx in batched_indices(n, batch_size):
@@ -260,6 +275,13 @@ def _gpr_metrics(model, params, train_data, test_data, batch_size: int,
         lml_val, _grads, _info = model.log_marginal_likelihood_chunked(
             params, train_data, key=key, chunk_iterations=chunk_iterations,
             logdet_value="slq")
+        if not _info.get("converged", True):
+            import warnings
+
+            warnings.warn(
+                "final-metrics LML chunk budget exhausted unconverged "
+                f"(rel residual {_info.get('rel_residual')}): the reported "
+                "train/lml quad term is biased", RuntimeWarning)
         lml = float(lml_val)
     elif "key" in inspect.signature(model.log_marginal_likelihood).parameters:
         lml = float(model.log_marginal_likelihood(params, train_data, key=key))

@@ -126,6 +126,16 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
     model_kwargs = {}
     if model_class == "cdgp-implicit" and info.get("block"):
         model_kwargs["block"] = int(info["block"])
+    if model_class in ("gpr", "gpr-iter"):
+        # Rebuild the exact-GP family with the TRAINING run's bijector
+        # bound and solver shape (the gpr driver records them).
+        if info.get("positive_minimum") is not None:
+            model_kwargs["positive_minimum"] = float(info["positive_minimum"])
+        if model_class == "gpr-iter":
+            if info.get("block"):
+                model_kwargs["block"] = int(info["block"])
+            if info.get("num_probes"):
+                model_kwargs["num_probes"] = int(info["num_probes"])
     if model_class in ("cdgp", "cdgp-implicit"):
         # Rebuild with the TRAINING run's solver configuration (train.py
         # records it): dropping the preconditioner / relative threshold /
@@ -287,7 +297,7 @@ def main(config_dir, logdir, model_class, test_batch_size, error_threshold,
         mean, var = dump_posterior_arrays(
             model, params, dataset.train, split[0], test_batch_size,
             mean_only=mean_only, posterior_solver=serving_solver, mesh=mesh,
-            posterior=post,
+            posterior=post, chunk_iterations=chunk_iterations,
         )
         np.save(Path(logdir, f"{split_name}_mean.npy"), mean)
         if var is not None:

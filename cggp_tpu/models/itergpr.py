@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import warnings
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -77,6 +78,37 @@ def _chunked_mll_parts(model: "IterGPR", chunk_iterations: int):
 
     grad_fn = jax.jit(jax.grad(surrogate, argnums=(0, 1)))
     return solve_chunk, matvec, precond_fn, grad_fn
+
+
+def _chunked_restart_solve(model: "IterGPR", kp, x_pad, lam, mask, rhs,
+                           state, solve_chunk, matvec, max_chunks: int):
+    """Host-driven restarted CG to the model's stop rule (the SINGLE copy of
+    the chunk loop shared by the chunked MLL and posterior builders — the
+    two hand-maintained copies had already diverged on last-chunk
+    re-measurement).  Each round: one chunk-capped CG dispatch, then one
+    matvec dispatch re-anchoring on the TRUE residual.  The v=0 first pass
+    skips its known-zero matvec (one whole-Gram panel sweep per call at
+    the N this exists for).  Returns ``(v, err, converged, chunks)`` with
+    ``err`` freshly measured after the final correction.
+    """
+    b_norm2 = 0.5 * jnp.sum(jnp.square(rhs), axis=-1)
+    threshold = jnp.asarray(model.error_threshold, rhs.dtype)
+    target = threshold * b_norm2 if model.relative_threshold else (
+        jnp.broadcast_to(threshold, b_norm2.shape))
+    v = jnp.zeros_like(rhs)
+    residual = rhs  # matvec(v=0) == 0
+    err = b_norm2
+    chunks = 0
+    for _ in range(max_chunks):
+        if bool(jnp.all(err <= target)):  # host sync bounds the dispatch
+            break
+        dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
+        v = v + dv
+        chunks += 1
+        residual = rhs - matvec(kp, x_pad, lam, mask, v)
+        err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
+    converged = bool(jnp.all(err <= target))
+    return v, err, converged, chunks
 
 
 @dataclasses.dataclass(frozen=True)
@@ -360,35 +392,23 @@ class IterGPR:
         state = precond_fn(kp, x_pad, lam, mask)
 
         rhs = jnp.concatenate([y_rows, probes], axis=0)
-        # Per-row targets: cg_loop's rule on 0.5||r||^2.
+        # Per-row targets: cg_loop's rule on 0.5||r||^2 (inside the shared
+        # restart loop).
+        v, err, converged, chunks = _chunked_restart_solve(
+            self, kp, x_pad, lam, mask, rhs, state, solve_chunk, matvec,
+            max_chunks)
         b_norm2 = 0.5 * jnp.sum(jnp.square(rhs), axis=-1)
-        threshold = jnp.asarray(self.error_threshold, rhs.dtype)
-        target = threshold * b_norm2 if self.relative_threshold else (
-            jnp.broadcast_to(threshold, b_norm2.shape))
-
-        v = jnp.zeros_like(rhs)
-        chunks = 0
-        err = b_norm2
-        for _ in range(max_chunks):
-            residual = rhs - matvec(kp, x_pad, lam, mask, v)
-            err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
-            if bool(jnp.all(err <= target)):  # host sync bounds the dispatch
-                break
-            dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
-            v = v + dv
-            chunks += 1
-        else:
-            # Exhausted AFTER a correction: re-measure so a solve that
-            # converges on its last allowed chunk is not misreported.
-            residual = rhs - matvec(kp, x_pad, lam, mask, v)
-            err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
-        converged = bool(jnp.all(err <= target))
 
         alpha = jax.lax.stop_gradient(v[:q])
         solved_probes = jax.lax.stop_gradient(v[q:])
         quad = float(jnp.sum(alpha * y_rows))
         logdet = 0.0
         variant = self.logdet_variant if logdet_value is None else logdet_value
+        if variant not in ("zero", "slq"):
+            # Same loudness as __post_init__'s logdet_variant check — a typo
+            # here would otherwise silently report a logdet-free LML as the
+            # requested true value.
+            raise ValueError(f"unknown logdet_value: {variant!r}")
         if variant == "slq":
             from cggp_tpu.ops.logdet import slq_value_rows_chunked
 
@@ -477,18 +497,18 @@ class IterGPR:
             self, chunk_iterations)
         state = precond_fn(kp, x_pad, lam, mask)
 
-        b_norm2 = 0.5 * jnp.sum(jnp.square(y_rows), axis=-1)
-        threshold = jnp.asarray(self.error_threshold, y_rows.dtype)
-        target = threshold * b_norm2 if self.relative_threshold else (
-            jnp.broadcast_to(threshold, b_norm2.shape))
-        alpha = jnp.zeros_like(y_rows)
-        for _ in range(max_chunks):
-            residual = y_rows - matvec(kp, x_pad, lam, mask, alpha)
-            err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
-            if bool(jnp.all(err <= target)):
-                break
-            dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
-            alpha = alpha + dv
+        alpha, err, converged, chunks = _chunked_restart_solve(
+            self, kp, x_pad, lam, mask, y_rows, state, solve_chunk, matvec,
+            max_chunks)
+        if not converged:
+            # Silent exhaustion would persist a finite-but-wrong cache
+            # (predict --posterior-dir then serves it forever with "build
+            # skipped") — same honesty contract as the chunked trainer.
+            warnings.warn(
+                f"posterior_chunked: alpha solve unconverged after {chunks} "
+                f"chunks (max residual err {float(jnp.max(err)):.3e}) — "
+                "raise max_chunks/chunk_iterations or loosen "
+                "error_threshold", RuntimeWarning)
 
         lanczos_r = None
         if solver == "lanczos":
@@ -527,6 +547,43 @@ class IterGPR:
         inv_kmn, _ = self._solve(
             kp, post.x_train, post.lam, kmn, post.precond_state, post.mask
         )
+        if full_cov:
+            knn = self.kernel.K(kp, x_new)
+            var = (knn - kmn @ inv_kmn.T)[None, ...]
+        else:
+            knn = self.kernel.K_diag(kp, x_new)
+            var = (knn - jnp.sum(kmn * inv_kmn, axis=-1))[:, None]
+        return kmn @ post.alpha.T, var
+
+    def posterior_predict_chunked(
+        self, post: "IterGPRPosterior", x_new: Array,
+        chunk_iterations: int = 8, max_chunks: int = 64,
+        full_cov: bool = False,
+    ) -> Tuple[Array, Array]:
+        """Dispatch-bounded :meth:`posterior_predict` for CG caches: the
+        per-batch ``[T, N]`` variance solve runs as host-driven restarted
+        CG chunks — the serving-side completion of the round-4 watchdog
+        rule (the one-program path runs up to ``max_cg_iterations`` CG
+        iterations in ONE device dispatch, dead past a runtime execution
+        budget at the N this model targets).  LOVE caches are already
+        solve-free per batch and route through the unchanged path.
+        Exact to the model's stop rule, warns on an exhausted budget.
+        Eager only.
+        """
+        if post.lanczos_r is not None:
+            return self.posterior_predict(post, x_new, full_cov=full_cov)
+        kp = post.kernel_params
+        solve_chunk, matvec, _precond_fn, _ = _chunked_mll_parts(
+            self, chunk_iterations)
+        kmn = self.kernel.K(kp, x_new, post.x_train) * post.mask[None, :]
+        inv_kmn, err, converged, chunks = _chunked_restart_solve(
+            self, kp, post.x_train, post.lam, post.mask, kmn,
+            post.precond_state, solve_chunk, matvec, max_chunks)
+        if not converged:
+            warnings.warn(
+                f"posterior_predict_chunked: variance solve unconverged "
+                f"after {chunks} chunks (max residual err "
+                f"{float(jnp.max(err)):.3e})", RuntimeWarning)
         if full_cov:
             knn = self.kernel.K(kp, x_new)
             var = (knn - kmn @ inv_kmn.T)[None, ...]

@@ -973,7 +973,8 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
                        train_data: Optional[Tuple[Array, Array]] = None,
                        mean_only: bool = False, use_posterior: bool = True,
                        posterior_solver: str = "auto", mesh=None,
-                       scan: object = "auto", posterior=None):
+                       scan: object = "auto", posterior=None,
+                       chunk_iterations: int = 0):
     """Full-dataset posterior (mean, var), asynchronously pipelined (net-new).
 
     One jitted predict per fixed-size batch, dispatched back-to-back with NO
@@ -1167,6 +1168,28 @@ def predict_in_batches(model, params: Dict, x: Array, batch_size=8192,
         # probe's compiled program would never run (a wasted tunnel compile
         # + one batch of compute), and a scan failure falls THROUGH to the
         # probe + loop, which keeps its own chol->cg crash-proofing.
+        if (
+            chunk_iterations > 0
+            and mesh is None
+            and not mean_only
+            and hasattr(model, "posterior_predict_chunked")
+            and _posterior_serves_via_cg(post)
+        ):
+            # Dispatch-bounded variance serving (round-4): the per-batch CG
+            # program of a cg cache runs up to max_cg_iterations in ONE
+            # dispatch — past a runtime execution watchdog at large N.
+            # Host loop of restarted chunks instead; mean_only and
+            # solve-free caches (chol/LOVE) stay on the standard routes.
+            x_pad_c = _padded()
+            outs = [
+                model.posterior_predict_chunked(
+                    post, x_pad_c[i * batch_size:(i + 1) * batch_size],
+                    chunk_iterations=chunk_iterations)
+                for i in range(num_batches)
+            ]
+            mean = jnp.concatenate([m for m, _ in outs])[:n]
+            var = jnp.concatenate([v for _, v in outs])[:n]
+            return mean, var
         solve_free = mean_only or not _posterior_serves_via_cg(post)
         use_scan = scan is True or (scan == "auto" and solve_free)
         if use_scan:

@@ -700,6 +700,7 @@ def test_gpr_iter_predict_workflow(runner, tmp_path):
         "gpr", "-d", "synthetic1d", "-n", "4", "-l", str(gpr_dir),
         "-k", "matern32", "-s", "0", "--no-tensorboard",
         "--iterative", "-o", "adam", "--block", "64", "--num-probes", "4",
+        "-pm", "0.01",
     ])
 
     pred_dir = tmp_path / "pred"
@@ -736,3 +737,26 @@ def test_gpr_iter_predict_workflow(runner, tmp_path):
     ])
     dense_mean = np.load(pred3 / "test_mean.npy")
     np.testing.assert_allclose(dense_mean, test_mean, rtol=1e-5, atol=1e-7)
+
+    # The rebuild honors the training bijector bound (-pm 0.01 recorded in
+    # info.json; review finding: a default-bound rebuild re-transforms
+    # every unconstrained leaf to shifted values): predict's dump must
+    # match an in-process model built with the SAME bound.
+    import json as _json
+
+    from cggp_tpu.cli.cli_utils import (
+        DatasetType, KernelType, create_itergpr_model,
+    )
+    from cggp_tpu.utils import assign_flat, load_config_dir
+
+    flat, info = load_config_dir(gpr_dir)
+    assert float(info["positive_minimum"]) == 0.01
+    data = DatasetType().convert("synthetic1d", None, None)(0)
+    model, params = create_itergpr_model(
+        data.train, KernelType().convert("matern32", None, None),
+        positive_minimum=0.01, cg_threshold=1e-14, block=64, num_probes=4)
+    params = assign_flat(params, flat)
+    mu_proc, _ = model.predict_f(
+        params, tuple(map(np.asarray, data.train)), np.asarray(data.test[0]))
+    np.testing.assert_allclose(np.asarray(mu_proc), test_mean,
+                               rtol=1e-5, atol=1e-7)

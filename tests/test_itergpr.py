@@ -735,3 +735,60 @@ def test_padded_system_coerces_host_arrays(rng):
                                    chunk_iterations=6, max_chunks=50)
     for leaf in jax.tree_util.tree_leaves(post):
         assert isinstance(leaf, jax.Array), type(leaf)
+
+
+def test_posterior_predict_chunked_matches(rng):
+    """Dispatch-bounded variance serving (review finding: the cg cache's
+    per-batch solve was the one unbounded program left in chunked mode):
+    posterior_predict_chunked == posterior_predict to solver precision on
+    diag and full_cov, routes LOVE caches unchanged, and warns on a
+    starved chunk budget instead of returning silently-wrong variances."""
+    import warnings as _warnings
+
+    n = 64
+    x, y = _data(rng, n)
+    _, model = _models(Matern32(), n, precondition="pivchol",
+                       precond_rank=12, error_threshold=1e-16,
+                       relative_threshold=True, block=32,
+                       serving_lanczos_rank=n)
+    params = model.init_params(input_dim=2, dtype=x.dtype)
+    xq = jnp.asarray(rng.uniform(-1.5, 1.5, size=(13, 2)), x.dtype)
+
+    post = model.posterior(params, (x, y), solver="cg")
+    mu_ref, var_ref = model.posterior_predict(post, xq)
+    mu, var = model.posterior_predict_chunked(post, xq, chunk_iterations=6,
+                                              max_chunks=100)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-5, atol=1e-8)
+    _muf, cov_ref = model.posterior_predict(post, xq, full_cov=True)
+    _mug, cov = model.posterior_predict_chunked(
+        post, xq, chunk_iterations=6, max_chunks=100, full_cov=True)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(cov_ref),
+                               rtol=1e-5, atol=1e-7)
+
+    # LOVE cache: unchanged solve-free route, bit-identical.
+    post_l = model.posterior(params, (x, y), solver="lanczos")
+    mu_l, var_l = model.posterior_predict(post_l, xq)
+    mu_lc, var_lc = model.posterior_predict_chunked(post_l, xq)
+    np.testing.assert_array_equal(np.asarray(mu_lc), np.asarray(mu_l))
+    np.testing.assert_array_equal(np.asarray(var_lc), np.asarray(var_l))
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        model.posterior_predict_chunked(post, xq, chunk_iterations=2,
+                                        max_chunks=1)
+    assert any("unconverged" in str(w.message) for w in caught)
+
+    # posterior_chunked shares the loop: starved budgets warn there too.
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        model.posterior_chunked(params, (x, y), chunk_iterations=2,
+                                max_chunks=1)
+    assert any("unconverged" in str(w.message) for w in caught)
+
+    with pytest.raises(ValueError, match="logdet_value"):
+        model.log_marginal_likelihood_chunked(
+            params, (x, y), probes=_exact_probes(n, x.dtype),
+            logdet_value="sql")
