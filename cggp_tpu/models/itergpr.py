@@ -65,10 +65,45 @@ def _chunked_mll_parts(model: "IterGPR", chunk_iterations: int):
     (models are frozen, hashable dataclasses): a training loop calling
     ``log_marginal_likelihood_chunked`` every step must reuse ONE set of
     compiled programs, not retrace the N-scale panel scans per step."""
-    chunk_model = dataclasses.replace(model, max_cg_iterations=chunk_iterations)
-    solve_chunk = jax.jit(chunk_model._solve)
+    from cggp_tpu.ops.cg import cg_loop, precond_apply_or_identity
+
     matvec = jax.jit(model._matvec)
     precond_fn = jax.jit(model._precond_state)
+
+    def _chunk_run(kp, x_pad, lam, mask, rhs, v, p0, precond_state):
+        # Residual-replacement chunk (round-4, later): the entry residual
+        # is the TRUE ``rhs - v A`` (recurrence-drift control) while the
+        # carried ``p0`` keeps unrestarted-CG convergence — a plain restart
+        # pays a momentum penalty every chunk (measured: 64 chunks to the
+        # 1e-5 target at N=262k, docs/PERF.md).  Goes through the model's
+        # OWN _matvec so the sharded (psum-blocked) family inherits it.
+        v_out, _stats, state = cg_loop(
+            lambda q: model._matvec(kp, x_pad, lam, mask, q),
+            precond_apply_or_identity,
+            precond_state,
+            rhs,
+            v,
+            error_threshold=model.error_threshold,
+            max_iterations=chunk_iterations,
+            max_steps_cycle=chunk_iterations + 1,
+            relative_threshold=model.relative_threshold,
+            p0=p0,
+            return_state=True,
+        )
+        err = 0.5 * jnp.sum(jnp.square(state.r), axis=-1)
+        return v_out, state.p, err
+
+    chunk_fresh = jax.jit(
+        lambda kp, x_pad, lam, mask, rhs, v, ps: _chunk_run(
+            kp, x_pad, lam, mask, rhs, v, None, ps))
+    chunk_cont = jax.jit(
+        lambda kp, x_pad, lam, mask, rhs, v, p, ps: _chunk_run(
+            kp, x_pad, lam, mask, rhs, v, p, ps))
+
+    def solve_chunk(kp, x_pad, lam, mask, rhs, v, p, precond_state=()):
+        if p is None:
+            return chunk_fresh(kp, x_pad, lam, mask, rhs, v, precond_state)
+        return chunk_cont(kp, x_pad, lam, mask, rhs, v, p, precond_state)
 
     def surrogate(kpd, likd, x_pad, mask, rows, weights):
         noise = model.likelihood.variance(likd)
@@ -82,31 +117,44 @@ def _chunked_mll_parts(model: "IterGPR", chunk_iterations: int):
 
 def _chunked_restart_solve(model: "IterGPR", kp, x_pad, lam, mask, rhs,
                            state, solve_chunk, matvec, max_chunks: int):
-    """Host-driven restarted CG to the model's stop rule (the SINGLE copy of
-    the chunk loop shared by the chunked MLL and posterior builders — the
-    two hand-maintained copies had already diverged on last-chunk
-    re-measurement).  Each round: one chunk-capped CG dispatch, then one
-    matvec dispatch re-anchoring on the TRUE residual.  The v=0 first pass
-    skips its known-zero matvec (one whole-Gram panel sweep per call at
-    the N this exists for).  Returns ``(v, err, converged, chunks)`` with
-    ``err`` freshly measured after the final correction.
+    """Host-driven residual-replacement CG to the model's stop rule (the
+    SINGLE copy of the chunk loop shared by the chunked MLL, posterior,
+    and per-batch serving builders).  Each round is ONE bounded device
+    dispatch: re-anchor on the TRUE residual ``rhs - v A`` at entry, then
+    ``chunk_iterations`` CG iterations with the search direction CARRIED
+    from the previous chunk — unrestarted-CG convergence (a plain restart
+    pays a momentum penalty near tight tolerances: 64 chunks to the 1e-5
+    target at N=262k before this, docs/PERF.md round-4).  Returns
+    ``(v, err, converged, chunks)``; ``err`` is the final chunk's
+    recurrence residual — at most ``chunk_iterations`` recurrence steps
+    from a true re-anchor, so its drift is bounded by one chunk.
     """
     b_norm2 = 0.5 * jnp.sum(jnp.square(rhs), axis=-1)
     threshold = jnp.asarray(model.error_threshold, rhs.dtype)
     target = threshold * b_norm2 if model.relative_threshold else (
         jnp.broadcast_to(threshold, b_norm2.shape))
     v = jnp.zeros_like(rhs)
-    residual = rhs  # matvec(v=0) == 0
-    err = b_norm2
+    p = None
+    err = b_norm2  # = entry residual of the v=0 first chunk
     chunks = 0
     for _ in range(max_chunks):
         if bool(jnp.all(err <= target)):  # host sync bounds the dispatch
             break
-        dv, _ = solve_chunk(kp, x_pad, lam, residual, state, mask)
-        v = v + dv
+        err_sum = float(jnp.sum(err))
+        v_new, p_new, err_new = solve_chunk(kp, x_pad, lam, mask, rhs, v, p,
+                                            state)
         chunks += 1
-        residual = rhs - matvec(kp, x_pad, lam, mask, v)
-        err = 0.5 * jnp.sum(jnp.square(residual), axis=-1)
+        if p is not None and float(jnp.sum(err_new)) > err_sum:
+            # Carried-momentum safeguard: a direction that shrank to noise
+            # (denom ~ 0) meeting a re-anchored larger rz makes
+            # gamma = rz/denom explode (observed: fp32 SE system at
+            # kappa ~ 1e4 diverged to 1e4x the solution scale).  Discard
+            # the bad chunk and redo FRESH from the same anchor — a fresh
+            # chunk is plain restarted CG, which never increases the true
+            # residual; err stays monotone so divergence is impossible.
+            p = None
+            continue
+        v, p, err = v_new, p_new, err_new
     converged = bool(jnp.all(err <= target))
     return v, err, converged, chunks
 

@@ -73,6 +73,13 @@ def _kahan_dot(a: Array, b: Array) -> Array:
 _DOT_FNS = {"standard": _standard_dot, "compensated": _kahan_dot}
 
 
+@functools.lru_cache(maxsize=4)
+def _eye_for(dot: str) -> "EyePreconditioner":
+    """Cached default identity preconditioner per dot mode: repeated
+    eager chunk dispatches must hash the SAME .apply (jit static arg)."""
+    return EyePreconditioner(dot)
+
+
 # ---------------------------------------------------------------------------
 # Preconditioners
 # ---------------------------------------------------------------------------
@@ -85,16 +92,20 @@ class EyePreconditioner:
 
     def __init__(self, dot: str = "standard"):
         self._dot = dot
-
-    @property
-    def apply(self):
-        dot = _DOT_FNS[self._dot]
+        dot_fn = _DOT_FNS[dot]
 
         def _apply(state, vec, mat):
             del state, mat
-            return vec, dot(vec, vec)
+            return vec, dot_fn(vec, vec)
 
-        return _apply
+        # Built ONCE per instance (a property returning a fresh closure per
+        # access defeats jit caching wherever .apply is a static argument —
+        # e.g. the _dense_chunk program would retrace every chunk).
+        self._apply = _apply
+
+    @property
+    def apply(self):
+        return self._apply
 
     def __call__(self, vec: Array, mat: Array) -> Tuple[Array, Array]:
         return self.apply(self.state, vec, mat)
@@ -372,7 +383,9 @@ def cg_loop(
     mat_for_precond: Optional[Array] = None,
     relative_threshold: bool = False,
     iteration_budget: Optional[Array] = None,
-) -> Tuple[Array, CGStats]:
+    p0: Optional[Array] = None,
+    return_state: bool = False,
+):
     """Run PCG on ``v A = b`` (row convention) with an abstract matvec.
 
     ``matvec(p)`` must return ``p @ A`` for the (implicit) symmetric matrix A.
@@ -384,6 +397,16 @@ def cg_loop(
     large fused RHS blocks an absolute target is scale-dependent and can be
     unreachable within the iteration budget; ``relative_threshold=True``
     (net-new) scales each row's target by its own ``0.5 ||b_i||^2``.
+
+    ``p0`` (net-new, round-4 dispatch-bounded machinery): carry the search
+    direction across bounded chunk dispatches — RESIDUAL-REPLACEMENT CG
+    (van der Vorst): the entry residual is always the TRUE ``b - v0 A``
+    (controlling recurrence drift) while the carried ``p0`` preserves the
+    Krylov momentum a plain restart throws away (the measured "last decade
+    is slow" penalty of restarted chunks, docs/PERF.md round-4).  ``None``
+    keeps restart semantics (``p = z``).  ``return_state=True``
+    additionally returns the final :class:`CGState` so the caller can
+    resume the NEXT chunk from ``state.v`` / ``state.p``.
     """
     dtype = v0.dtype
     min_float = jnp.asarray(1e-16, dtype=dtype)
@@ -462,12 +485,15 @@ def cg_loop(
 
     r = b - matvec(v0)
     z, rz = precond_apply(precond_state, r, mat_for_precond)
-    initial_state = CGState(jnp.asarray(0, dtype=jnp.int32), v0, r, z, rz)
+    initial_state = CGState(jnp.asarray(0, dtype=jnp.int32), v0, r,
+                            z if p0 is None else p0, rz)
     final_state = jax.lax.while_loop(stopping_condition, cg_step, initial_state)
     final_r_sq = jnp.sum(jnp.square(final_state.r), axis=-1, keepdims=True)
     converged = jnp.logical_not(jnp.any(0.5 * final_r_sq > threshold))
     stats = CGStats(steps=final_state.i, error=0.5 * final_state.rz,
                     converged=converged)
+    if return_state:
+        return final_state.v, stats, final_state
     return final_state.v, stats
 
 
@@ -923,6 +949,34 @@ def _cg_dense_bwd(precond_apply, error_threshold, max_iterations, max_steps_cycl
 _cg_dense.defvjp(_cg_dense_fwd, _cg_dense_bwd)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _dense_chunk(precond_apply, chunk_iterations, error_threshold, relative,
+                 dot_name, matrix, rhs_rows, v, p0, precond_state):
+    """One bounded residual-replacement CG chunk on a dense system (row
+    convention): entry re-anchors on the true residual, the carried ``p0``
+    keeps unrestarted convergence (see ``cg_loop``'s ``p0``).  ``p0=None``
+    (a structurally-different pytree) compiles the fresh-start variant.
+    Module-level jit so repeated ``solve_chunked`` calls reuse ONE compiled
+    program per shape."""
+    v_out, _stats, state = cg_loop(
+        lambda q: jnp.matmul(q, matrix, precision=jax.lax.Precision.HIGHEST),
+        precond_apply,
+        precond_state,
+        rhs_rows,
+        v,
+        error_threshold=error_threshold,
+        max_iterations=chunk_iterations,
+        max_steps_cycle=chunk_iterations + 1,
+        dot=_DOT_FNS[dot_name],
+        mat_for_precond=matrix,
+        relative_threshold=relative,
+        p0=p0,
+        return_state=True,
+    )
+    err = 0.5 * jnp.sum(jnp.square(state.r), axis=-1)
+    return v_out, state.p, err
+
+
 def conjugate_gradient(
     matrix: Array,
     rhs: Array,
@@ -1125,7 +1179,6 @@ class ConjugateGradient:
         watchdog (e.g. at N=262k matrix-free, ~3 s/iteration => 8-16).
         """
         column_rhs = rhs
-        solution = jnp.zeros_like(column_rhs)
         # Column convention like __call__: per-column squared-residual
         # target, matching cg_loop's relative rule.
         b_norm2 = 0.5 * jnp.sum(jnp.square(column_rhs), axis=0)
@@ -1135,18 +1188,59 @@ class ConjugateGradient:
         else:
             target = jnp.broadcast_to(threshold, b_norm2.shape)
 
-        # The chunk solves the CORRECTION system to an absolute per-call
-        # threshold = the tightest remaining column target (conservative;
-        # the outer true-residual test is what decides convergence).  Fixed
-        # across chunks so the chunk program compiles ONCE.
+        # Resolve the bf16 envelope ONCE for the whole chunk loop (the
+        # matrix is fixed; the per-solve memo would also catch this).
+        resolved_impl = self.check_bf16_envelope(matrix)
+        if resolved_impl in ("xla", "xla_high"):
+            # Residual-replacement chunks (round-4, later): carry the
+            # search direction across dispatches — unrestarted-CG
+            # convergence while each chunk re-anchors on the true residual
+            # (the plain restart below pays a momentum penalty near tight
+            # tolerances: measured 2.7x more chunks on an ill-conditioned
+            # fp32 system at the 1e-12 target).
+            precond = preconditioner or self.preconditioner or _eye_for(self.dot)
+            rhs_rows = column_rhs.T
+            v = jnp.zeros_like(rhs_rows)
+            p = None
+            err = b_norm2
+            total_steps = 0
+            chunks = 0
+            for _ in range(max_chunks):
+                if bool(jnp.all(err <= target)):  # host sync per dispatch
+                    break
+                err_sum = float(jnp.sum(err))
+                v_new, p_new, err_new = _dense_chunk(
+                    precond.apply, chunk_iterations,
+                    float(self.error_threshold), bool(self.relative_threshold),
+                    self.dot, matrix, rhs_rows, v, p, precond.state)
+                chunks += 1
+                if p is not None and float(jnp.sum(err_new)) > err_sum:
+                    # Carried-momentum safeguard (see the model-side twin in
+                    # models/itergpr._chunked_restart_solve): a noise-scale
+                    # direction meeting a re-anchored larger rz explodes
+                    # gamma = rz/denom — discard the bad chunk, redo fresh
+                    # from the same anchor; err stays monotone.
+                    p = None
+                    continue
+                v, p, err = v_new, p_new, err_new
+            total_steps = chunks * chunk_iterations  # upper bound; the
+            # final chunk may stop early, invisible from out here.
+            converged = bool(jnp.all(err <= target))
+            return v.T, CGStats(
+                steps=jnp.asarray(total_steps),
+                error=err[:, None],
+                converged=jnp.asarray(converged),
+            )
+
+        # bf16_ir/bf16_ru/pallas impls keep the facade-driven restart loop
+        # (their mixed-precision inner loops manage their own anchoring).
+        solution = jnp.zeros_like(column_rhs)
         chunk_solver = ConjugateGradient(
             float(jnp.min(target)),
             preconditioner=preconditioner or self.preconditioner,
             max_iterations=chunk_iterations,
             dot=self.dot,
-            # Resolve the bf16 envelope ONCE for the whole chunk loop (the
-            # matrix is fixed; the per-solve memo would also catch this).
-            matvec_impl=self.check_bf16_envelope(matrix),
+            matvec_impl=resolved_impl,
             relative_threshold=False,
         )
         hi = jax.lax.Precision.HIGHEST

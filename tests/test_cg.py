@@ -927,3 +927,36 @@ def test_solve_chunked_matches_single_program_solve(rng):
     _, bad_stats = tight.solve_chunked(a, rhs, chunk_iterations=2,
                                        max_chunks=2)
     assert not bool(bad_stats.converged)
+
+
+def test_solve_chunked_carried_direction_safeguard(rng):
+    """Residual-replacement chunks carry Krylov momentum across dispatches;
+    on an ill-conditioned fp32 system a noise-scale carried direction
+    meeting a re-anchored larger rz explodes gamma = rz/denom (observed:
+    divergence to 1e4x the solution scale on this exact system before the
+    safeguard).  The monotonicity safeguard discards such a chunk and
+    redoes it fresh — the solution must stay at the fp32 floor, never
+    diverge."""
+    import jax.numpy as jnp
+
+    from cggp_tpu.ops.cg import ConjugateGradient
+    from cggp_tpu.ops.kernels import SquaredExponential
+
+    n = 400
+    kernel = SquaredExponential()
+    kp = kernel.init_params(1.0, np.ones(2), dtype=jnp.float32)
+    z = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
+    a = kernel.K(kp, z) + 0.01 * jnp.eye(n, dtype=jnp.float32)
+    rhs = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+    ref = np.linalg.solve(np.asarray(a, np.float64),
+                          np.asarray(rhs, np.float64))
+
+    # 1e-10 relative is BELOW the fp32 floor for kappa ~ 1e4: the loop must
+    # stall honestly at the floor (converged=False), not blow up.
+    solver = ConjugateGradient(1e-10, max_iterations=n,
+                               relative_threshold=True)
+    sol, stats = solver.solve_chunked(a, rhs, chunk_iterations=8,
+                                      max_chunks=100)
+    rel = float(np.max(np.abs(np.asarray(sol) - ref)) / np.max(np.abs(ref)))
+    assert rel < 1e-3, rel
+    assert not bool(stats.converged)  # honest: target unreachable in fp32
