@@ -396,9 +396,11 @@ class IterGPR:
         gradient from bounded dispatches:
 
         - ``alpha`` and the Hutchinson probe solves run as host-driven
-          restarted CG (``chunk_iterations`` per dispatch, each re-anchored
-          on the true residual — the ``ConjugateGradient.solve_chunked``
-          pattern applied to the panel matvec);
+          residual-replacement CG (``chunk_iterations`` per dispatch, each
+          re-anchored on the true residual with the search direction
+          CARRIED across chunks — the ``ConjugateGradient.solve_chunked``
+          pattern applied to the panel matvec; see
+          :func:`_chunked_restart_solve`);
         - the gradient is the exact same estimator the fused path's custom
           VJPs produce: ``dMLL = -0.5(-alpha^T dK alpha
           + mean_p s_p^T dK p)``, evaluated as ONE ``jax.grad`` of a

@@ -1160,18 +1160,23 @@ class ConjugateGradient:
         max_chunks: int = 64,
         preconditioner: Optional[CGPreconditioner] = None,
     ) -> Tuple[Array, CGStats]:
-        """Host-driven restarted CG: bounded-iteration device dispatches.
+        """Host-driven dispatch-bounded CG (residual-replacement chunks).
 
         Round-4 discovery (docs/PERF.md): this tunnel environment kills any
         SINGLE device program past ~60 s of execution (measured: a 49.6 s
         dense solve completes, a ~72 s one crashes the worker) — so a large
         solve must not run as one ``lax.while_loop`` program.  This method
         runs eager chunks of ``chunk_iterations`` CG iterations, each
-        re-anchored on the TRUE residual ``b - A v`` (the same reliability
-        argument as ``max_steps_cycle`` restarts: the restart loses Krylov
-        momentum — expect more total iterations near tight tolerances —
-        but every chunk's stop rule tests the exact residual, so a
-        CONVERGED result is as accurate as the single-program solve).
+        re-anchored on the TRUE residual ``b - A v`` at entry while
+        CARRYING the search direction across chunks — unrestarted-CG
+        convergence (a plain restart pays a momentum penalty near tight
+        tolerances: measured 2.7x more chunks on an ill-conditioned fp32
+        system), with a monotonicity safeguard that redoes a
+        residual-increasing carried chunk fresh from the same anchor.
+        Convergence decisions ride true-residual anchors, so a CONVERGED
+        result is as accurate as the single-program solve — and an
+        at-the-fp32-floor target is reported honestly (the one-program
+        recurrence can drift optimistically below the true floor).
 
         Host-driven by design: call it OUTSIDE jit.  Stats aggregate
         across chunks (``steps`` = total iterations run).  Pick
