@@ -19,10 +19,12 @@ import numpy as np
 
 from cggp_tpu.cli.cli_utils import (
     DatasetType,
+    FloatType,
     KernelType,
     LogdirPath,
     create_model,
     create_update_fn,
+    precision_names,
 )
 from cggp_tpu.training.optimize import (
     create_monitor,
@@ -42,16 +44,28 @@ _clustering_types = click.Choice(["covertree", "covernet", "kmeans", "oips"])
 @click.option("-k", "--kernel", type=KernelType(), default="se")
 @click.option("-l", "--logdir", type=LogdirPath(), default=LogdirPath.default_logdir)
 @click.option("-s", "--seed", type=int, default=0)
+@click.option(
+    "-p", "--precision", type=FloatType(), default="fp32",
+    help="Process float width (paper-CLI pattern, paper_uci.py). fp64 flips "
+         "jax_enable_x64; either way the dataset is cast up front so the "
+         "float64 numpy the loaders produce never hits a non-x64 device "
+         "boundary (the round-4 truncation-warning storm).",
+)
 @click.option("--jit/--no-jit", type=bool, default=True)
 @click.pass_context
-def main(ctx, dataset_fn, kernel, logdir, seed, jit):
+def main(ctx, dataset_fn, kernel, logdir, seed, precision, jit):
     """Core command (reference cli.py:44-72)."""
+    if precision == np.float64:
+        jax.config.update("jax_enable_x64", True)
     np.random.seed(seed)
+    from cggp_tpu.data import cast_bundle
+
     ctx.obj = dict(
         seed=seed,
         logdir=logdir,
-        dataset=dataset_fn(seed),
+        dataset=cast_bundle(dataset_fn(seed), precision),
         kernel_fn=kernel,
+        precision=precision_names[precision],
         jit=jit,
     )
 
@@ -176,6 +190,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         # recoverable from params.npz; all kernels share param names).
         "kernel": obj["kernel_fn"](int(train_data[0].shape[-1]))[0].name,
         "seed": obj["seed"],
+        "precision": obj["precision"],
         "dataset_name": dataset.name,
         "num_inducing_points": num_inducing_points,
         "num_iterations": num_iterations,
@@ -231,7 +246,8 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         )
         rng = _np.random.RandomState(obj["seed"])
         iv = _np.asarray(x)[rng.choice(n, m0, replace=False)]
-        params = model.init_params(iv, noise_variance=0.1, **kernel_init)
+        params = model.init_params(iv, noise_variance=0.1,
+                                   dtype=x.dtype, **kernel_init)
         click.echo(f"sharded over {num_devices} devices; "
                    f"M={m0} padded to {params['inducing_points'].shape[0]}")
     else:
@@ -250,6 +266,11 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             relative_threshold=relative_threshold,
             precondition=None if precondition == "none" else precondition,
             precond_rank=precond_rank,
+            # Params must live on the -p width, not the process default: an
+            # x64 process with -p fp32 would otherwise build float64 params
+            # against float32 data (mixed-dtype while_loop carries in the
+            # clustering distance closures).
+            dtype=train_data[0].dtype,
             **extra,
         )
         if matrix_free:
@@ -272,6 +293,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             params = assign_flat(params, flat)
             click.echo(f"resumed from config dir {resume_from}")
 
+    auto_model = None
     if precondition == "auto" and hasattr(model, "resolve_precondition"):
         # Conditioning-based resolution (Lanczos kappa estimate), done
         # eagerly so every downstream closure (loss, metrics, cg-stats)
@@ -282,6 +304,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         # random-init one.
         import dataclasses as _dc
 
+        auto_model = model  # keeps precondition="auto": the live resolver
         resolved = model.resolve_precondition(params)
         model = _dc.replace(model, precondition=resolved)
         info["precondition_resolved"] = resolved
@@ -469,6 +492,29 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         loss_fn = lambda p, b, k, pc: model.training_loss(  # noqa: E731
             p, b, k, precond_override=pc)
         precond_fn = model.precond_state
+    resolver_kwargs = {}
+    if (auto_model is not None and update_fn is not None
+            and train_mesh is None and precond_fn is None):
+        # Round-5 (VERDICT r4 weak-3): -P auto keeps resolving DURING
+        # training — host update_fn calls move Z with the drifting kernel
+        # params, so conditioning drifts too.  The trainer re-runs the
+        # Lanczos-kappa resolver at recluster boundaries and swaps the
+        # jitted step to the concrete mode (static, per-mode step cache).
+        # Cadence: every boundary when boundaries are K-step chunks; every
+        # record_step-th step when each step is a boundary (the estimate is
+        # an [M, M] Lanczos — per-step would tax steps_per_call=1 runs).
+        import dataclasses as _dc
+
+        def _loss_for_mode(mode, _m=auto_model):
+            concrete = _dc.replace(_m, precondition=mode)
+            return lambda p, b, k: concrete.training_loss(p, b, k)
+
+        resolver_kwargs = dict(
+            precond_resolver=auto_model.resolve_precondition,
+            loss_fn_for_mode=_loss_for_mode,
+            resolve_every=(1 if steps_per_call > 1
+                           else max(int(record_step), 1)),
+        )
     params = train_using_adam_and_update(
         params,
         loss_fn,
@@ -484,6 +530,7 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
         mesh=train_mesh,
         precond_fn=precond_fn,
         recluster_fn=recluster_fn,
+        **resolver_kwargs,
     )
     save_config_dir(logdir, params, info)
     monitor.close()

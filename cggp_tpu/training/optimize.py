@@ -167,6 +167,9 @@ def train_using_adam_and_update(
     mesh=None,
     precond_fn=None,
     recluster_fn=None,
+    precond_resolver=None,
+    loss_fn_for_mode=None,
+    resolve_every: int = 1,
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
@@ -203,10 +206,41 @@ def train_using_adam_and_update(
     wall time goes to the monitor as ``train/step_time_ms``; with
     ``profile_dir`` set, steps ``profile_steps[0]..[1]`` are captured with
     ``jax.profiler`` for xprof/TensorBoard.
+
+    ``precond_resolver(params) -> mode`` + ``loss_fn_for_mode(mode) ->
+    LossFn`` (round-5, closes the eager/jit ``precondition="auto"``
+    divergence): the resolver runs HOST-SIDE — at start and again after
+    every ``resolve_every``-th re-cluster boundary (an ``update_fn`` call) —
+    and the resolved concrete mode is threaded into the jitted step as a
+    STATIC choice by rebuilding the step from ``loss_fn_for_mode(mode)``.
+    Inside jit the model's ``"auto"`` size rule then only ever acts as the
+    compiler/HBM guard (``models/cggp.py`` ``_CHOL_AUTO_MAX_M``); the
+    conditioning-based decision (``CGGP.resolve_precondition``'s Lanczos
+    kappa estimate) is what every compiled program actually runs.  Steps are
+    cached per mode, so a mode flip costs one compile the first time and a
+    cache hit after.  ``loss_fn`` is ignored when a resolver is given.
     """
     key, data_key = jax.random.split(key)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(params)
+
+    if precond_resolver is not None:
+        if loss_fn_for_mode is None:
+            raise ValueError(
+                "precond_resolver requires loss_fn_for_mode (the factory "
+                "that builds the concrete-mode loss the jitted step "
+                "compiles)")
+        if mesh is not None or precond_fn is not None:
+            raise ValueError(
+                "precond_resolver composes with the plain Adam paths only "
+                "(not mesh data-parallel steps or chunk-frozen precond_fn)")
+        if resolve_every < 1:
+            raise ValueError("resolve_every must be >= 1")
+        current_mode = precond_resolver(params)
+        # loss_fn itself stays untouched: the per-mode step caches build
+        # from loss_fn_for_mode exactly once per distinct mode.
+    else:
+        current_mode = None
 
     if precond_fn is not None and steps_per_call <= 1:
         raise ValueError(
@@ -250,9 +284,17 @@ def train_using_adam_and_update(
     if steps_per_call > 1:
         from cggp_tpu.training.batching import minibatch_index_iterator
 
-        multi_step = make_adam_multi_step(loss_fn, optimizer, data, trainable_mask,
-                                          precond_fn=precond_fn,
-                                          recluster_fn=recluster_fn)
+        _multi_step_cache: Dict = {}
+
+        def _get_multi_step(mode):
+            if mode not in _multi_step_cache:
+                fn = loss_fn if mode is None else loss_fn_for_mode(mode)
+                _multi_step_cache[mode] = make_adam_multi_step(
+                    fn, optimizer, data, trainable_mask,
+                    precond_fn=precond_fn, recluster_fn=recluster_fn)
+            return _multi_step_cache[mode]
+
+        multi_step = _get_multi_step(current_mode)
         idx_chunks = minibatch_index_iterator(
             data_key, data[0].shape[0], batch_size, steps_per_call
         )
@@ -279,6 +321,12 @@ def train_using_adam_and_update(
                 params = update_fn(params)
                 if _tree_shapes(params) != shapes_before:
                     opt_state = optimizer.init(params)
+                if precond_resolver is not None and \
+                        chunk_i % resolve_every == 0:
+                    new_mode = precond_resolver(params)
+                    if new_mode != current_mode:
+                        current_mode = new_mode
+                        multi_step = _get_multi_step(new_mode)
             idx_chunk = next(idx_chunks)
             key, chunk_key = jax.random.split(key)
             t0 = time.perf_counter()
@@ -315,7 +363,15 @@ def train_using_adam_and_update(
         def step(params, opt_state, batch, step_key):
             return step_spmd(params, opt_state, shard_batch(mesh, *batch), step_key)
     else:
-        step = make_adam_step(loss_fn, optimizer, trainable_mask)
+        _step_cache: Dict = {}
+
+        def _get_step(mode):
+            if mode not in _step_cache:
+                fn = loss_fn if mode is None else loss_fn_for_mode(mode)
+                _step_cache[mode] = make_adam_step(fn, optimizer, trainable_mask)
+            return _step_cache[mode]
+
+        step = _get_step(current_mode)
 
     for iteration in range(int(iterations)):
         if profile_dir is not None and iteration == profile_steps[0]:
@@ -325,6 +381,12 @@ def train_using_adam_and_update(
             params = update_fn(params)
             if _tree_shapes(params) != shapes_before:
                 opt_state = optimizer.init(params)
+            if precond_resolver is not None and \
+                    iteration % resolve_every == 0:
+                new_mode = precond_resolver(params)
+                if new_mode != current_mode:
+                    current_mode = new_mode
+                    step = _get_step(new_mode)
         batch = next(batches)
         key, step_key = jax.random.split(key)
         t0 = time.perf_counter()

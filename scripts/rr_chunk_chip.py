@@ -27,6 +27,10 @@ def run(tiny: bool) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
+    from cggp_tpu.utils.cache import enable_bench_cache
+
+    enable_bench_cache(jax)
+
     from cggp_tpu.data import synthetic
     from cggp_tpu.models import IterGPR
     from cggp_tpu.models.itergpr import (
@@ -46,7 +50,8 @@ def run(tiny: bool) -> dict:
     x = jnp.asarray(train[0][:N], jnp.float32)
     y = jnp.asarray(train[1][:N], jnp.float32)
 
-    out = {"section": "rr_chunk_262k", "n": N, "block": BLOCK,
+    section = "rr_chunk_tiny_smoke" if tiny else "rr_chunk_262k"
+    out = {"section": section, "smoke": bool(tiny), "n": N, "block": BLOCK,
            "chunk_iters": CHUNK, "dtype": "float32",
            "precondition": "pivchol-256"}
 
@@ -72,11 +77,19 @@ def run(tiny: bool) -> dict:
     float(jnp.sum(v))
     wall = time.perf_counter() - t0
     b_norm2 = 0.5 * jnp.sum(jnp.square(y_rows), axis=-1)
-    rel = float(jnp.max(jnp.sqrt(err / jnp.maximum(b_norm2, 1e-30))))
-    print(f"alpha: {chunks} chunks, converged={converged}, "
-          f"rel residual {rel:.2e}, wall {wall:.1f}s", flush=True)
+    # Two views of the same residual: the model's stop rule compares CG
+    # ENERGY (0.5||r||^2 <= threshold * 0.5||b||^2 — reference
+    # conjugate_gradient.py:59-62 semantics), so "1e-5 converged" means
+    # energy ratio <= 1e-5, i.e. ||r||/||b|| <= sqrt(1e-5) ~ 3.2e-3.
+    # Round 4's restart baseline reported the ENERGY ratio (1.16e-4
+    # plateau); record both so the comparison stays unambiguous.
+    energy = float(jnp.max(err / jnp.maximum(b_norm2, 1e-30)))
+    rel = energy ** 0.5
+    print(f"alpha: {chunks} chunks, converged={converged}, energy ratio "
+          f"{energy:.2e} (L2 rel {rel:.2e}), wall {wall:.1f}s", flush=True)
     out.update(alpha_chunks=chunks, alpha_converged=bool(converged),
-               alpha_rel_residual=rel, alpha_wall_s=round(wall, 1))
+               alpha_energy_ratio=energy, alpha_rel_residual=rel,
+               alpha_wall_s=round(wall, 1))
 
     # -- training step (1e-4 relative; restart baseline: 25 chunks, 390 s) -
     model_t = IterGPR(
@@ -110,6 +123,13 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "logs"), exist_ok=True)
     with open(os.path.join(REPO, "logs", "rr_chunk_chip.json"), "w") as fh:
         json.dump(out, fh, indent=1)
+    if not args.tiny:
+        # logs/ is gitignored; real-chip measurements also land in
+        # benchmarks/ (the committed artifact home — chunked_slq_chip.json
+        # precedent).  Smokes stay out of the committed dir by design.
+        with open(os.path.join(REPO, "benchmarks", "rr_chunk_chip.json"),
+                  "w") as fh:
+            json.dump(out, fh, indent=1)
     print(json.dumps(out), flush=True)
 
 
