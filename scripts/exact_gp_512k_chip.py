@@ -124,7 +124,11 @@ def run(tiny: bool) -> dict:
     print(f"512k: mean serving {rate:,.1f} points/s", flush=True)
 
     return {
-        "section": "exact_gp_tiny_smoke" if tiny else "exact_gp_512k",
+        # Section names carry the REAL N (VERDICT r4 weak-1: no artifact may
+        # claim a scale it doesn't contain) — "exact_gp_512k" only at the
+        # default N, "exact_gp_<N>" for env-overridden scales.
+        "section": ("exact_gp_tiny_smoke" if tiny else
+                    ("exact_gp_512k" if N == 524_288 else f"exact_gp_{N}")),
         "smoke": bool(tiny), "n": N, "block": BLOCK,
         "chunk_iters": CHUNK, "dtype": "float32",
         "precondition": "pivchol-256",
@@ -143,14 +147,15 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     out = run(args.tiny)
+    name = ("exact_gp_512k_chip.json" if out["n"] == 524_288 or args.tiny
+            else f"exact_gp_{out['n']}_chip.json")
     os.makedirs(os.path.join(REPO, "logs"), exist_ok=True)
-    with open(os.path.join(REPO, "logs", "exact_gp_512k_chip.json"), "w") as fh:
+    with open(os.path.join(REPO, "logs", name), "w") as fh:
         json.dump(out, fh, indent=1)
     if not args.tiny:
         # logs/ is gitignored; real-chip measurements also land in
         # benchmarks/ (the committed artifact home).
-        with open(os.path.join(REPO, "benchmarks",
-                               "exact_gp_512k_chip.json"), "w") as fh:
+        with open(os.path.join(REPO, "benchmarks", name), "w") as fh:
             json.dump(out, fh, indent=1)
     print(json.dumps(out), flush=True)
 
