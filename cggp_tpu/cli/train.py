@@ -509,11 +509,23 @@ def train_cggp_adam(ctx, num_iterations, batch_size, num_inducing_points,
             concrete = _dc.replace(_m, precondition=mode)
             return lambda p, b, k: concrete.training_loss(p, b, k)
 
+        def _on_mode_change(mode):
+            # The run record must say what training ACTUALLY used (monitor
+            # cg-stats/metrics callbacks keep the initial mode — the
+            # trainer docstring documents the observability split).
+            info["precondition_resolved_final"] = mode
+            click.echo(f"precondition re-resolved -> {mode} "
+                       "(recluster-boundary Lanczos estimate)")
+
         resolver_kwargs = dict(
             precond_resolver=auto_model.resolve_precondition,
             loss_fn_for_mode=_loss_for_mode,
             resolve_every=(1 if steps_per_call > 1
                            else max(int(record_step), 1)),
+            # Already resolved eagerly above — don't pay the [M, M]
+            # Lanczos estimate twice before step 0.
+            initial_mode=info["precondition_resolved"],
+            on_mode_change=_on_mode_change,
         )
     params = train_using_adam_and_update(
         params,

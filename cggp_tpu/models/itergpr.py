@@ -75,8 +75,15 @@ def _program_time_budget_s() -> Optional[float]:
         try:
             val = float(env)
         except ValueError:
-            return None
-        return val if val > 0 else None
+            # A typo ("60s", "1m") must not silently DISARM the guard on
+            # the one backend that has a watchdog — warn and fall through
+            # to the backend default (review round-5).
+            warnings.warn(
+                f"CGGP_PROGRAM_BUDGET_S={env!r} is not a number; using the "
+                "backend default budget instead",
+                RuntimeWarning, stacklevel=2)
+        else:
+            return val if val > 0 else None
     try:
         backend = jax.default_backend()
     except Exception:
@@ -660,6 +667,11 @@ class IterGPR:
                 else self.kernel.K_diag(kp, x_new)
             var = love_variance(post.lanczos_r, kmn, knn, full_cov)
             return kmn @ post.alpha.T, var
+        # Same single-program [T, N] CG as the MLL/posterior legs — same
+        # watchdog exposure (review round-5): warn before launching.
+        _warn_if_program_over_budget(
+            post.x_train.shape[0], self.max_cg_iterations,
+            "IterGPR.posterior_predict", "posterior_predict_chunked")
         inv_kmn, _ = self._solve(
             kp, post.x_train, post.lam, kmn, post.precond_state, post.mask
         )

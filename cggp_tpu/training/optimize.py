@@ -170,6 +170,8 @@ def train_using_adam_and_update(
     precond_resolver=None,
     loss_fn_for_mode=None,
     resolve_every: int = 1,
+    initial_mode=None,
+    on_mode_change=None,
 ) -> Dict:
     """Adam training with optional per-step inducing update
     (reference optimize.py:198-254 semantics).
@@ -219,6 +221,12 @@ def train_using_adam_and_update(
     kappa estimate) is what every compiled program actually runs.  Steps are
     cached per mode, so a mode flip costs one compile the first time and a
     cache hit after.  ``loss_fn`` is ignored when a resolver is given.
+    ``initial_mode`` skips the startup resolve when the caller already
+    resolved eagerly (the CLI does — avoids paying the [M, M] Lanczos
+    estimate twice before step 0); ``on_mode_change(mode)`` fires on every
+    in-training swap so callers can log/record it (monitor callbacks built
+    from the initially resolved model do NOT follow the swap — observers
+    needing the live mode must use this hook).
     """
     key, data_key = jax.random.split(key)
     optimizer = optax.adam(learning_rate)
@@ -236,7 +244,8 @@ def train_using_adam_and_update(
                 "(not mesh data-parallel steps or chunk-frozen precond_fn)")
         if resolve_every < 1:
             raise ValueError("resolve_every must be >= 1")
-        current_mode = precond_resolver(params)
+        current_mode = (initial_mode if initial_mode is not None
+                        else precond_resolver(params))
         # loss_fn itself stays untouched: the per-mode step caches build
         # from loss_fn_for_mode exactly once per distinct mode.
     else:
@@ -327,6 +336,8 @@ def train_using_adam_and_update(
                     if new_mode != current_mode:
                         current_mode = new_mode
                         multi_step = _get_multi_step(new_mode)
+                        if on_mode_change is not None:
+                            on_mode_change(new_mode)
             idx_chunk = next(idx_chunks)
             key, chunk_key = jax.random.split(key)
             t0 = time.perf_counter()
@@ -387,6 +398,8 @@ def train_using_adam_and_update(
                 if new_mode != current_mode:
                     current_mode = new_mode
                     step = _get_step(new_mode)
+                    if on_mode_change is not None:
+                        on_mode_change(new_mode)
         batch = next(batches)
         key, step_key = jax.random.split(key)
         t0 = time.perf_counter()

@@ -94,6 +94,7 @@ def run(tiny: bool) -> dict:
     print(f"train: N={N} block={BLOCK} chunk={CHUNK} steps={STEPS} lr={LR}",
           flush=True)
     trajectory = []
+    mll_exact = []  # unrounded: strictness must not compare display values
     for i in range(STEPS):
         t0 = time.perf_counter()
         value, grads, info = model.log_marginal_likelihood_chunked(
@@ -103,6 +104,7 @@ def run(tiny: bool) -> dict:
         jax.tree_util.tree_map(lambda a: float(jnp.sum(a)), params)
         wall = time.perf_counter() - t0
         h = hypers(params)
+        mll_exact.append(float(value))
         trajectory.append({
             "step": i, "mll": round(float(value), 1),
             "chunks": int(info["chunks"]), "converged": bool(info["converged"]),
@@ -112,8 +114,8 @@ def run(tiny: bool) -> dict:
               f"({info['chunks']} chunks, conv={info['converged']}, "
               f"{wall:.1f}s) hypers={h}", flush=True)
 
-    mlls = [t["mll"] for t in trajectory]
-    strictly_improving = all(b > a for a, b in zip(mlls, mlls[1:]))
+    strictly_improving = all(
+        b > a for a, b in zip(mll_exact, mll_exact[1:]))
 
     # Final objective at the trained params (the post-update MLL the last
     # trajectory row does not include).
@@ -133,13 +135,17 @@ def run(tiny: bool) -> dict:
           f"wall {post_wall:.1f}s", flush=True)
 
     return {
-        "section": "exact_gp_train_tiny_smoke" if tiny else
-                   "exact_gp_train_131k",
+        # Scale-aware section name (same rule as the sibling harnesses):
+        # "exact_gp_train_131k" only at the default N.
+        "section": ("exact_gp_train_tiny_smoke" if tiny else
+                    ("exact_gp_train_131k" if N == 131_072
+                     else f"exact_gp_train_{N}")),
         "smoke": bool(tiny), "n": N, "block": BLOCK, "chunk_iters": CHUNK,
         "dtype": "float32", "precondition": "pivchol-256",
         "optimizer": f"adam(lr={LR})", "steps": STEPS,
         "probes": PROBES, "slq_lanczos_iters": SLQ,
-        "mll_first": mlls[0], "mll_last": mlls[-1],
+        "mll_first": round(mll_exact[0], 1),
+        "mll_last": round(mll_exact[-1], 1),
         "mll_final_post_update": round(float(final_val), 1),
         "mll_strictly_improving": strictly_improving,
         "generator_truth": {"noise_variance": 0.01,
@@ -155,13 +161,13 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     out = run(args.tiny)
+    name = ("exact_gp_train_chip.json" if out["n"] == 131_072 or args.tiny
+            else f"exact_gp_train_{out['n']}_chip.json")
     os.makedirs(os.path.join(REPO, "logs"), exist_ok=True)
-    with open(os.path.join(REPO, "logs", "exact_gp_train_chip.json"),
-              "w") as fh:
+    with open(os.path.join(REPO, "logs", name), "w") as fh:
         json.dump(out, fh, indent=1)
     if not args.tiny:
-        with open(os.path.join(REPO, "benchmarks",
-                               "exact_gp_train_chip.json"), "w") as fh:
+        with open(os.path.join(REPO, "benchmarks", name), "w") as fh:
             json.dump(out, fh, indent=1)
     print(json.dumps(out), flush=True)
 

@@ -50,7 +50,10 @@ def run(tiny: bool) -> dict:
     x = jnp.asarray(train[0][:N], jnp.float32)
     y = jnp.asarray(train[1][:N], jnp.float32)
 
-    section = "rr_chunk_tiny_smoke" if tiny else "rr_chunk_262k"
+    # Section names carry the REAL N (VERDICT r4 weak-1): "rr_chunk_262k"
+    # only at the default N, "rr_chunk_<N>" for env-overridden scales.
+    section = ("rr_chunk_tiny_smoke" if tiny else
+               ("rr_chunk_262k" if N == 262_144 else f"rr_chunk_{N}"))
     out = {"section": section, "smoke": bool(tiny), "n": N, "block": BLOCK,
            "chunk_iters": CHUNK, "dtype": "float32",
            "precondition": "pivchol-256"}
@@ -120,15 +123,16 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
     out = run(args.tiny)
+    name = ("rr_chunk_chip.json" if out["n"] == 262_144 or args.tiny
+            else f"rr_chunk_{out['n']}_chip.json")
     os.makedirs(os.path.join(REPO, "logs"), exist_ok=True)
-    with open(os.path.join(REPO, "logs", "rr_chunk_chip.json"), "w") as fh:
+    with open(os.path.join(REPO, "logs", name), "w") as fh:
         json.dump(out, fh, indent=1)
     if not args.tiny:
         # logs/ is gitignored; real-chip measurements also land in
         # benchmarks/ (the committed artifact home — chunked_slq_chip.json
         # precedent).  Smokes stay out of the committed dir by design.
-        with open(os.path.join(REPO, "benchmarks", "rr_chunk_chip.json"),
-                  "w") as fh:
+        with open(os.path.join(REPO, "benchmarks", name), "w") as fh:
             json.dump(out, fh, indent=1)
     print(json.dumps(out), flush=True)
 

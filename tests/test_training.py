@@ -973,13 +973,17 @@ def test_precond_resolver_threads_static_mode_into_jitted_step(rng):
         calls["n"] += 1
         return swapped if calls["n"] >= 2 else p
 
+    swaps = []
     out = train_using_adam_and_update(
         params, None, (x, y), iterations=2, batch_size=64,
         learning_rate=1e-3, key=jax.random.PRNGKey(0), update_fn=update_fn,
         precond_resolver=model.resolve_precondition,
         loss_fn_for_mode=loss_fn_for_mode, resolve_every=1,
+        initial_mode="pivchol",  # caller-resolved: no double Lanczos
+        on_mode_change=swaps.append,
     )
     assert modes_built == ["pivchol", "chol"], modes_built
+    assert swaps == ["chol"], swaps
     # Both jitted steps executed (a failed build/trace would have raised);
     # structure is preserved across the mode swap.  (No finiteness claim:
     # the ill-conditioned fp32 system is deliberately pathological and its
