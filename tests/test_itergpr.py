@@ -878,6 +878,23 @@ def test_watchdog_headroom_guard(rng, monkeypatch):
     assert bool(jnp.isfinite(val))
     assert bool(jnp.all(jnp.isfinite(post.alpha)))
 
+    # Serving's per-batch [T, N] CG has the same single-program exposure
+    # (round-5 review): the guard covers posterior_predict too.
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        mu, var = model.posterior_predict(post, x[:8])
+    assert any("posterior_predict_chunked" in str(w.message) for w in caught
+               if issubclass(w.category, RuntimeWarning))
+    assert bool(jnp.all(jnp.isfinite(mu))) and bool(jnp.all(jnp.isfinite(var)))
+
+    # An unparseable budget value must NOT silently disarm the guard — it
+    # warns and falls back to the backend default (None on CPU).
+    monkeypatch.setenv("CGGP_PROGRAM_BUDGET_S", "60s")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert _program_time_budget_s() is None  # cpu backend default
+    assert any("not a number" in str(w.message) for w in caught)
+
     # Explicit disable.
     monkeypatch.setenv("CGGP_PROGRAM_BUDGET_S", "0")
     assert _program_time_budget_s() is None
